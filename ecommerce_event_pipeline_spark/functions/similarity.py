@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a production ANN stack would ship:
+
+- **brute force**: exact cosine top-k. Per-row cost is a 64-wide fused
+  fold (zip_with + aggregate, JVM-side); the top-k is
+  TakeOrderedAndProject (per-partition heap, driver merges k rows). Exact,
+  embarrassingly parallel, the right baseline and the verifier for the
+  approximate tier.
+- **LSH (random hyperplanes)**: each vector hashes to a b-bit signature by
+  the sign of dot(v, h_i) against deterministic pseudo-random hyperplanes
+  (seeded from xxhash64 — no runtime RNG, stable across executors).
+  Candidates = vectors sharing a signature with the query in ≥1 of several
+  hash tables; exact cosine is computed only within candidates. At 100 TB
+  the bucket join replaces the full scan per query.
+
+Embeddings are cast to array<double> before arithmetic so results are
+bit-comparable with double-based engines and not float32-accumulation
+dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: F.Column, b: F.Column, decimals: int | None = 6) -> F.Column:
+    cos = _dot(a, b) / (_norm(a) * _norm(b))
+    return F.round(cos, decimals) if decimals is not None else cos
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k of ``embeddings`` against a single query row.
+
+    The 1-row query side is broadcast; the scan side never shuffles — the
+    only exchange is the k-row TakeOrderedAndProject merge.
+    """
+    q = F.broadcast(query.select(_as_double("embedding").alias("query_emb")))
+    e = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
+    return (
+        e.crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("emb"), F.col("query_emb")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int = 64, bits: int = 16, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a splitmix-style integer
+    mix — reproducible across runs/executors with no RNG state."""
+
+    def mix(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        return x ^ (x >> 31)
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = mix((table << 40) | (b << 20) | d | 0x9E3779B97F4A7C15)
+            row.append((h % 2_000_001) / 1_000_000.0 - 1.0)  # uniform [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    embeddings: DataFrame, dim: int = 64, bits: int = 16, tables: int = 4
+) -> DataFrame:
+    """Add ``(table_id, signature)`` rows per vector: sign-of-dot-product
+    against each table's hyperplanes, packed into a long. Pure projection +
+    explode over `tables` rows — no shuffle."""
+    out_cols = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, t)
+        bit_cols = [
+            F.when(
+                _dot(
+                    _as_double("embedding"),
+                    F.array(*[F.lit(v) for v in plane]),
+                )
+                > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i, plane in enumerate(planes)
+        ]
+        sig = bit_cols[0]
+        for c in bit_cols[1:]:
+            sig = sig.bitwiseOR(c)
+        out_cols.append(
+            F.struct(F.lit(t).alias("table_id"), sig.alias("signature"))
+        )
+    return embeddings.select(
+        "vec_id", "label", "embedding", F.explode(F.array(*out_cols)).alias("sig")
+    ).select("vec_id", "label", "embedding", "sig.table_id", "sig.signature")
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 12,
+    tables: int = 6,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidates (any table, same signature
+    as the query), then exact cosine within candidates only.
+
+    Recall is tunable via (bits, tables); verify against
+    ``brute_force_topk`` in tests. The candidate join is keyed on
+    (table_id, signature) — at scale this is a bucket lookup, not a scan.
+    """
+    sigs = lsh_signatures(embeddings, dim, bits, tables)
+    qsigs = F.broadcast(
+        lsh_signatures(query, dim, bits, tables).select("table_id", "signature")
+    )
+    candidates = (
+        sigs.join(qsigs, ["table_id", "signature"], "left_semi")
+        .select("vec_id", "label", "embedding")
+        .distinct()
+    )
+    return brute_force_topk(candidates, query, k)

@@ -1,0 +1,180 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All hot-path expressions are built-in Catalyst functions (split, regexp,
+higher-order array ops) — whole-stage-codegen'd, no Python in the loop.
+Designed for a corpus sharded across executors: every operator is a
+row-local projection or a key-partitioned aggregate, nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punctuation token pattern — same regex dialect subset
+#: works in Java (Spark) and RE2-like engines (DuckDB re2).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny English stopword list for quality scoring (deterministic, public).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _tokens(col: F.Column | str = "text") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document whitespace tokenization stats + distinct-token ratio."""
+    toks = _tokens()
+    token_count = F.size(toks)
+    unique_tokens = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count.alias("token_count"),
+        unique_tokens.alias("unique_tokens"),
+        F.round(
+            unique_tokens.cast("double") / token_count.cast("double"), 4
+        ).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+def lang_source_stats(docs: DataFrame) -> DataFrame:
+    """Corpus rollup by language × source."""
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+            F.avg(F.size(_tokens()).cast("double")).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def regex_token_count(docs: DataFrame, pattern: str = TOKEN_PATTERN) -> DataFrame:
+    """BPE-ish regex token counting (words / numbers / punctuation runs)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("regex_token_count"),
+        F.size(F.array_distinct(toks)).alias("regex_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality score in [0, 1]:
+
+    - length component: min(1, token_count / 64)
+    - diversity component: unique_tokens / token_count
+    - stopword component: 1 − |stopword_ratio − 0.4| (prose-like density)
+
+    All components are deterministic built-ins; the score is their mean.
+    """
+    toks = _tokens()
+    token_count = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / token_count.cast("double")
+    length_c = F.least(F.lit(1.0), token_count.cast("double") / F.lit(64.0))
+    diversity_c = uniq.cast("double") / token_count.cast("double")
+    stop_c = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count.alias("token_count"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round((length_c + diversity_c + stop_c) / F.lit(3.0), 4).alias(
+            "quality_score"
+        ),
+    ).orderBy("doc_id")
+
+
+def token_frequencies(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus-wide token frequency: explode → groupBy token.
+
+    The explode widens rows before the shuffle but each row is one small
+    string; partial aggregation collapses per-partition counts before the
+    exchange, so the shuffle carries |vocab| rows per partition at most.
+    """
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("token_freq"))
+        .orderBy(F.desc("token_freq"), "token")
+        .limit(top_n)
+    )
+
+
+def language_id_ngram(docs: DataFrame, profiles: DataFrame | None = None) -> DataFrame:
+    """Character-n-gram language-ID heuristic.
+
+    Builds per-language trigram profiles from a labeled sample (here: the
+    corpus's own ``lang`` labels — in production a fixed profile table) and
+    scores each document by trigram overlap via a broadcast join against
+    the profile table. Output: doc_id, lang (truth), predicted_lang.
+    """
+    # Spark lacks a direct char-ngram function; express with sequence+substr.
+    def char_ngrams(col: F.Column, n: int = 3) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+            lambda i: col.substr(i, F.lit(n)),
+        )
+
+    if profiles is None:
+        profiles = (
+            docs.select("lang", F.explode(char_ngrams(F.col("text"))).alias("gram"))
+            .groupBy("lang", "gram")
+            .agg(F.count("*").alias("gram_freq"))
+        )
+        # keep top grams per language as the profile
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(F.desc("gram_freq"), "gram")
+        profiles = (
+            profiles.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 200)
+            .select("lang", "gram")
+        )
+
+    doc_grams = docs.select(
+        "doc_id", "lang", F.explode(char_ngrams(F.col("text"))).alias("gram")
+    )
+    scored = (
+        doc_grams.join(
+            F.broadcast(profiles.withColumnRenamed("lang", "candidate_lang")), "gram"
+        )
+        .groupBy("doc_id", "lang", "candidate_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), "candidate_lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("candidate_lang").alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic 64-bit content fingerprint (xxhash64 of normalized
+    text) + a positional rolling-style hash over tokens: hash each token
+    with its index and XOR-fold. All JVM-side."""
+    toks = _tokens(F.lower(F.col("text")))
+    indexed = F.transform(toks, lambda t, i: F.xxhash64(t, i))
+    folded = F.aggregate(
+        indexed, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+    return docs.select(
+        "doc_id",
+        F.xxhash64(F.lower(F.col("text"))).alias("content_hash"),
+        folded.alias("rolling_hash"),
+    ).orderBy("doc_id")

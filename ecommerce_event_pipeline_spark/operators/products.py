@@ -1,0 +1,145 @@
+"""Product/order marts — the JSON-payload path (lateral unnest + union).
+
+The reference unnests the purchase payload two ways: Postgres
+``jsonb_array_elements`` (reference: sql/marts/mart_product_daily.sql:21-24,
+an implicit CROSS JOIN LATERAL) and Spark ``from_json`` + ``explode``
+(reference: scripts/spark_batch_processor.py:216-230). We use the Spark
+form: ``from_json`` against the explicit payload schema, ``explode`` for
+the lateral join, ``unionByName`` to merge direct product references with
+unnested purchase items, then one hash aggregation.
+
+Scale notes:
+- ``explode`` multiplies rows before the shuffle; the projection right
+  before it keeps only (ids, item struct) so the widened rows are narrow.
+- Top-N by revenue is ``orderBy(desc).limit(n)`` — Catalyst plans
+  ``TakeOrderedAndProject`` (per-partition heap + driver merge of N rows),
+  never a full sort.
+- NULL/absent payload handling mirrors the reference: missing ``products``
+  → empty array for item_count (reference: sql/marts/mart_orders.sql:24),
+  unparseable JSON → NULL struct → row contributes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import EXTRA_DATA_SCHEMA
+
+
+def parse_extra_data(events: DataFrame, json_col: str = "extra_data") -> DataFrame:
+    """Add a typed ``payload`` struct parsed from the JSON payload column."""
+    return events.withColumn("payload", F.from_json(F.col(json_col), EXTRA_DATA_SCHEMA))
+
+
+def product_interactions(
+    events: DataFrame,
+    direct_types: tuple[str, ...] = ("click", "add_to_cart"),
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Direct product refs ∪ unnested purchase items (reference:
+    sql/marts/mart_product_daily.sql:26-39; scripts/spark_batch_processor.py:192-233).
+
+    Output grain: one row per product interaction with
+    (event_date, event_type, user_id, product_id, quantity, unit_price).
+    """
+    direct = events.where(
+        F.col("event_type").isin(*direct_types) & F.col("product_id").isNotNull()
+    ).select(
+        "event_date",
+        "event_type",
+        "user_id",
+        "product_id",
+        F.col("quantity").cast("int").alias("quantity"),
+        F.col("unit_price").cast("double").alias("unit_price"),
+    )
+
+    purchased = (
+        parse_extra_data(
+            events.where(
+                (F.col("event_type") == purchase_type)
+                & F.col("extra_data").isNotNull()
+            )
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "user_id",
+            F.explode(F.col("payload.products")).alias("item"),
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "user_id",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.quantity").cast("int").alias("quantity"),
+            F.col("item.unit_price").cast("double").alias("unit_price"),
+        )
+        .where(F.col("product_id").isNotNull())
+    )
+    return direct.unionByName(purchased)
+
+
+def product_daily(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Product × date mart (reference: sql/marts/mart_product_daily.sql:40-55;
+    top-N variant: scripts/spark_batch_processor.py:192-263)."""
+    interactions = product_interactions(events, purchase_type=purchase_type)
+    is_purchase = F.col("event_type") == purchase_type
+    out = interactions.groupBy("product_id", "event_date").agg(
+        F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias("click_count"),
+        F.count(F.when(F.col("event_type") == "add_to_cart", F.lit(1))).alias(
+            "cart_add_count"
+        ),
+        F.count(F.when(is_purchase, F.lit(1))).alias("purchase_count"),
+        F.coalesce(
+            F.sum(F.when(is_purchase, F.col("quantity") * F.col("unit_price"))),
+            F.lit(0.0),
+        ).alias("revenue"),
+        F.coalesce(F.sum(F.when(is_purchase, F.col("quantity"))), F.lit(0)).alias(
+            "units_sold"
+        ),
+        F.count_distinct(F.when(~is_purchase, F.col("user_id"))).alias(
+            "unique_viewers"
+        ),
+        F.count_distinct(F.when(is_purchase, F.col("user_id"))).alias("unique_buyers"),
+    )
+    out = out.withColumn(
+        "conversion_rate",
+        F.round(
+            F.col("unique_buyers")
+            * 100.0
+            / F.nullif(F.col("unique_viewers").cast("double"), F.lit(0.0)),
+            2,
+        ),
+    )
+    if top_n is not None:
+        return out.orderBy(F.desc("revenue"), "product_id").limit(top_n)
+    return out.orderBy("product_id", "event_date")
+
+
+def orders_mart(events: DataFrame, purchase_type: str = "purchase") -> DataFrame:
+    """One row per order — row-level transform, no aggregation (reference:
+    sql/marts/mart_orders.sql:13-28)."""
+    return (
+        parse_extra_data(events.where(F.col("event_type") == purchase_type))
+        .where(F.col("order_id").isNotNull())
+        .select(
+            "order_id",
+            "user_id",
+            F.col("event_date").alias("order_date"),
+            F.col("ts").alias("order_timestamp"),
+            F.col("total_amount").cast("double").alias("total_amount"),
+            "payment_method",
+            "platform",
+            F.coalesce(F.col("payload.discount_amount"), F.lit(0.0)).alias(
+                "discount_amount"
+            ),
+            F.coalesce(F.col("payload.shipping_fee"), F.lit(0.0)).alias("shipping_fee"),
+            F.col("payload.coupon_code").alias("coupon_code"),
+            F.size(F.coalesce(F.col("payload.products"), F.array())).alias("item_count"),
+        )
+    )

@@ -1,0 +1,214 @@
+"""Relational operators over the star schema — joins, multi-agg, top-k.
+
+The reference computes funnels with conditional aggregation and has no
+equi-join; these operators exercise the join surface a real warehouse needs
+on the driver's TPC-H-ish fixture tables, with the physical strategy chosen
+for a 1000-executor / 100 TB design point:
+
+- tiny dims (region: 5 rows, nation: 25) are ``broadcast()`` explicitly —
+  no shuffle for the fact side;
+- fact-to-fact joins (orders ⋈ lineitem) stay shuffle/sort-merge on the
+  join key and benefit from AQE skew splitting;
+- top-k is aggregate-then-limit (``TakeOrderedAndProject``), and dimension
+  attributes are attached AFTER the limit so the join input is k rows, not
+  the whole fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2-key groupBy, 8 aggregates.
+
+    One map-side-combinable hash aggregate; the shuffle carries ≤ |flags| ×
+    |statuses| rows per task regardless of input size.
+    """
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    top_n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: segment filter → 3-way join → revenue top-N.
+
+    The customer filter runs before the join (Catalyst pushes it to the
+    scan); orders⋈lineitem is the only large shuffle. Top-N is
+    TakeOrderedAndProject.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(top_n)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by nation where customer and supplier share
+    the nation. region/nation are broadcast (5 / 25 rows at any scale);
+    customer and supplier join on their keys; orders⋈lineitem is the large
+    sort-merge join.
+    """
+    r = F.broadcast(region.where(F.col("r_name") == region_name).select("r_regionkey"))
+    n = F.broadcast(
+        nation.join(r, nation.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    c = customer.join(n, customer.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_nationkey"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    l = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame, top_n: int = 20) -> DataFrame:
+    """Aggregate → top-N → broadcast-join the N-row result to the dimension.
+
+    The scale-critical ordering: revenue is aggregated per l_partkey first
+    (shuffle on partkey), the limit reduces to N rows, and only then is the
+    part table joined — with the N-row side broadcast, so the dimension is
+    never shuffled.
+    """
+    top = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("l_quantity").alias("units"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+        .limit(top_n)
+    )
+    return (
+        part.join(F.broadcast(top), part.p_partkey == top.l_partkey)
+        .select(
+            "l_partkey", "p_name", "p_brand", "revenue", "units", "line_count"
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+    )
+
+
+def market_segment_summary(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer-dimension enrichment join + rollup by market segment."""
+    c = customer.select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(c, orders.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.count_distinct("o_custkey").alias("unique_customers"),
+            F.sum("o_totalprice").alias("total_revenue"),
+            F.avg("o_totalprice").alias("avg_order_value"),
+            F.max("o_totalprice").alias("max_order_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: semi-join orders against lineitem.
+
+    ``left_semi`` ships only the join key of the probe side and never
+    duplicates order rows — the correct physical form of EXISTS at scale.
+    """
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    has_line = o.join(
+        lineitem.select("l_orderkey"),
+        o.o_orderkey == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return (
+        has_line.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_nation_rollup(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Two broadcast dim joins + rollup: customers and balance by region/nation."""
+    n = F.broadcast(nation)
+    r = F.broadcast(region)
+    return (
+        customer.join(n, customer.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.sum("c_acctbal").alias("total_acctbal"),
+            F.avg("c_acctbal").alias("avg_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -1,0 +1,558 @@
+"""Driver-facing query registry: every operator with its DuckDB oracle twin.
+
+Each entry maps a SURVEY §2 operator (or a beyond-parity LLM-data-pipeline
+operator) onto the driver fixture tables at ``/root/testdata/sf*`` and pairs
+the Spark implementation with an equivalent ANSI-SQL string for the DuckDB
+oracle. Column names are aliased identically on both sides — the driver's
+comparator sorts columns by name before hashing.
+
+Parity rules baked in here (hard-won, see tests/test_oracle_parity.py):
+- session timezone is forced to UTC before every query (naive fixture
+  timestamps then round-trip identically in both engines);
+- integer-ish aggregates are cast to BIGINT in the oracle (DuckDB SUM on
+  integers yields HUGEINT/INT128, Spark yields LONG);
+- rate/ratio columns compute with the same operation order in both engines
+  so count-derived doubles are bit-identical before rounding;
+- raw double sums (revenue etc.) are left unrounded — cross-engine float
+  noise is the comparator's tolerance to absorb, and rounding first would
+  only create boundary flips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import marts, relational
+from .functions import dedup, similarity, text
+from .session import tune
+from .sources.readers import read_events, read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Entry:
+    fn: QueryFn
+    oracle: str | None  # None → driver records a weaker rows-only check
+
+
+_REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Entry(wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Event-log marts (SURVEY §2.4 A1–A10, §2.5 W1, §2.6 O1–O3) mapped onto the
+# fixture `events` table: funnel view → click → purchase; `value` plays
+# total_amount. No session_id in the fixture → user_id × event_date is the
+# session grain (the reference's sessions are pre-materialized keys, so the
+# operators are identical modulo the grouping key).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH f AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS step1_viewers,
+         COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS step2_clickers,
+         COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS step3_purchasers
+  FROM events
+  GROUP BY 1
+)
+SELECT event_date, step1_viewers, step2_clickers, step3_purchasers,
+       ROUND(step2_clickers * 100.0 / NULLIF(CAST(step1_viewers AS DOUBLE), 0.0), 2) AS view_to_click_rate,
+       ROUND(step3_purchasers * 100.0 / NULLIF(CAST(step2_clickers AS DOUBLE), 0.0), 2) AS click_to_purchase_rate,
+       ROUND(step3_purchasers * 100.0 / NULLIF(CAST(step1_viewers AS DOUBLE), 0.0), 2) AS overall_conversion_rate
+FROM f
+ORDER BY event_date
+"""
+
+
+@register("funnel_daily", _FUNNEL_ORACLE)
+def funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: daily funnel conversion via conditional countDistinct
+    (reference: scripts/spark_batch_processor.py:128-170)."""
+    events = read_events(spark, sf_dir)
+    return marts.funnel_conversion(
+        events,
+        steps=("view", "click", "purchase"),
+        group_cols=("event_date",),
+        step_names=("step1_viewers", "step2_clickers", "step3_purchasers"),
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+       COUNT(event_id) AS event_count,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("hourly_traffic", _HOURLY_ORACLE)
+def hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: hourly traffic rollup
+    (reference: scripts/spark_batch_processor.py:172-190)."""
+    events = read_events(spark, sf_dir)
+    return marts.hourly_traffic(
+        events, group_cols=("event_date", "event_hour"), session_col=None
+    )
+
+
+_USER_DAILY_ORACLE = """
+SELECT user_id,
+       CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_count,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_count,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_count,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup_count,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error_count,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS total_purchase_amount,
+       MIN(ts) AS first_event_at,
+       MAX(ts) AS last_event_at,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS session_duration_seconds
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("user_daily", _USER_DAILY_ORACLE)
+def user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per user × date activity mart
+    (reference: sql/marts/mart_user_daily.sql:15-30)."""
+    events = read_events(spark, sf_dir)
+    return marts.user_daily(
+        events,
+        event_types=("view", "click", "purchase", "signup", "error"),
+        amount_type="purchase",
+        amount_col="value",
+        session_col=None,
+    )
+
+
+_SESSION_PATTERNS_ORACLE = """
+SELECT user_id,
+       CAST(ts AS DATE) AS event_date,
+       string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS event_sequence,
+       COUNT(*) AS event_count,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       MAX(CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END) AS has_purchase,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_seconds
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("session_patterns", _SESSION_PATTERNS_ORACLE)
+def session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+A4: ordered per-"session" event sequence rollup (user × date grain;
+    reference: scripts/spark_batch_processor.py:265-310)."""
+    events = read_events(spark, sf_dir)
+    return marts.session_sequences(
+        events, session_cols=("user_id", "event_date"), purchase_type="purchase"
+    ).select(
+        "user_id",
+        "event_date",
+        "event_sequence",
+        "event_count",
+        "session_start",
+        "session_end",
+        "has_purchase",
+        "duration_seconds",
+    )
+
+
+_PATTERN_FREQ_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS event_date,
+         string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS event_sequence,
+         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_seconds,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_sequence,
+       COUNT(*) AS session_count,
+       ROUND(AVG(duration_seconds), 1) AS avg_duration_seconds,
+       ROUND(AVG(CAST(has_purchase AS INTEGER)) * 100.0, 2) AS purchase_rate
+FROM s
+GROUP BY 1
+ORDER BY session_count DESC, event_sequence
+"""
+
+
+@register("pattern_frequency", _PATTERN_FREQ_ORACLE)
+def pattern_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: frequency/length/conversion of event sequences
+    (reference: scripts/spark_batch_processor.py:313-321)."""
+    events = read_events(spark, sf_dir)
+    sessions = marts.session_sequences(
+        events, session_cols=("user_id", "event_date"), purchase_type="purchase"
+    )
+    return marts.pattern_frequency(sessions)
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("props_key_stats", _PROPS_ORACLE)
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/J1 analog: JSON payload extraction + rollup — the fixture `props`
+    column plays the reference's `extra_data` JSONB
+    (reference: sql/marts/mart_orders.sql:13-28)."""
+    events = read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / join surface on the TPC-H-ish star schema (SURVEY §2.3 + §7.7)
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_extendedprice) AS avg_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate scan."""
+    return relational.pricing_summary(read_table(spark, sf_dir, "lineitem"))
+
+
+_SHIPPING_ORACLE = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", _SHIPPING_ORACLE)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + top-N (TakeOrderedAndProject)."""
+    return relational.shipping_priority(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_LOCAL_SUPPLIER_ORACLE = """
+SELECT n.n_name,
+       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("local_supplier_volume", _LOCAL_SUPPLIER_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join with broadcast dims."""
+    return relational.local_supplier_volume(
+        read_table(spark, sf_dir, "region"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "supplier"),
+    )
+
+
+_TOP_PARTS_ORACLE = """
+WITH top AS (
+  SELECT l_partkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+         SUM(l_quantity) AS units,
+         COUNT(*) AS line_count
+  FROM lineitem
+  GROUP BY 1
+  ORDER BY revenue DESC, l_partkey
+  LIMIT 20
+)
+SELECT t.l_partkey, p.p_name, p.p_brand, t.revenue, t.units, t.line_count
+FROM part p
+JOIN top t ON p.p_partkey = t.l_partkey
+ORDER BY t.revenue DESC, t.l_partkey
+"""
+
+
+@register("top_parts_by_revenue", _TOP_PARTS_ORACLE)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog at scale: aggregate → top-N → broadcast-join dimension."""
+    return relational.top_parts_by_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+_SEGMENT_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS order_count,
+       COUNT(DISTINCT o.o_custkey) AS unique_customers,
+       SUM(o.o_totalprice) AS total_revenue,
+       AVG(o.o_totalprice) AS avg_order_value,
+       MAX(o.o_totalprice) AS max_order_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("market_segment_summary", _SEGMENT_ORACLE)
+def market_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 analog: dimension join + global summary aggregates
+    (reference: scripts/llm_daily_report.py:226-356)."""
+    return relational.market_segment_summary(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("order_priority_counts", _PRIORITY_ORACLE)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS via left-semi join."""
+    return relational.order_priority_counts(
+        read_table(spark, sf_dir, "orders"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+_NATION_ROLLUP_ORACLE = """
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS customer_count,
+       SUM(c.c_acctbal) AS total_acctbal,
+       AVG(c.c_acctbal) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("customer_nation_rollup", _NATION_ROLLUP_ORACLE)
+def customer_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 analog: broadcast dimension joins + rollup."""
+    return relational.customer_nation_rollup(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality checks as one single-pass aggregate report (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_failed,
+         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_failed,
+         CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 100000000
+                       OR event_type IS NULL
+                       OR event_type NOT IN ('view','click','purchase','signup','error')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS range_failed,
+         CAST(SUM(CASE WHEN ts IS NULL OR EXTRACT(year FROM ts) < 2020
+                       OR EXTRACT(year FROM ts) > 2030 THEN 1 ELSE 0 END) AS BIGINT) AS ts_failed
+  FROM events
+),
+r AS (
+  SELECT 'null_required_fields' AS check_name, total, null_failed AS failed_records FROM t
+  UNION ALL SELECT 'duplicate_event_id', total, dup_failed FROM t
+  UNION ALL SELECT 'value_range', total, range_failed FROM t
+  UNION ALL SELECT 'timestamp_validity', total, ts_failed FROM t
+)
+SELECT check_name,
+       total AS total_records,
+       failed_records,
+       ROUND((1 - failed_records / CAST(total AS DOUBLE)) * 100.0, 2) AS pass_rate,
+       CASE WHEN (1 - failed_records / CAST(total AS DOUBLE)) * 100.0 >= 99.0
+            THEN 'PASS' ELSE 'FAIL' END AS status
+FROM r
+ORDER BY check_name
+"""
+
+
+@register("quality_report", _QUALITY_ORACLE)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2/Q3/Q5 mapped to the fixture events table, computed in ONE
+    aggregation pass (the reference loops row-at-a-time Python per check;
+    reference: scripts/validate_quality.py:328-352)."""
+    from .quality.checks import fixture_quality_report
+
+    return fixture_quality_report(read_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Beyond-parity: text analysis / dedup / similarity (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+_DOC_STATS_ORACLE = """
+SELECT doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS token_count,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS unique_tokens,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_token_stats", _DOC_STATS_ORACLE)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace tokenization + distinct-token ratio."""
+    return text.doc_token_stats(read_table(spark, sf_dir, "documents"))
+
+
+_LANG_SOURCE_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS doc_count,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       AVG(CAST(n_chars AS DOUBLE)) AS avg_chars,
+       AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("lang_source_stats", _LANG_SOURCE_ORACLE)
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by language × source."""
+    return text.lang_source_stats(read_table(spark, sf_dir, "documents"))
+
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS doc_count
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("exact_dedup", _EXACT_DEDUP_ORACLE)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id as canonical."""
+    return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+_EMB_TOPK_ORACLE = """
+WITH q AS (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.label,
+         ROUND(
+           list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.query_emb AS DOUBLE[])),
+                                   x -> x[1] * x[2]))
+           / (SQRT(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+              * SQRT(list_sum(list_transform(CAST(q.query_emb AS DOUBLE[]), x -> x * x)))),
+           6) AS cosine_sim
+  FROM embeddings e, q
+)
+SELECT vec_id, label, cosine_sim
+FROM sims
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("embedding_topk", _EMB_TOPK_ORACLE)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against vec_id 0 — all JVM-side higher-order
+    functions, TakeOrderedAndProject for the top-k."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=10)

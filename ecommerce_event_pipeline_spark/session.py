@@ -1,0 +1,71 @@
+"""SparkSession construction and per-session tuning.
+
+The reference pins ``spark.sql.shuffle.partitions=8`` and an Asia/Seoul
+session timezone (reference: scripts/spark_batch_processor.py:77-85). We
+instead size shuffle parallelism to the machine, enable AQE so the runtime
+re-plans partition counts / skew joins, and pin UTC so derived date/hour
+columns compare cleanly against external engines (DuckDB is UTC-naive).
+
+At cluster scale the same builder applies: AQE coalesces the post-shuffle
+partitions to match data volume, dynamic partition overwrite makes per-date
+mart writes idempotent (the reference's DELETE+INSERT contract), and ANSI
+mode stays off so ``x / 0`` yields NULL like the reference's non-ANSI jobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf that is safe (and required for oracle parity) to set at runtime on
+#: any externally provided session.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (idempotent).
+
+    Used on sessions we did not build (e.g. the verification driver's) so
+    query results are timezone/ANSI stable regardless of who built it.
+    """
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ecommerce-event-pipeline-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,88 @@
+"""Readers: JSONL event log, Parquet fixture tables, derived time columns.
+
+Spark-first equivalents of the reference's loaders:
+
+- JSONL scan with an explicit schema (reference:
+  scripts/spark_batch_processor.py:87-126) — the explicit schema avoids an
+  inference pass and lets the JSON reader prune columns.
+- Manual per-date file listing (reference:
+  scripts/spark_batch_processor.py:97-104) is replaced by a declarative
+  filter on a partition-style ``event_date`` column, so Catalyst performs
+  partition/file pruning instead of the driver hand-building paths.
+- Derived time columns (reference: scripts/spark_batch_processor.py:111-115).
+
+At 100 TB the event log should be laid out as Parquet partitioned by
+``event_date`` (see ``writers.write_partitioned_parquet``); the same
+``where(event_date isin ...)`` then prunes whole directories.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENT_SCHEMA, FIXTURE_TABLES
+
+
+def with_time_columns(
+    df: DataFrame, ts_col: str = "timestamp", is_string: bool = True
+) -> DataFrame:
+    """Add ``ts`` (timestamp), ``event_date`` (date), ``event_hour`` (int)."""
+    ts = F.to_timestamp(F.col(ts_col)) if is_string else F.col(ts_col)
+    return (
+        df.withColumn("ts", ts)
+        .withColumn("event_date", F.to_date(F.col("ts")))
+        .withColumn("event_hour", F.hour(F.col("ts")))
+    )
+
+
+def load_events_jsonl(
+    spark: SparkSession,
+    path: str,
+    dates: Iterable[str] | None = None,
+) -> DataFrame:
+    """Read JSONL event files with the explicit 24-column schema.
+
+    ``path`` may be a directory (all ``*.jsonl``) or a glob. ``dates`` is an
+    optional iterable of ISO dates; the filter is expressed declaratively so
+    it prunes partitions/files when the layout supports it.
+    """
+    df = spark.read.schema(EVENT_SCHEMA).json(path)
+    df = with_time_columns(df, "timestamp", is_string=True)
+    if dates is not None:
+        dates = [str(d) for d in dates]
+        df = df.where(F.col("event_date").isin(dates))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table (``<sf_dir>/<name>.parquet``).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
+    it as raw INT64 via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild
+    a TimestampType with integer ``div 1000`` (ns → µs). Integer division is
+    deliberate: the ns epoch magnitude (~1.7e18) exceeds double's 53-bit
+    exact range, so float division could land a microsecond off. The
+    truncation matches how DuckDB/pyarrow read the same file (µs).
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture event stream with derived time columns (ts/event_date/event_hour)."""
+    df = read_table(spark, sf_dir, "events")
+    return with_time_columns(df, "ts", is_string=False)
+
+
+def load_fixture_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in (names or FIXTURE_TABLES)}

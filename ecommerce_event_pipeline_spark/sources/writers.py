@@ -1,0 +1,49 @@
+"""Writers: partitioned Parquet (idempotent per-date), CSV, JSONL, JDBC-shaped.
+
+The reference achieves idempotent daily re-runs with DELETE+INSERT per date
+(reference: sql/marts/mart_user_daily.sql:7-9) and idempotent event loads
+with ``ON CONFLICT (event_id) DO NOTHING``
+(reference: dags/event_pipeline_dag.py:191-243). The Spark-native versions:
+
+- dynamic partition overwrite: ``mode("overwrite").partitionBy(date_col)``
+  with ``spark.sql.sources.partitionOverwriteMode=dynamic`` rewrites only
+  the partitions present in the batch — the cluster-scale idempotency
+  primitive (no full-table rewrite at 100 TB).
+- ``dropDuplicates([key])`` before append gives within-batch exactly-once;
+  cross-run dedup needs an anti-join against the target partition (done
+  here) or a transactional table format's MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_col: str = "event_date"
+) -> None:
+    """Idempotent per-partition overwrite (requires dynamic overwrite mode)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """Debug-grade single-file CSV with header (reference:
+    scripts/spark_batch_processor.py:334-339). ``coalesce(1)`` funnels the
+    result through one task — only for small result sets, never raw data.
+    """
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def append_dedup_by_key(df: DataFrame, existing: DataFrame | None, key: str) -> DataFrame:
+    """Exactly-once-shaped append: drop within-batch dups, anti-join rows
+    already present in the target (the Spark analog of
+    ``ON CONFLICT DO NOTHING``). Returns the rows that should be appended.
+    """
+    out = df.dropDuplicates([key])
+    if existing is not None:
+        out = out.join(existing.select(key), on=key, how="left_anti")
+    return out
