@@ -80,7 +80,7 @@ def hyperplanes(dim: int = 64, bits: int = 16, table: int = 0) -> list[list[floa
     for b in range(bits):
         row = []
         for d in range(dim):
-            h = mix((table << 40) | (b << 20) | d | 0x9E3779B97F4A7C15)
+            h = mix(((table << 40) | (b << 20) | d) + 0x9E3779B97F4A7C15)
             row.append((h % 2_000_001) / 1_000_000.0 - 1.0)  # uniform [-1, 1]
         planes.append(row)
     return planes

@@ -1,0 +1,133 @@
+"""Q1–Q7 quality-check semantics, mirroring the reference's test scenarios
+(reference: tests/test_validate_quality.py)."""
+
+from __future__ import annotations
+
+from ecommerce_event_pipeline_spark.quality.checks import QualityValidator
+
+from .conftest import events_df, make_event
+
+
+def _report(spark, rows):
+    rep = QualityValidator(events_df(spark, rows)).run_all().collect()
+    return {r["check_name"]: r for r in rep}
+
+
+def test_all_checks_pass_on_valid_session(spark, valid_session_rows):
+    rep = _report(spark, valid_session_rows)
+    assert len(rep) == 7
+    assert all(r["status"] == "PASS" for r in rep.values())
+    assert all(r["failed_records"] == 0 for r in rep.values())
+
+
+def test_q1_empty_string_fails_common_field_counts_per_field(spark):
+    rows = [make_event("page_view", platform="", device_type=None)]
+    rep = _report(spark, rows)
+    # two violated fields on one row → 2 failures (per-field counting)
+    assert rep["q1_required_fields"]["failed_records"] == 2
+
+
+def test_q1_type_specific_field_null(spark):
+    rows = [make_event("purchase", order_id=None)]
+    rep = _report(spark, rows)
+    assert rep["q1_required_fields"]["failed_records"] == 1
+
+
+def test_q2_duplicate_count_is_n_minus_distinct(spark):
+    dup = make_event("page_view", event_id="same-id")
+    rows = [dup, dict(dup), dict(dup)]
+    rep = _report(spark, rows)
+    assert rep["q2_duplicate_event_id"]["failed_records"] == 2
+
+
+def test_q3_range_violations_count_per_rule(spark):
+    rows = [
+        make_event("add_to_cart", quantity=0),          # qty out of range
+        make_event("add_to_cart", unit_price=-5.0),     # price out of range
+        make_event("purchase", total_amount=2e8),       # amount too large
+        make_event("search", result_count=-1),          # negative results
+        make_event("hover"),                            # unknown type
+    ]
+    rep = _report(spark, rows)
+    assert rep["q3_value_range"]["failed_records"] == 5
+
+
+def test_q4_purchase_without_cart_fails_session(spark):
+    rows = [
+        make_event("page_view", timestamp="2026-01-15T10:00:00"),
+        make_event("purchase", timestamp="2026-01-15T10:01:00"),
+    ]
+    rep = _report(spark, rows)
+    assert rep["q4_funnel_sequence"]["failed_records"] == 1
+    assert rep["q4_funnel_sequence"]["total_records"] == 1  # denominator = sessions
+
+
+def test_q4_cart_without_prior_view_fails(spark):
+    rows = [
+        make_event("add_to_cart", timestamp="2026-01-15T10:00:00"),
+        make_event("page_view", timestamp="2026-01-15T10:01:00"),
+    ]
+    rep = _report(spark, rows)
+    assert rep["q4_funnel_sequence"]["failed_records"] == 1
+
+
+def test_q4_purchase_check_is_order_insensitive(spark):
+    # cart AFTER purchase: purchase-check passes (cart exists anywhere),
+    # but the cart still needs a prior view → this session passes only
+    # because page_view precedes the cart
+    rows = [
+        make_event("page_view", timestamp="2026-01-15T10:00:00"),
+        make_event("purchase", timestamp="2026-01-15T10:01:00"),
+        make_event("add_to_cart", timestamp="2026-01-15T10:02:00"),
+    ]
+    rep = _report(spark, rows)
+    assert rep["q4_funnel_sequence"]["failed_records"] == 0
+
+
+def test_q5_timestamp_year_bounds(spark):
+    rows = [
+        make_event("page_view", timestamp="2019-12-31T23:59:59"),
+        make_event("page_view", timestamp="2031-01-01T00:00:00"),
+        make_event("page_view", timestamp="not-a-timestamp"),
+    ]
+    rep = _report(spark, rows)
+    assert rep["q5_timestamp_validity"]["failed_records"] == 3
+
+
+def test_q6_amount_integrity_tolerance_of_one(spark):
+    payload = (
+        '{"products": [{"product_id": "P1", "quantity": 2, "unit_price": 100.0}],'
+        ' "discount_amount": 10.0, "shipping_fee": 5.0, "coupon_code": null}'
+    )
+    ok = make_event("purchase", extra_data=payload, total_amount=195.5)  # |diff| ≤ 1
+    bad = make_event("purchase", extra_data=payload, total_amount=300.0)
+    rep = _report(spark, [ok, bad])
+    assert rep["q6_order_amount"]["failed_records"] == 1
+    assert rep["q6_order_amount"]["total_records"] == 2  # denominator = purchases
+
+
+def test_q7_device_rule_and_session_platform_switch(spark):
+    rows = [
+        make_event("page_view", platform="ios", device_type="desktop",
+                   timestamp="2026-01-15T10:00:00"),
+        make_event("page_view", platform="web", device_type="desktop",
+                   session_id="s9", timestamp="2026-01-15T11:00:00"),
+        make_event("click", platform="android", device_type="mobile",
+                   session_id="s9", timestamp="2026-01-15T11:01:00"),
+    ]
+    rep = _report(spark, rows)
+    # 1 per-row violation (ios+desktop) + 1 mid-session platform switch
+    assert rep["q7_platform_consistency"]["failed_records"] == 2
+
+
+def test_gate_fails_below_threshold(spark):
+    # 1 bad of 2 rows → 50% pass rate → FAIL → gate False
+    rows = [
+        make_event("page_view"),
+        make_event("page_view", timestamp="1999-01-01T00:00:00"),
+    ]
+    assert QualityValidator(events_df(spark, rows)).gate() is False
+
+
+def test_gate_passes_on_clean_data(spark, valid_session_rows):
+    assert QualityValidator(events_df(spark, valid_session_rows)).gate() is True

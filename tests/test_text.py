@@ -1,0 +1,64 @@
+"""Text-analysis operators over the documents fixture + micro-fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_event_pipeline_spark.functions import text
+from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_DIR, "documents").cache()
+
+
+def test_doc_token_stats_shapes(spark, docs):
+    out = text.doc_token_stats(docs).collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        assert r["token_count"] >= 1
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert r["unique_tokens"] <= r["token_count"]
+
+
+def test_regex_token_count_counts_words_numbers_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! 42 times")], "doc_id long, text string"
+    )
+    r = text.regex_token_count(df).collect()[0]
+    # hello , world ! 42 times → 6 regex tokens
+    assert r["regex_token_count"] == 6
+
+
+def test_quality_score_bounds(spark, docs):
+    out = text.quality_score(docs).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in out)
+    assert all(0.0 <= r["stopword_ratio"] <= 1.0 for r in out)
+
+
+def test_token_frequencies_orders_by_count(spark, docs):
+    out = text.token_frequencies(docs, top_n=10).collect()
+    freqs = [r["token_freq"] for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+    assert len(out) == 10
+
+
+def test_language_id_runs_and_predicts_known_langs(spark, docs):
+    out = text.language_id_ngram(docs.limit(50)).collect()
+    langs = {r["predicted_lang"] for r in out}
+    assert langs <= {"de", "en", "es", "fr", "zh"}
+    assert len(out) == 50
+
+
+def test_doc_fingerprint_deterministic_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.doc_fingerprint(df).collect()}
+    assert out[1]["content_hash"] == out[2]["content_hash"]
+    assert out[1]["rolling_hash"] == out[2]["rolling_hash"]
+    assert out[1]["content_hash"] != out[3]["content_hash"]

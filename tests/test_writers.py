@@ -1,0 +1,43 @@
+"""Writer semantics: idempotent per-date overwrite, dedup-on-append."""
+
+from __future__ import annotations
+
+from ecommerce_event_pipeline_spark.sources.writers import (
+    append_dedup_by_key,
+    write_partitioned_parquet,
+)
+
+from .conftest import events_df, make_event
+
+
+def test_dynamic_partition_overwrite_is_per_date(spark, tmp_path):
+    path = str(tmp_path / "mart")
+    day1 = [make_event("page_view", timestamp="2026-01-15T10:00:00")]
+    day2 = [make_event("page_view", timestamp="2026-01-16T10:00:00")]
+    write_partitioned_parquet(events_df(spark, day1 + day2), path)
+    assert spark.read.parquet(path).count() == 2
+
+    # re-run day2 only with 2 rows: day1 partition must survive untouched
+    day2_rerun = [
+        make_event("page_view", timestamp="2026-01-16T11:00:00"),
+        make_event("click", timestamp="2026-01-16T12:00:00"),
+    ]
+    write_partitioned_parquet(events_df(spark, day2_rerun), path)
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    assert out.where("event_date = '2026-01-15'").count() == 1
+    assert out.where("event_date = '2026-01-16'").count() == 2
+
+
+def test_append_dedup_by_key(spark):
+    batch = events_df(
+        spark,
+        [
+            make_event("page_view", event_id="e1"),
+            make_event("page_view", event_id="e1"),  # within-batch dup
+            make_event("page_view", event_id="e2"),
+        ],
+    )
+    existing = events_df(spark, [make_event("page_view", event_id="e2")])
+    out = append_dedup_by_key(batch, existing, "event_id")
+    assert [r["event_id"] for r in out.collect()] == ["e1"]
