@@ -1,0 +1,112 @@
+"""OLAP surface beyond the reference: cube/rollup, pivot, global stats.
+
+The reference has no grouping sets, pivot or approximate aggregates
+(SURVEY §2.4 "Not present"); a complete engine needs them. All are native
+Catalyst operators (Expand for cube/rollup, a single aggregate for pivot
+with pinned values) — map-side combinable, one shuffle each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def traffic_cube(events: DataFrame) -> DataFrame:
+    """CUBE(event_date, event_type): counts + distinct users for every
+    combination including margins. Catalyst's Expand duplicates each input
+    row once per grouping set BEFORE partial aggregation — at 100 TB prefer
+    rollup (fewer sets) or explicit grouping sets if only some margins are
+    needed."""
+    return (
+        events.cube("event_date", "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+        .orderBy(
+            F.col("event_date").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
+def type_hour_pivot(events: DataFrame, event_types: list[str]) -> DataFrame:
+    """Hour × event-type count matrix via pivot with PINNED values — an
+    unpinned pivot triggers an extra distinct-scan to discover columns."""
+    out = (
+        events.groupBy("event_hour")
+        .pivot("event_type", event_types)
+        .count()
+        .na.fill(0, event_types)
+    )
+    # stable column order + bigint type for every pivoted column
+    return out.select(
+        "event_hour", *[F.col(t).cast("bigint").alias(t) for t in event_types]
+    ).orderBy("event_hour")
+
+
+def overall_stats(events: DataFrame) -> DataFrame:
+    """Whole-table summary (SURVEY §2.4 A10): exact distincts + extrema in
+    one pass. The exact count_distincts expand the aggregate; at extreme
+    scale swap to approx_count_distinct."""
+    return events.agg(
+        F.count("*").alias("total_events"),
+        F.count_distinct("user_id").alias("unique_users"),
+        F.count_distinct("event_type").alias("event_types"),
+        F.count_distinct(F.to_date("ts")).alias("active_days"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+        F.sum("value").alias("total_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+def orders_projection(orders: DataFrame) -> DataFrame:
+    """Filter + projection + conditional projection (SURVEY §2.2 P1–P6) on
+    the orders fixture: open orders classified by value band, with derived
+    date parts. All predicates push to the parquet scan."""
+    band = (
+        F.when(F.col("o_totalprice") < 50000, F.lit("small"))
+        .when(F.col("o_totalprice") < 200000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        orders.where(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("total_price"),
+            band.alias("value_band"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def union_activity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """UNION ALL of heterogeneous sources aligned by name (SURVEY §2.7 U1,
+    the reference's direct-refs ∪ unnested-items shape) then one rollup."""
+    o = orders.select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    l = lineitem.select(
+        F.col("l_orderkey").alias("entity_key"),
+        F.lit("line").alias("kind"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return (
+        o.unionByName(l)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.count_distinct("entity_key").alias("unique_keys"),
+            F.sum("amount").alias("total_amount"),
+        )
+        .orderBy("kind")
+    )

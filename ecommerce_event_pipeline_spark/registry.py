@@ -556,3 +556,365 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, TakeOrderedAndProject for the top-k."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Window operators beyond the reference (sessionization, frames, top-k/group)
+# ---------------------------------------------------------------------------
+
+_SESSIONIZATION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         date_diff('second', LAG(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS event_count,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_seconds
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("inferred_sessions", _SESSIONIZATION_ORACLE)
+def inferred_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative flag sum) — the session
+    inference the reference never needs because its sessions are
+    pre-materialized keys (reference: scripts/generate_events.py:234)."""
+    from .operators import windows
+
+    return windows.inferred_session_stats(read_events(spark, sf_dir), gap_seconds=1800)
+
+
+_RUNNING_SPEND_ORACLE = """
+SELECT user_id, event_id, ts,
+       value AS amount,
+       SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_total,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS INTEGER) AS purchase_seq
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("running_user_spend", _RUNNING_SPEND_ORACLE)
+def running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame running sum per user — frame-spec windows (absent from the
+    reference, SURVEY §2.5)."""
+    from .operators import windows
+
+    return windows.running_user_spend(read_events(spark, sf_dir))
+
+
+_TOP_SPENDERS_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id,
+         SUM(value) AS daily_spend
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT event_date, user_id, daily_spend, rank_in_group FROM (
+  SELECT event_date, user_id, daily_spend,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_date
+                                 ORDER BY daily_spend DESC, user_id)
+              AS INTEGER) AS rank_in_group
+  FROM d
+)
+WHERE rank_in_group <= 3
+ORDER BY event_date, rank_in_group
+"""
+
+
+@register("top_spenders_per_day", _TOP_SPENDERS_ORACLE)
+def top_spenders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window (SURVEY §2.6 O2 generalized to
+    per-group: one shuffle on the group key, no global sort)."""
+    from .operators import windows
+
+    events = read_events(spark, sf_dir)
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("event_date", "user_id")
+        .agg(F.sum("value").alias("daily_spend"))
+    )
+    return windows.top_k_per_group(
+        daily, ["event_date"], "daily_spend", 3, tiebreak_col="user_id"
+    ).orderBy("event_date", "rank_in_group")
+
+
+# ---------------------------------------------------------------------------
+# OLAP: cube, pivot, global stats, projection/filter, union
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY CUBE(1, 2)
+ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
+@register("traffic_cube", _CUBE_ORACLE)
+def traffic_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (date, type) — grouping sets, absent from the reference
+    (SURVEY §2.4 'Not present')."""
+    from .operators import olap
+
+    return olap.traffic_cube(read_events(spark, sf_dir))
+
+
+_PIVOT_ORACLE = """
+SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("type_hour_pivot", _PIVOT_ORACLE)
+def type_hour_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned values (no discovery scan)."""
+    from .operators import olap
+    from .schemas import FIXTURE_EVENT_TYPES
+
+    return olap.type_hour_pivot(
+        read_events(spark, sf_dir), list(FIXTURE_EVENT_TYPES)
+    )
+
+
+_OVERALL_ORACLE = """
+SELECT COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       COUNT(DISTINCT event_type) AS event_types,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       MIN(ts) AS first_event,
+       MAX(ts) AS last_event,
+       SUM(value) AS total_value,
+       AVG(value) AS avg_value
+FROM events
+"""
+
+
+@register("overall_stats", _OVERALL_ORACLE)
+def overall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: whole-table distinct counts + extrema in one pass
+    (reference: scripts/spark_batch_processor.py:372-379)."""
+    from .operators import olap
+
+    return olap.overall_stats(read_events(spark, sf_dir))
+
+
+_ORDERS_PROJ_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       o_totalprice AS total_price,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS value_band,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+       o_orderpriority AS priority
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_projection", _ORDERS_PROJ_ORACLE)
+def orders_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P6: filter + projection + conditional projection; predicates and
+    column pruning reach the parquet scan."""
+    from .operators import olap
+
+    return olap.orders_projection(read_table(spark, sf_dir, "orders"))
+
+
+_UNION_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey AS entity_key, 'order' AS kind, o_totalprice AS amount
+  FROM orders
+  UNION ALL
+  SELECT l_orderkey, 'line', l_extendedprice FROM lineitem
+)
+SELECT kind, COUNT(*) AS row_count,
+       COUNT(DISTINCT entity_key) AS unique_keys,
+       SUM(amount) AS total_amount
+FROM u
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("union_activity", _UNION_ORACLE)
+def union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL of heterogeneous sources aligned by name
+    (reference: sql/marts/mart_product_daily.sql:34)."""
+    from .operators import olap
+
+    return olap.union_activity(
+        read_table(spark, sf_dir, "orders"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
+# More text / dedup entries
+# ---------------------------------------------------------------------------
+
+_REGEX_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS regex_token_count,
+       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS regex_unique_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("regex_token_count", _REGEX_TOKENS_ORACLE)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (words / numbers / punctuation)."""
+    return text.regex_token_count(read_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_SCORE_ORACLE = """
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS token_count,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS uniq,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+              AS INTEGER) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, lang, token_count,
+       ROUND(CAST(stop_hits AS DOUBLE) / CAST(token_count AS DOUBLE), 4) AS stopword_ratio,
+       ROUND((LEAST(1.0, CAST(token_count AS DOUBLE) / 64.0)
+              + CAST(uniq AS DOUBLE) / CAST(token_count AS DOUBLE)
+              + (1.0 - ABS(CAST(stop_hits AS DOUBLE) / CAST(token_count AS DOUBLE) - 0.4)))
+             / 3.0, 4) AS quality_score
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("doc_quality_score", _QUALITY_SCORE_ORACLE)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / diversity / stopword density)."""
+    return text.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_FREQ_ORACLE = """
+SELECT token, COUNT(*) AS token_freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY 1
+ORDER BY token_freq DESC, token
+LIMIT 100
+"""
+
+
+@register("token_frequencies", _TOKEN_FREQ_ORACLE)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode → partial-agg → top-N."""
+    return text.token_frequencies(read_table(spark, sf_dir, "documents"), top_n=100)
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex AS (
+  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS cnt,
+         unnest(shingles) AS shingle
+  FROM sh
+)
+SELECT doc_id_1, doc_id_2, common, jaccard FROM (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         COUNT(*) AS common,
+         ROUND(CAST(COUNT(*) AS DOUBLE)
+               / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+)
+WHERE jaccard >= 0.2
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs sharing a shingle (blocked, never
+    all-pairs)."""
+    return dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+@register("minhash_near_dupes", None)  # xxhash64 has no DuckDB twin → rows-only
+def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH banding → exact-Jaccard verification of
+    candidates. Deterministic (seeded xxhash64) but not SQL-expressible in
+    DuckDB (different hash family) — driver records a rows-only check; the
+    semantics are pytest-verified against planted near-dups."""
+    return dedup.minhash_near_dupes(
+        read_table(spark, sf_dir, "documents"), num_hashes=64, bands=16, k=3,
+        threshold=0.2,
+    )
+
+
+@register("simhash_fingerprints", None)  # xxhash64-based → rows-only
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (fold over token hashes, JVM-side)."""
+    return dedup.simhash(read_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", None)  # xxhash64-based → rows-only
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hash + positional rolling hash per document."""
+    return text.doc_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+@register("language_id", None)  # iterative profile build → rows-only
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID heuristic (profile build + broadcast
+    scoring join)."""
+    return text.language_id_ngram(read_table(spark, sf_dir, "documents"))
+
+
+@register("ann_topk", None)  # LSH-bucketed ANN → rows-only (recall vs exact in tests)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: deterministic random-hyperplane LSH candidates +
+    exact cosine re-rank. The scale path for similarity search."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=10, bits=4, tables=16
+    )
