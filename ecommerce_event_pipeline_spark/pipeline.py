@@ -1,0 +1,121 @@
+"""Run-for-date orchestration — the Spark-native restatement of the
+reference Airflow DAG (reference: dags/event_pipeline_dag.py:527-541).
+
+DAG shape preserved:
+
+    generate → validate (7 checks) → gate ─PASS→ raw load + 4 marts ─┐
+                                        └─FAIL→ alert record ────────┴→ logs
+
+but each box is a DataFrame job over one cached scan instead of a separate
+process, and every write is an idempotent per-date dynamic partition
+overwrite (the reference's DELETE+INSERT contract). The four marts are
+independent lazy plans; Spark schedules their jobs over the shared cached
+events, the in-engine equivalent of the DAG's four parallel mart tasks.
+
+Airflow (or any scheduler) stays an optional OUTER layer that just calls
+``run_for_date`` once a day — the engine does not depend on it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import marts, products
+from .quality.checks import QualityValidator
+from .schemas import EVENT_TYPES, FUNNEL_STEPS
+from .sources.generator import generate_events
+from .sources.writers import write_partitioned_parquet
+
+
+@dataclass
+class PipelineResult:
+    ds: str
+    status: str                      # SUCCESS | QUALITY_FAIL
+    event_count: int
+    quality: list[dict] = field(default_factory=list)
+    outputs: dict[str, str] = field(default_factory=dict)
+    elapsed_s: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, default=str)
+
+
+def build_marts(events: DataFrame) -> dict[str, DataFrame]:
+    """The four marts + two Spark-output analytics over one event scan."""
+    return {
+        "mart_funnel_daily": marts.funnel_conversion(
+            events, steps=FUNNEL_STEPS, group_cols=("event_date", "platform")
+        ),
+        "mart_user_daily": marts.user_daily(events, event_types=EVENT_TYPES),
+        "mart_product_daily": products.product_daily(events),
+        "mart_orders": products.orders_mart(events),
+        "hourly_traffic": marts.hourly_traffic(events),
+        "session_patterns": marts.session_sequences(events),
+    }
+
+
+def run_for_date(
+    spark: SparkSession,
+    ds: str,
+    output_dir: str,
+    n_users: int = 500,
+    events: DataFrame | None = None,
+    fail_on_quality: bool = False,
+) -> PipelineResult:
+    """Generate (or accept) one day of events, gate on quality, write marts.
+
+    Mirrors the DAG's branch: a FAIL verdict skips the load/mart path and
+    records the report (reference: dags/event_pipeline_dag.py:181-188);
+    both paths write the quality log.
+    """
+    t0 = time.time()
+    out = output_dir.rstrip("/")
+    if events is None:
+        events = generate_events(spark, ds, n_users=n_users)
+    events = events.cache()
+    event_count = events.count()
+
+    validator = QualityValidator(events)
+    report_df = validator.run_all().withColumn("check_date", F.lit(ds))
+    report = [r.asDict() for r in report_df.collect()]
+    passed = all(r["status"] == "PASS" for r in report)
+
+    result = PipelineResult(
+        ds=ds,
+        status="SUCCESS" if passed else "QUALITY_FAIL",
+        event_count=event_count,
+        quality=report,
+    )
+    # quality log is written on BOTH branches (converging DAG edge)
+    report_df.write.mode("append").parquet(f"{out}/quality_check_log")
+    result.outputs["quality_check_log"] = f"{out}/quality_check_log"
+
+    if passed:
+        write_partitioned_parquet(events, f"{out}/raw_events")
+        result.outputs["raw_events"] = f"{out}/raw_events"
+        for name, df in build_marts(events).items():
+            path = f"{out}/{name}"
+            if "event_date" in df.columns:
+                write_partitioned_parquet(df, path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            result.outputs[name] = path
+    elif fail_on_quality:
+        events.unpersist()
+        raise RuntimeError(f"quality gate FAILED for {ds}: {report}")
+
+    # pipeline run log (reference: sql/create_tables.sql:64-76)
+    result.elapsed_s = round(time.time() - t0, 2)
+    run_log = spark.createDataFrame(
+        [(ds, result.status, event_count, result.elapsed_s)],
+        "ds string, status string, event_count long, elapsed_s double",
+    )
+    run_log.write.mode("append").parquet(f"{out}/pipeline_run_log")
+    result.outputs["pipeline_run_log"] = f"{out}/pipeline_run_log"
+    events.unpersist()
+    return result

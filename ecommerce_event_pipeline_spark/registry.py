@@ -918,3 +918,121 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(
         emb, emb.where(F.col("vec_id") == 0), k=10, bits=4, tables=16
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON path parity: build payloads → from_json → lateral explode → aggregate,
+# verified against the relational ground truth (SURVEY §2.3 J1, §2.4 A3/A8)
+# ---------------------------------------------------------------------------
+
+_JSON_ITEMS_ORACLE = """
+SELECT l_partkey AS product_id,
+       SUM(l_quantity * l_extendedprice) AS revenue,
+       COUNT(*) AS item_count,
+       COUNT(DISTINCT l_orderkey) AS order_count
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("json_order_items", _JSON_ITEMS_ORACLE)
+def json_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips lineitem through a JSON order payload and back:
+    collect_list(struct) → to_json → from_json → explode (the lateral
+    unnest of reference: sql/marts/mart_product_daily.sql:21-24) →
+    aggregate. The oracle computes the same rollup relationally, proving
+    the JSON path loses nothing."""
+    li = read_table(spark, sf_dir, "lineitem")
+    payload_schema = (
+        "products ARRAY<STRUCT<product_id: BIGINT, quantity: DOUBLE, "
+        "unit_price: DOUBLE>>"
+    )
+    with_payload = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_partkey").alias("product_id"),
+                        F.col("l_quantity").alias("quantity"),
+                        F.col("l_extendedprice").alias("unit_price"),
+                    )
+                ).alias("products")
+            )
+        ).alias("extra_data")
+    )
+    items = with_payload.select(
+        "l_orderkey",
+        F.explode(
+            F.from_json(F.col("extra_data"), payload_schema)["products"]
+        ).alias("item"),
+    )
+    return (
+        items.groupBy(F.col("item.product_id").alias("product_id"))
+        .agg(
+            F.sum(F.col("item.quantity") * F.col("item.unit_price")).alias("revenue"),
+            F.count("*").alias("item_count"),
+            F.count_distinct("l_orderkey").alias("order_count"),
+        )
+        .orderBy("product_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (beyond reference parity, SURVEY §2.10/§7.8)
+# ---------------------------------------------------------------------------
+
+_STREAM_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS event_count,
+       SUM(value) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("streaming_hourly_traffic", _STREAM_HOURLY_ORACLE)
+def streaming_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window traffic as a Structured Streaming query (watermark +
+    window + memory sink, driven to completion) — the result must equal the
+    batch rollup, which is what the oracle asserts."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_hourly_traffic(spark, sf_dir)
+
+
+_STREAM_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, value, event_type,
+         date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, ts, value, event_type,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS event_count,
+       SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_value
+FROM m
+GROUP BY user_id, seq
+ORDER BY user_id, session_start
+"""
+
+
+@register("streaming_session_windows", _STREAM_SESSION_ORACLE)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — streaming-native gap-merged
+    sessions. Oracle reproduces Spark's merge rule exactly: windows are
+    half-open [ts, ts+gap), so a gap of exactly the threshold starts a NEW
+    session, and the comparison is at microsecond precision (a
+    seconds-truncated gap would misclassify boundary gaps)."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_session_windows(spark, sf_dir, gap="30 minutes")

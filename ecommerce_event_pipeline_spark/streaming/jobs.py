@@ -1,0 +1,119 @@
+"""Structured Streaming restatements of the batch marts (SURVEY §7.8).
+
+The reference is a daily batch with no streaming (SURVEY §2.10); its event
+log is an append-only timestamped stream, so the natural beyond-parity
+extension is the same aggregations as continuous queries:
+
+- tumbling-window traffic (`window(ts, '1 hour')`) with a watermark for
+  late data;
+- session windows (`session_window(ts, gap)`) — the streaming twin of the
+  gap-based batch sessionization in ``operators/windows.py``.
+
+For deterministic local verification each job reads the fixture parquet
+through ``readStream`` with an explicit schema, drives the query with
+``processAllAvailable()`` against an in-memory sink, and returns the final
+result DataFrame — the same rows the batch equivalent produces, which is
+exactly what the oracle checks. In production the source line changes to
+Kafka and the sink to a transactional table; the dataflow is identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Raw schema of the fixture events parquet (ts as raw ns INT64 — the
+#: streaming reader needs an explicit schema and the same nanos handling as
+#: the batch reader; see sources/readers.read_table).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the fixture events parquet with ns→µs repair."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: point at sf_dir and
+    # select the one table with a glob filter
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> str:
+    """Drive a streaming aggregate to completion against a memory sink;
+    returns the sink table name."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def run_streaming_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 1-hour watermark; complete-mode memory
+    sink. Result == the batch hourly rollup (count_distinct is not
+    streamable exactly, so the streaming variant carries count + sum)."""
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_count",
+            "total_value",
+        )
+    )
+    table = _run_to_memory(agg, "complete")
+    return spark.table(table).orderBy("window_start")
+
+
+def run_streaming_session_windows(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (dynamic gap-merged windows) — the
+    streaming-native sessionization operator."""
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("purchase_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "purchase_value",
+        )
+    )
+    table = _run_to_memory(agg, "complete")
+    return spark.table(table).orderBy("user_id", "session_start")

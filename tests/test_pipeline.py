@@ -1,0 +1,72 @@
+"""End-to-end pipeline: generate → validate → gate → marts → logs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark import pipeline
+from ecommerce_event_pipeline_spark.quality.checks import QualityValidator
+from ecommerce_event_pipeline_spark.sources.generator import generate_events
+
+from .conftest import events_df, make_event
+
+
+def test_generator_invariants(spark):
+    ev = generate_events(spark, "2026-02-01", n_users=200).cache()
+    n = ev.count()
+    assert n > 100
+    # unique event ids, single day, 5 types at most
+    assert ev.select("event_id").distinct().count() == n
+    assert ev.select("event_date").distinct().count() == 1
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert types <= {"page_view", "click", "add_to_cart", "purchase", "search"}
+    # platform constant within session; ios/android ⇒ mobile
+    multi = (
+        ev.groupBy("session_id")
+        .agg(F.count_distinct("platform").alias("p"))
+        .where("p > 1")
+        .count()
+    )
+    assert multi == 0
+    bad_device = ev.where(
+        F.col("platform").isin("ios", "android") & (F.col("device_type") != "mobile")
+    ).count()
+    assert bad_device == 0
+    ev.unpersist()
+
+
+def test_generator_is_deterministic(spark):
+    a = generate_events(spark, "2026-02-01", n_users=50).collect()
+    b = generate_events(spark, "2026-02-01", n_users=50).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_generated_events_pass_all_quality_checks(spark):
+    ev = generate_events(spark, "2026-02-02", n_users=200)
+    assert QualityValidator(ev).gate() is True
+
+
+def test_pipeline_success_path_writes_marts(spark, tmp_path):
+    res = pipeline.run_for_date(spark, "2026-02-03", str(tmp_path), n_users=100)
+    assert res.status == "SUCCESS"
+    assert res.event_count > 0
+    assert len(res.quality) == 7
+    for name in ("raw_events", "mart_funnel_daily", "mart_user_daily",
+                 "mart_product_daily", "mart_orders", "quality_check_log",
+                 "pipeline_run_log"):
+        assert name in res.outputs
+        assert spark.read.parquet(res.outputs[name]).count() > 0
+
+
+def test_pipeline_quality_fail_branch_skips_marts(spark, tmp_path):
+    # poison the data: every timestamp outside the valid year range
+    bad = events_df(
+        spark,
+        [make_event("page_view", timestamp="1999-01-01T00:00:00") for _ in range(5)],
+    )
+    res = pipeline.run_for_date(
+        spark, "2026-02-04", str(tmp_path), events=bad
+    )
+    assert res.status == "QUALITY_FAIL"
+    assert "mart_user_daily" not in res.outputs
+    assert "quality_check_log" in res.outputs  # log written on both branches
