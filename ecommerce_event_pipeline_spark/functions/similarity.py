@@ -21,6 +21,8 @@ dependent.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,31 +92,35 @@ def lsh_signatures(
     embeddings: DataFrame, dim: int = 64, bits: int = 16, tables: int = 4
 ) -> DataFrame:
     """Add ``(table_id, signature)`` rows per vector: sign-of-dot-product
-    against each table's hyperplanes, packed into a long. Pure projection +
-    explode over `tables` rows — no shuffle."""
-    out_cols = []
-    for t in range(tables):
-        planes = hyperplanes(dim, bits, t)
-        bit_cols = [
-            F.when(
-                _dot(
-                    _as_double("embedding"),
-                    F.array(*[F.lit(v) for v in plane]),
-                )
-                > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-            for i, plane in enumerate(planes)
-        ]
-        sig = bit_cols[0]
-        for c in bit_cols[1:]:
-            sig = sig.bitwiseOR(c)
-        out_cols.append(
-            F.struct(F.lit(t).alias("table_id"), sig.alias("signature"))
-        )
-    return embeddings.select(
-        "vec_id", "label", "embedding", F.explode(F.array(*out_cols)).alias("sig")
-    ).select("vec_id", "label", "embedding", "sig.table_id", "sig.signature")
+    against each table's hyperplanes, packed into a long.
+
+    Computed as ONE Arrow-vectorized Pandas UDF doing a single
+    (batch × dim) @ (dim × tables·bits) matmul — the declarative
+    alternative (tables·bits literal hyperplane arrays folded element-wise)
+    generates thousands of expression nodes and is ~20× slower; this is
+    the textbook case for dropping to a vectorized UDF. Output is one row
+    per (vector, table): a projection + explode, no shuffle.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.vstack([hyperplanes(dim, bits, t) for t in range(tables)])  # (T·B, dim)
+    weights = (2.0 ** np.arange(bits)).astype(np.float64)  # bit-packing per table
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signatures(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (n, dim) float32 → float64 matmul
+        signs = (mat.astype(np.float64) @ planes.T) > 0  # (n, T·B)
+        per_table = signs.reshape(len(mat), tables, bits)  # (n, T, B)
+        packed = (per_table * weights).sum(axis=2).astype(np.int64)  # (n, T)
+        return pd.Series(list(packed))
+
+    sigs = embeddings.withColumn("_sigs", signatures(F.col("embedding")))
+    return sigs.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode("_sigs").alias("table_id", "signature"),
+    )
 
 
 def ann_topk(
