@@ -1036,3 +1036,60 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import jobs
 
     return jobs.run_streaming_session_windows(spark, sf_dir, gap="30 minutes")
+
+
+_FUNNEL_VIOLATIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view_ts
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_date,
+       COUNT(*) AS session_count,
+       CAST(SUM(CASE WHEN first_purchase_ts IS NOT NULL
+                     AND (first_view_ts IS NULL OR first_view_ts >= first_purchase_ts)
+                THEN 1 ELSE 0 END) AS BIGINT) AS violating_sessions,
+       ROUND(SUM(CASE WHEN first_purchase_ts IS NOT NULL
+                      AND (first_view_ts IS NULL OR first_view_ts >= first_purchase_ts)
+                 THEN 1 ELSE 0 END) * 100.0 / CAST(COUNT(*) AS DOUBLE), 2) AS violation_rate
+FROM s
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("funnel_violations", _FUNNEL_VIOLATIONS_ORACLE)
+def funnel_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog on the fixture log: sessions (user × date) that purchase
+    with no view strictly before the first purchase
+    (reference: scripts/validate_quality.py:179-221)."""
+    events = read_events(spark, sf_dir)
+    sessions = events.groupBy("user_id", "event_date").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view_ts"
+        ),
+    )
+    violating = F.when(
+        F.col("first_purchase_ts").isNotNull()
+        & (
+            F.col("first_view_ts").isNull()
+            | (F.col("first_view_ts") >= F.col("first_purchase_ts"))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        sessions.groupBy("event_date")
+        .agg(
+            F.count("*").alias("session_count"),
+            F.sum(violating).cast("bigint").alias("violating_sessions"),
+            F.round(
+                F.sum(violating) * 100.0 / F.count("*").cast("double"), 2
+            ).alias("violation_rate"),
+        )
+        .orderBy("event_date")
+    )

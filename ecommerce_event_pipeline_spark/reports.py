@@ -1,0 +1,94 @@
+"""Reporting layer — the Spark-native core of the reference's side channels.
+
+The reference ships three reporting paths: a Slack webhook message, an
+LLM-written daily summary (reference: scripts/llm_daily_report.py), and an
+HTML quality dashboard (reference: scripts/quality_dashboard.py). All
+three are thin renderings over the same mart aggregates; here the
+aggregates are DataFrame ops and the rendering is pure text — HTTP
+delivery (Slack/LLM APIs) stays out of the engine and can be bolted onto
+``render_markdown``'s output by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_kpis(events: DataFrame) -> DataFrame:
+    """The KPI block of the daily report (reference:
+    scripts/llm_daily_report.py:226-356): volumes, buyers, revenue, AOV —
+    one aggregation pass. The FILTER-clause aggregates of the reference
+    map to avg/sum over `when(cond, x)` (NULLs ignored)."""
+    is_purchase = F.col("event_type") == "purchase"
+    return events.groupBy("event_date").agg(
+        F.count("*").alias("total_events"),
+        F.count_distinct("user_id").alias("unique_users"),
+        F.count_distinct(F.when(is_purchase, F.col("user_id"))).alias("buyers"),
+        F.coalesce(F.sum(F.when(is_purchase, F.col("total_amount"))), F.lit(0.0)).alias(
+            "revenue"
+        ),
+        F.avg(F.when(is_purchase, F.col("total_amount"))).alias("avg_order_value"),
+        F.max(F.when(is_purchase, F.col("total_amount"))).alias("max_order_value"),
+    )
+
+
+def payment_method_distribution(events: DataFrame) -> DataFrame:
+    """Payment mix ordered by revenue (reference:
+    scripts/llm_daily_report.py:338-347)."""
+    return (
+        events.where(
+            (F.col("event_type") == "purchase") & F.col("payment_method").isNotNull()
+        )
+        .groupBy("payment_method")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum("total_amount").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "payment_method")
+    )
+
+
+def render_markdown(
+    ds: str,
+    kpis: dict,
+    quality: list[dict],
+    payments: list[dict],
+) -> str:
+    """Deterministic markdown daily report — the prompt/payload the
+    reference feeds its LLM and Slack webhook, minus the HTTP calls."""
+    lines = [
+        f"# Daily e-commerce report — {ds}",
+        "",
+        "## KPIs",
+        f"- events: {kpis.get('total_events', 0):,}",
+        f"- unique users: {kpis.get('unique_users', 0):,}",
+        f"- buyers: {kpis.get('buyers', 0):,}",
+        f"- revenue: {kpis.get('revenue', 0.0):,.0f}",
+        f"- avg order value: {(kpis.get('avg_order_value') or 0.0):,.0f}",
+        "",
+        "## Quality",
+    ]
+    for q in quality:
+        lines.append(
+            f"- {q['check_name']}: {q['status']} "
+            f"({q['failed_records']}/{q['total_records']} failed, "
+            f"pass rate {q['pass_rate']}%)"
+        )
+    lines += ["", "## Payment methods"]
+    for p in payments:
+        lines.append(
+            f"- {p['payment_method']}: {p['order_count']} orders, "
+            f"revenue {p['revenue']:,.0f}"
+        )
+    return "\n".join(lines)
+
+
+def build_daily_report(events: DataFrame, quality_report: DataFrame, ds: str) -> str:
+    """End-to-end report for one day's events (all aggregates are small —
+    collecting them is driver-safe at any scale)."""
+    kpi_rows = daily_kpis(events).collect()
+    kpis = kpi_rows[0].asDict() if kpi_rows else {}
+    quality = [r.asDict() for r in quality_report.collect()]
+    payments = [r.asDict() for r in payment_method_distribution(events).collect()]
+    return render_markdown(ds, kpis, quality, payments)

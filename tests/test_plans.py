@@ -1,0 +1,74 @@
+"""Physical-plan assertions — the scale properties, not just the results.
+
+These tests pin the plan shapes that matter at 100 TB: filters and column
+pruning reaching the parquet scan, small dimensions broadcast, top-k as
+TakeOrderedAndProject (never a global sort), and map-side partial
+aggregation before every exchange. A regression here is a performance bug
+even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ecommerce_event_pipeline_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(name: str, spark) -> str:
+    df = registry.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of("orders_projection", spark)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,O\)", plan), plan
+
+
+def test_column_pruning_on_wide_scan(spark):
+    # funnel only needs ts/event_type/user_id — value and props must be
+    # pruned from the events scan
+    plan = plan_of("funnel_daily", spark)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    assert "value" not in m.group(1)
+    assert "props" not in m.group(1)
+    assert "event_type" in m.group(1)
+
+
+def test_small_dims_are_broadcast(spark):
+    plan = plan_of("local_supplier_volume", spark)
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of("customer_nation_rollup", spark)
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    for name in ("shipping_priority", "top_parts_by_revenue"):
+        plan = plan_of(name, spark)
+        assert "TakeOrderedAndProject" in plan, f"{name} lost its top-k plan"
+
+
+def test_aggregates_have_mapside_partials(spark):
+    plan = plan_of("pricing_summary", spark)
+    assert "partial_sum" in plan  # partial (map-side) before the exchange
+
+
+def test_semi_join_for_exists(spark):
+    plan = plan_of("order_priority_counts", spark)
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    # every reference-parity operator stays JVM-side; Python appears only in
+    # the explicitly-vectorized ANN/multimodal operators
+    for name in (
+        "funnel_daily", "user_daily", "session_patterns", "pricing_summary",
+        "quality_report", "doc_token_stats", "minhash_near_dupes",
+        "simhash_fingerprints", "embedding_topk",
+    ):
+        plan = plan_of(name, spark)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a UDF it shouldn't"
