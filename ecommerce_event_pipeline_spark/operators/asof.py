@@ -1,0 +1,79 @@
+"""As-of join — match each left row to the latest right row at-or-before it.
+
+Spark has no native ASOF JOIN. The scalable declarative form used here is
+union + ordered window:
+
+1. tag both inputs and union them by name (right rows carry the payload,
+   left rows carry NULL payload);
+2. one window per join key ordered by (ts, side) with side ordering right
+   rows BEFORE left rows at equal timestamps (⇒ `ts >= right.ts`
+   inclusive semantics);
+3. ``last(payload, ignorenulls=True)`` over the running frame gives every
+   left row the most recent right payload;
+4. filter back to left rows.
+
+Cost: ONE shuffle on the join key + a per-partition sort — same shape as a
+sort-merge join, no range explosion, no per-group Python. This beats the
+``applyInPandas``+``merge_asof`` form (which pays Arrow transfer and
+Python) and the bucketized-range-join form (which duplicates rows per
+bucket) for the common "enrich events with latest dimension state" case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the payload of the latest
+    ``right`` row with the same ``on`` key and ``right_ts <= left_ts``.
+
+    ``right`` must be unique per (on, right_ts) — pre-dedupe if not, or the
+    matched payload among ties is unspecified.
+    """
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts first at equal ts → inclusive
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        *[F.lit(None).cast(t.dataType).alias(c) for c, t in
+          zip(left.columns, left.schema.fields) if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
+          for c in payload_cols],
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
+            for c in payload_cols
+        ],
+    )
+    out_cols = (
+        [on]
+        + [c for c in left.columns if c != on]
+        + [F.col(f"_filled_{c}").alias(c) for c in payload_cols]
+    )
+    return filled.where(F.col("_side") == 1).select(*out_cols)

@@ -1093,3 +1093,111 @@ def funnel_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+od AS (SELECT * FROM o WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ts,
+       od.o_orderkey AS last_order_key,
+       od.o_totalprice AS last_order_total
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+@register("events_asof_orders", _ASOF_ORACLE)
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each event enriched with the
+    user's latest order at-or-before the event. Implemented as union +
+    ordered window (one shuffle, no range explosion); the oracle uses
+    DuckDB's native ASOF JOIN, so the two independent formulations must
+    agree row-for-row."""
+    from .operators.asof import asof_join
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir).select("event_id", "ts", "user_id")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    orders_dedup = (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("last_order_key"),
+            F.col("o_totalprice").alias("last_order_total"),
+        )
+    )
+    return asof_join(
+        events,
+        orders_dedup,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_order_key", "last_order_total"],
+        tiebreak="event_id",
+    ).select("event_id", "user_id", "ts", "last_order_key", "last_order_total")
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       SUM(value) AS sum_value,
+       COUNT(value) AS row_count,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       SUM(value) / COUNT(value) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("skew_safe_type_totals", _SALTED_AGG_ORACLE)
+def skew_safe_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (hot-key mitigation): phase one keys on
+    (group, salt) so a skewed group spreads over 16 reducers; the oracle is
+    the PLAIN aggregate — salting must not change results."""
+    from .operators.skew import salted_sum_count
+
+    return salted_sum_count(
+        read_events(spark, sf_dir),
+        ["event_type"],
+        "value",
+        salt_buckets=16,
+        salt_source="event_id",
+    )
+
+
+@register("approx_distinct_daily", None)  # HLL sketch ≠ DuckDB's sketch → rows-only
+def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale-out path for the exact countDistincts in
+    A1/A2: approx_count_distinct (HLL++, mergeable sketch — no expand, one
+    pass). Registered rows-only: sketch estimates differ across engines by
+    construction; the exact twins are oracle-checked in funnel_daily /
+    hourly_traffic."""
+    events = read_events(spark, sf_dir)
+    return (
+        events.groupBy("event_date")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("event_date")
+    )

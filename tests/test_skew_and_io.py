@@ -1,0 +1,110 @@
+"""Skew helpers produce identical results to unsalted ops; IO round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark.operators.skew import salted_join, salted_sum_count
+from ecommerce_event_pipeline_spark.sources.readers import (
+    load_events_jsonl,
+    read_events,
+)
+from ecommerce_event_pipeline_spark.sources.writers import write_csv_single, write_jsonl
+
+from .conftest import events_df, make_event
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregation_equals_unsalted(spark):
+    ev = read_events(spark, SF_DIR)
+    salted = salted_sum_count(
+        ev, ["event_type"], "value", salt_buckets=16, salt_source="event_id"
+    ).collect()
+    plain = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("value").alias("row_count"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert len(salted) == len(plain)
+    for s, p in zip(salted, plain):
+        assert s["event_type"] == p["event_type"]
+        assert s["row_count"] == p["row_count"]
+        assert s["min_value"] == p["min_value"]
+        assert s["max_value"] == p["max_value"]
+        assert abs(s["sum_value"] - p["sum_value"]) < 1e-6
+
+
+def test_salted_join_equals_plain_join(spark):
+    ev = read_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    dim = (
+        ev.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    )
+    plain = ev.join(dim, "user_id").count()
+    salted = salted_join(ev, dim, "user_id", salt_buckets=8, salt_source="event_id").count()
+    assert salted == plain
+
+
+def test_jsonl_round_trip_with_explicit_schema(spark, tmp_path):
+    rows = [
+        make_event("page_view", timestamp="2026-01-15T10:00:00"),
+        make_event("purchase", timestamp="2026-01-16T11:00:00"),
+    ]
+    path = str(tmp_path / "events_jsonl")
+    write_jsonl(events_df(spark, rows).drop("ts", "event_date", "event_hour"), path)
+    back = load_events_jsonl(spark, path)
+    assert back.count() == 2
+    assert back.schema["quantity"].dataType.simpleString() == "int"
+    # declarative date pruning
+    assert load_events_jsonl(spark, path, dates=["2026-01-15"]).count() == 1
+
+
+def test_csv_single_file_sink(spark, tmp_path):
+    df = spark.range(5).selectExpr("id", "id * 2 AS double_id")
+    path = str(tmp_path / "csv_out")
+    write_csv_single(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 5
+    assert back.columns == ["id", "double_id"]
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """bucketBy co-location: joining two tables bucketed on the join key
+    plans a SortMergeJoin with NO Exchange on either side — the shuffle
+    happened once at write time, the 100 TB win for repeated joins.
+    (Tables land in the default ./spark-warehouse, which is gitignored;
+    the warehouse dir is a static conf that cannot move per-test.)"""
+    import shutil
+
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("lineitem_b")
+    # at fixture size Catalyst would broadcast instead (and skip bucketing
+    # entirely); disable broadcast to surface the bucketed sort-merge plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
