@@ -148,3 +148,50 @@ def ann_topk(
         .distinct()
     )
     return brute_force_topk(candidates, query, k)
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, centroid_source: DataFrame | None = None
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (one vectorized matmul per Arrow batch). Centroids are the first
+    ``n_centroids`` vectors by vec_id — deterministic and good enough as a
+    coarse quantizer for near-uniform data; swap in k-means centroids for
+    clustered corpora without touching the assignment path."""
+    from pyspark.sql.types import IntegerType
+
+    src = centroid_source if centroid_source is not None else embeddings
+    cent_rows = (
+        src.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
+    )
+    cents = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+
+    @F.pandas_udf(IntegerType())
+    def nearest(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("centroid_id", nearest(F.col("embedding"))), cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` clusters nearest the query, exact
+    cosine rerank within them. At scale the assignment is precomputed and
+    the probe is a partition-pruned read of ~n_probe/n_centroids of the
+    data instead of a full scan."""
+    assigned, cents = ivf_assign(embeddings, n_centroids)
+    q = np.asarray(
+        query.select("embedding").collect()[0]["embedding"], dtype=np.float64
+    )
+    qn = q / (np.linalg.norm(q) + 1e-12)
+    probes = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    candidates = assigned.where(F.col("centroid_id").isin(probes)).drop("centroid_id")
+    return brute_force_topk(candidates, query, k)

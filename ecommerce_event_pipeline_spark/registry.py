@@ -1201,3 +1201,152 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations, anti-joins, percentiles, scalar-function parity
+# ---------------------------------------------------------------------------
+
+_ANTI_JOIN_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+"""
+
+
+@register("customers_without_orders", _ANTI_JOIN_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join (ships only join keys, never widens
+    rows)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events
+WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '2024-01-01'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
+ORDER BY user_id
+"""
+
+
+@register("viewers_never_purchased", _EXCEPT_ORACLE)
+def viewers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — absent from the reference
+    (SURVEY §2.7)."""
+    events = read_events(spark, sf_dir).where(
+        F.col("event_date") == F.lit("2024-01-01")
+    )
+    viewers = events.where(F.col("event_type") == "view").select("user_id")
+    buyers = events.where(F.col("event_type") == "purchase").select("user_id")
+    # subtract == EXCEPT DISTINCT (exceptAll would only cancel one view row
+    # per buyer row — bag semantics, the wrong operator here)
+    return viewers.subtract(buyers).orderBy("user_id")
+
+
+_PCT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("value_percentiles", _PCT_ORACLE)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) — Spark `percentile` vs
+    DuckDB `quantile_cont`. The approximate path at extreme scale is
+    percentile_approx (not oracle-comparable by construction)."""
+    from .functions.stats import value_percentiles as impl
+
+    return impl(read_events(spark, sf_dir))
+
+
+_SCALAR_ORACLE = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS priority_upper,
+       substr(o_orderpriority, 1, 1) AS priority_code,
+       concat('ORD-', CAST(o_orderkey AS VARCHAR)) AS order_ref,
+       length(o_orderstatus) AS status_len,
+       CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN TRUE ELSE FALSE END AS is_express,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch,
+       round(o_totalprice / 1000.0, 1) AS price_k
+FROM orders
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_functions_showcase", _SCALAR_ORACLE)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity sweep (SURVEY §2.8): string ops, regexp,
+    date arithmetic, rounding — every expression must agree with ANSI SQL
+    semantics in DuckDB."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.concat(F.lit("ORD-"), F.col("o_orderkey").cast("string")).alias("order_ref"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.regexp_like("o_orderpriority", F.lit("^[12]-")).alias("is_express"),
+        F.to_date(F.date_add("o_orderdate", 30)).alias("due_date"),
+        F.datediff(
+            "o_orderdate", F.lit("1995-01-01").cast("timestamp")
+        ).cast("bigint").alias("days_since_epoch"),
+        F.round(F.col("o_totalprice") / 1000.0, 1).alias("price_k"),
+    ).orderBy("o_orderkey")
+
+
+@register("user_purchase_trend", None)  # grouped-map model fit → rows-only
+def user_purchase_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares purchase trend via grouped-map applyInPandas
+    (the canonical 'model per group' operator). Deterministic; no SQL
+    twin."""
+    from .functions.stats import user_purchase_trend as impl
+
+    return impl(read_events(spark, sf_dir))
+
+
+_STREAM_STATE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS events_seen,
+       SUM(value) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("streaming_user_state", _STREAM_STATE_ORACLE)
+def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running counters in explicit group state. After the fixture's single
+    micro-batch the final state must equal the batch groupBy — the oracle."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_user_state(spark, sf_dir)
+
+
+@register("ivf_topk", None)  # coarse-quantized ANN → rows-only (recall in tests)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid partition + n_probe cluster
+    scan + exact rerank — the partition-pruned scale path for similarity
+    search alongside the LSH variant."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=10, n_centroids=16, n_probe=6
+    )

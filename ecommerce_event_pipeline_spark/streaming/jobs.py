@@ -117,3 +117,51 @@ def run_streaming_session_windows(
     )
     table = _run_to_memory(agg, "complete")
     return spark.table(table).orderBy("user_id", "session_start")
+
+
+def run_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (events_seen, total_value) kept in explicit group state across
+    micro-batches — the building block for streaming feature stores /
+    per-entity counters that windowed aggs can't express.
+
+    With the fixture's single micro-batch the final state equals the batch
+    groupBy, which is what the oracle asserts; in production the same code
+    keeps absorbing batches indefinitely.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        seen, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            seen += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((seen, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_seen": [seen], "total_value": [total]}
+        )
+
+    events = streaming_events(spark, sf_dir).select("user_id", "value")
+    updated = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, events_seen long, total_value double",
+        stateStructType="events_seen long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(updated, "update")
+    # update mode emits one row per (user, batch); keep the final state row
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    w = Window.partitionBy("user_id").orderBy(SF.desc("events_seen"))
+    return (
+        spark.table(table)
+        .withColumn("_rn", SF.row_number().over(w))
+        .where(SF.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )

@@ -50,3 +50,16 @@ def test_lsh_signatures_deterministic(spark, embeddings):
     a = similarity.lsh_signatures(embeddings.limit(20)).collect()
     b = similarity.lsh_signatures(embeddings.limit(20)).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_ivf_recall_against_brute_force(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    q = embeddings.where(F.col("vec_id") == 7)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()}
+    ivf = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(embeddings, q, k=10, n_centroids=16, n_probe=6).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.6
+    assert 7 in ivf  # query vector's own cluster is always probed first

@@ -41,3 +41,16 @@ def test_streaming_session_windows_match_batch_sessionization(spark):
         for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert s == b
+
+
+def test_streaming_user_state_equals_batch_groupby(spark):
+    stream = jobs.run_streaming_user_state(spark, SF_DIR)
+    batch = (
+        read_events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("events_seen"), F.sum("value").alias("total_value"))
+        .orderBy("user_id")
+    )
+    s = [(r["user_id"], r["events_seen"], round(r["total_value"], 6)) for r in stream.collect()]
+    b = [(r["user_id"], r["events_seen"], round(r["total_value"], 6)) for r in batch.collect()]
+    assert s == b
