@@ -1350,3 +1350,64 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") == 0), k=10, n_centroids=16, n_probe=6
     )
+
+
+_DAILY_KPIS_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS buyers,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS revenue,
+       AVG(CASE WHEN event_type = 'purchase' THEN value END) AS avg_order_value,
+       MAX(CASE WHEN event_type = 'purchase' THEN value END) AS max_order_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("daily_kpis", _DAILY_KPIS_ORACLE)
+def daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: reporting aggregates — the FILTER-clause style conditional
+    avg/sum/max of the reference's daily report
+    (reference: scripts/llm_daily_report.py:226-356)."""
+    events = read_events(spark, sf_dir)
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        events.groupBy("event_date")
+        .agg(
+            F.count("*").alias("total_events"),
+            F.count_distinct("user_id").alias("unique_users"),
+            F.count_distinct(F.when(is_purchase, F.col("user_id"))).alias("buyers"),
+            F.coalesce(F.sum(F.when(is_purchase, F.col("value"))), F.lit(0.0)).alias(
+                "revenue"
+            ),
+            F.avg(F.when(is_purchase, F.col("value"))).alias("avg_order_value"),
+            F.max(F.when(is_purchase, F.col("value"))).alias("max_order_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-02'
+ORDER BY user_id
+"""
+
+
+@register("repeat_buyers_two_days", _INTERSECT_ORACLE)
+def repeat_buyers_two_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — users purchasing on both of two consecutive
+    days (set-op completeness, SURVEY §2.7)."""
+    events = read_events(spark, sf_dir)
+
+    def buyers(day: str) -> DataFrame:
+        return events.where(
+            (F.col("event_type") == "purchase") & (F.col("event_date") == F.lit(day))
+        ).select("user_id")
+
+    return buyers("2024-01-01").intersect(buyers("2024-01-02")).orderBy("user_id")
