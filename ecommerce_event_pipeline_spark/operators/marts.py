@@ -56,8 +56,27 @@ def funnel_conversion(
     (default ``step{i}_{type}_users``).
     """
     names = list(step_names) if step_names else [f"step{i+1}_{s}_users" for i, s in enumerate(steps)]
-    aggs = [_cdist(s, user_col, approximate).alias(n) for s, n in zip(steps, names)]
-    out = events.groupBy(*group_cols).agg(*aggs)
+    if approximate:
+        aggs = [_cdist(s, user_col, True).alias(n) for s, n in zip(steps, names)]
+        out = events.groupBy(*group_cols).agg(*aggs)
+    else:
+        # Exact distinct-users-per-step WITHOUT count_distinct: multiple
+        # distinct aggregates make Catalyst Expand the input k× before the
+        # shuffle. Because every step counts the SAME column (user), a
+        # two-phase form is equivalent and expand-free: pre-aggregate a
+        # 0/1 flag per (group, user) — map-side combinable, shuffle carries
+        # ≤ |groups × users| rows — then sum the flags per group.
+        flags = events.groupBy(*group_cols, user_col).agg(
+            *[
+                F.max(F.when(F.col("event_type") == s, F.lit(1)).otherwise(F.lit(0))).alias(
+                    f"_f{i}"
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
+        out = flags.groupBy(*group_cols).agg(
+            *[F.sum(f"_f{i}").cast("bigint").alias(n) for i, n in enumerate(names)]
+        )
     for i in range(1, len(steps)):
         out = out.withColumn(
             f"{steps[i-1]}_to_{steps[i]}_rate", _rate(names[i], names[i - 1])

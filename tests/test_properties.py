@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the handcrafted fixtures.
+
+Examples are kept small (Spark round-trip per example) — the point is
+randomized structure, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark.functions import dedup
+from ecommerce_event_pipeline_spark.operators import windows
+from ecommerce_event_pipeline_spark.quality.checks import QualityValidator
+
+from .conftest import events_df, make_event
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+event_ids = st.lists(
+    st.integers(min_value=0, max_value=5).map(lambda i: f"id-{i}"),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(ids=event_ids)
+@SETTINGS
+def test_duplicate_count_is_always_n_minus_distinct(spark, ids):
+    rows = [
+        make_event("page_view", event_id=i, timestamp=f"2026-01-15T10:{n:02d}:00")
+        for n, i in enumerate(ids)
+    ]
+    rep = {
+        r["check_name"]: r
+        for r in QualityValidator(events_df(spark, rows)).run_all().collect()
+    }
+    assert rep["q2_duplicate_event_id"]["failed_records"] == len(ids) - len(set(ids))
+
+
+@given(
+    perm=st.permutations(list(range(6))),
+)
+@SETTINGS
+def test_quality_report_invariant_under_row_order(spark, perm):
+    base = [
+        make_event("page_view", timestamp="2026-01-15T10:00:00"),
+        make_event("click", timestamp="2026-01-15T10:01:00"),
+        make_event("add_to_cart", timestamp="2026-01-15T10:02:00"),
+        make_event("purchase", timestamp="2026-01-15T10:03:00"),
+        make_event("page_view", platform="", timestamp="2026-01-15T10:04:00"),
+        make_event("search", result_count=-1, timestamp="2026-01-15T10:05:00"),
+    ]
+    shuffled = [base[i] for i in perm]
+    a = sorted(
+        map(str, QualityValidator(events_df(spark, base)).run_all().collect())
+    )
+    b = sorted(
+        map(str, QualityValidator(events_df(spark, shuffled)).run_all().collect())
+    )
+    assert a == b
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["alpha beta", "alpha beta", "gamma delta", "epsilon"]),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(docs).collect()
+    assert sum(r["doc_count"] for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+    # canonical id is the minimum doc_id of its group
+    for r in out:
+        group_ids = [i for i, t in enumerate(texts) if t == texts[r["canonical_doc_id"]]]
+        assert r["canonical_doc_id"] == min(group_ids)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=10)
+)
+@SETTINGS
+def test_sessionize_seq_is_dense_and_monotone(spark, gaps):
+    ts, rows = 0, []
+    for n, g in enumerate(gaps):
+        ts += g
+        rows.append(
+            make_event(
+                "page_view",
+                event_id=f"e{n:03d}",
+                timestamp=f"2026-01-15T{ts // 3600:02d}:{(ts % 3600) // 60:02d}:{ts % 60:02d}",
+            )
+        )
+    out = (
+        windows.sessionize(events_df(spark, rows), gap_seconds=1800)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    seqs = [r["session_seq"] for r in out]
+    assert seqs[0] == 1
+    for prev, cur, gap in zip(seqs, seqs[1:], gaps[1:]):
+        assert cur == prev + (1 if gap > 1800 else 0)
