@@ -92,3 +92,32 @@ def build_daily_report(events: DataFrame, quality_report: DataFrame, ds: str) ->
     quality = [r.asDict() for r in quality_report.collect()]
     payments = [r.asDict() for r in payment_method_distribution(events).collect()]
     return render_markdown(ds, kpis, quality, payments)
+
+
+def render_html_dashboard(ds: str, quality: list[dict]) -> str:
+    """Minimal HTML quality dashboard (reference:
+    scripts/quality_dashboard.py) — a static render of the 7-check report
+    with PASS/FAIL coloring; serve or archive as-is."""
+    rows = "\n".join(
+        f"<tr class='{q['status'].lower()}'><td>{q['check_name']}</td>"
+        f"<td>{q['total_records']}</td><td>{q['failed_records']}</td>"
+        f"<td>{q['pass_rate']}%</td><td>{q['status']}</td></tr>"
+        for q in quality
+    )
+    overall = "PASS" if all(q["status"] == "PASS" for q in quality) else "FAIL"
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>Quality — {ds}</title>
+<style>
+body {{ font-family: sans-serif; margin: 2rem; }}
+table {{ border-collapse: collapse; }}
+td, th {{ border: 1px solid #ccc; padding: 4px 10px; }}
+tr.pass td:last-child {{ color: #0a7d32; font-weight: bold; }}
+tr.fail td:last-child {{ color: #b3261e; font-weight: bold; }}
+</style></head>
+<body>
+<h1>Data quality — {ds}: {overall}</h1>
+<table>
+<tr><th>check</th><th>total</th><th>failed</th><th>pass rate</th><th>status</th></tr>
+{rows}
+</table>
+</body></html>"""

@@ -165,3 +165,42 @@ def run_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+def run_streaming_to_parquet(
+    spark: SparkSession, sf_dir: str, output_path: str
+) -> DataFrame:
+    """Exactly-once-shaped streaming sink via ``foreachBatch``: each
+    micro-batch of the hourly aggregate is written with per-partition
+    dynamic overwrite keyed by the window date — re-processing a batch
+    rewrites the same partitions instead of duplicating rows (the
+    idempotent-sink pattern for non-transactional stores).
+    """
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("event_count"), F.sum("value").alias("total_value"))
+        .select(
+            F.to_date(F.col("w.start")).alias("window_date"),
+            F.col("w.start").alias("window_start"),
+            "event_count",
+            "total_value",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("window_date")
+            .parquet(output_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(output_path).orderBy("window_start")

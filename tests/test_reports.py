@@ -29,3 +29,12 @@ def test_build_daily_report_renders_markdown(spark):
     # deterministic render
     assert md == reports.build_daily_report(ev, QualityValidator(ev).run_all(), "2026-03-02")
     ev.unpersist()
+
+
+def test_html_dashboard_renders(spark):
+    ev = generate_events(spark, "2026-03-03", n_users=60)
+    quality = [r.asDict() for r in QualityValidator(ev).run_all().collect()]
+    html = reports.render_html_dashboard("2026-03-03", quality)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "q4_funnel_sequence" in html
+    assert "PASS" in html

@@ -54,3 +54,18 @@ def test_streaming_user_state_equals_batch_groupby(spark):
     s = [(r["user_id"], r["events_seen"], round(r["total_value"], 6)) for r in stream.collect()]
     b = [(r["user_id"], r["events_seen"], round(r["total_value"], 6)) for r in batch.collect()]
     assert s == b
+
+
+def test_foreach_batch_parquet_sink_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "stream_hourly")
+    first = jobs.run_streaming_to_parquet(spark, SF_DIR, out).collect()
+    # re-running the whole stream (reprocessing every batch) must not
+    # duplicate rows — dynamic overwrite rewrites the same partitions
+    second = jobs.run_streaming_to_parquet(spark, SF_DIR, out).collect()
+    assert sorted(map(str, first)) == sorted(map(str, second))
+    batch = (
+        read_events(spark, SF_DIR)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .count()
+    )
+    assert len(first) == batch.count()
