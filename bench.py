@@ -28,6 +28,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # share one cached events scan across the event-log queries, as the
+    # reference does across its four marts
+    os.environ.setdefault("SPARK_GRAFT_CACHE_EVENTS", "1")
+
     from ecommerce_event_pipeline_spark import registry
     from ecommerce_event_pipeline_spark.session import get_spark
 

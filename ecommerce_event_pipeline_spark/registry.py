@@ -1188,7 +1188,7 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_date")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count_distinct("user_id").alias("exact_users"),
         )
         .withColumn(

@@ -76,10 +76,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: session-scoped cache of the prepared events table, keyed by (session, dir)
+_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture event stream with derived time columns (ts/event_date/event_hour)."""
-    df = read_table(spark, sf_dir, "events")
-    return with_time_columns(df, "ts", is_string=False)
+    """Fixture event stream with derived time columns (ts/event_date/event_hour).
+
+    With ``SPARK_GRAFT_CACHE_EVENTS=1`` the prepared DataFrame is cached
+    once per (session, dir) and shared across queries — the analog of the
+    reference caching its scan across the four mart queries
+    (reference: scripts/spark_batch_processor.py:353). Off by default so
+    single-query runs (and plan-shape tests, which assert on the parquet
+    scan) see the uncached plan.
+    """
+    import os
+
+    df = with_time_columns(read_table(spark, sf_dir, "events"), "ts", is_string=False)
+    if os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1":
+        key = (id(spark), sf_dir)
+        if key not in _EVENTS_CACHE:
+            _EVENTS_CACHE[key] = df.cache()
+        return _EVENTS_CACHE[key]
+    return df
 
 
 def load_fixture_tables(
