@@ -24,22 +24,24 @@ from ..schemas import EVENT_TYPES, PLATFORM_DEVICE_RULES
 PASS_THRESHOLD = 99.0
 
 #: Common fields checked with falsy semantics (None OR empty string — the
-#: reference uses ``not event.get(f)``; reference: scripts/validate_quality.py:89).
+#: reference uses ``not event.get(f)``). NOTE: platform/device_type are
+#: required by the JSON Schema but NOT by the validator's REQUIRED_FIELDS
+#: (reference: scripts/validate_quality.py:57-58) — the validator is the
+#: parity target here.
 COMMON_REQUIRED_FIELDS = (
     "event_id",
     "event_type",
     "user_id",
     "session_id",
     "timestamp",
-    "platform",
-    "device_type",
 )
 
 #: Type-specific required fields checked with ``is None`` only
-#: (reference: scripts/validate_quality.py:57-64,97).
+#: (reference: scripts/validate_quality.py:58-63,97) — click requires
+#: page_url in addition to element fields.
 TYPE_REQUIRED_FIELDS = {
     "page_view": ("page_url", "page_type"),
-    "click": ("element_id", "element_type"),
+    "click": ("page_url", "element_id", "element_type"),
     "add_to_cart": ("product_id", "quantity", "unit_price"),
     "purchase": ("order_id", "total_amount", "payment_method"),
     "search": ("search_query", "result_count"),
@@ -51,24 +53,36 @@ def _i(cond: F.Column) -> F.Column:
     return F.when(cond, F.lit(1)).otherwise(F.lit(0))
 
 
-def _report_rows(agg: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+def _report_rows(
+    agg: DataFrame,
+    checks: list[tuple[str, str]],
+    meta: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
     """Explode one 1-row aggregate into a per-check report.
 
     ``checks`` is [(check_name, failed_col)]; ``agg`` must carry ``total``
     plus every failed_col. Denominator columns named ``<failed_col>__denom``
-    override the default ``total``.
+    override the default ``total``. ``meta`` optionally maps check_name →
+    (check_type, target_table) to emit the reference's full report shape
+    (reference: scripts/validate_quality.py:41-51).
     """
     structs = []
     for name, col in checks:
         denom = f"{col}__denom"
         denom_col = F.col(denom) if denom in agg.columns else F.col("total")
-        structs.append(
-            F.struct(
-                F.lit(name).alias("check_name"),
-                denom_col.cast("long").alias("total_records"),
-                F.col(col).cast("long").alias("failed_records"),
-            )
-        )
+        fields = [
+            F.lit(name).alias("check_name"),
+            denom_col.cast("long").alias("total_records"),
+            F.col(col).cast("long").alias("failed_records"),
+        ]
+        if meta is not None:
+            ctype, table = meta.get(name, ("check", "raw_events"))
+            fields += [
+                F.lit(ctype).alias("check_type"),
+                F.lit(table).alias("target_table"),
+                F.concat(F.lit("failed="), F.col(col).cast("string")).alias("detail"),
+            ]
+        structs.append(F.struct(*fields))
     rows = agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
     pass_rate = F.round(
         (F.lit(1.0) - F.col("failed_records") / F.col("total_records").cast("double"))
@@ -199,8 +213,16 @@ class QualityValidator:
         is_purchase_with_payload = (
             (F.col("event_type") == "purchase") & F.col("extra_data").isNotNull()
         )
+        # an item with a NULL quantity/unit_price raises TypeError in the
+        # reference (⇒ failure); mirror explicitly — the summation above
+        # would otherwise silently treat it as 0
+        broken_item = F.exists(
+            F.coalesce(payload["products"], F.array()),
+            lambda x: x["quantity"].isNull() | x["unit_price"].isNull(),
+        )
         bad = is_purchase_with_payload & (
             payload.isNull()
+            | broken_item
             | (
                 F.abs(F.coalesce(F.col("total_amount"), F.lit(0.0)) - expected)
                 > F.lit(1.0)
@@ -307,6 +329,15 @@ class QualityValidator:
                 ("q6_order_amount", "q6_failed"),
                 ("q7_platform_consistency", "q7_failed"),
             ],
+            meta={
+                "q1_required_fields": ("null_check", "raw_events"),
+                "q2_duplicate_event_id": ("duplicate_check", "raw_events"),
+                "q3_value_range": ("range_check", "raw_events"),
+                "q4_funnel_sequence": ("sequence_check", "raw_events"),
+                "q5_timestamp_validity": ("range_check", "raw_events"),
+                "q6_order_amount": ("integrity_check", "raw_events"),
+                "q7_platform_consistency": ("consistency_check", "raw_events"),
+            },
         )
 
     def gate(self) -> bool:

@@ -25,7 +25,11 @@ def spark() -> SparkSession:
 
 _TYPE_DEFAULTS = {
     "page_view": {"page_url": "https://shop.example/p/1", "page_type": "product"},
-    "click": {"element_id": "btn-1", "element_type": "button"},
+    "click": {
+        "page_url": "https://shop.example/p/1",
+        "element_id": "btn-1",
+        "element_type": "button",
+    },
     "add_to_cart": {"product_id": "P1001", "quantity": 1, "unit_price": 10000.0},
     "purchase": {
         "order_id": "ORD1234567890123",

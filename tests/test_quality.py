@@ -21,16 +21,42 @@ def test_all_checks_pass_on_valid_session(spark, valid_session_rows):
 
 
 def test_q1_empty_string_fails_common_field_counts_per_field(spark):
+    rows = [make_event("page_view", user_id="", page_url=None)]
+    rep = _report(spark, rows)
+    # two violated fields on one row → 2 failures (per-field counting):
+    # empty user_id (falsy common field) + NULL page_url (page_view-required)
+    assert rep["q1_required_fields"]["failed_records"] == 2
+
+
+def test_q1_platform_not_required_by_validator(spark):
+    # the JSON Schema requires platform/device_type but the validator's
+    # REQUIRED_FIELDS does NOT (reference: scripts/validate_quality.py:57-58)
     rows = [make_event("page_view", platform="", device_type=None)]
     rep = _report(spark, rows)
-    # two violated fields on one row → 2 failures (per-field counting)
-    assert rep["q1_required_fields"]["failed_records"] == 2
+    assert rep["q1_required_fields"]["failed_records"] == 0
 
 
 def test_q1_type_specific_field_null(spark):
     rows = [make_event("purchase", order_id=None)]
     rep = _report(spark, rows)
     assert rep["q1_required_fields"]["failed_records"] == 1
+
+
+def test_q1_click_requires_page_url(spark):
+    rows = [make_event("click", page_url=None)]
+    rep = _report(spark, rows)
+    assert rep["q1_required_fields"]["failed_records"] == 1
+
+
+def test_q6_null_item_fields_fail(spark):
+    payload = (
+        '{"products": [{"product_id": "P1", "quantity": null, "unit_price": 100.0}],'
+        ' "discount_amount": 0.0, "shipping_fee": 0.0, "coupon_code": null}'
+    )
+    rows = [make_event("purchase", extra_data=payload, total_amount=100.0)]
+    rep = _report(spark, rows)
+    # the reference raises TypeError on a null item field → counts as failure
+    assert rep["q6_order_amount"]["failed_records"] == 1
 
 
 def test_q2_duplicate_count_is_n_minus_distinct(spark):
