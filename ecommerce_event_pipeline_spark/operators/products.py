@@ -102,9 +102,13 @@ def product_daily(
         F.coalesce(F.sum(F.when(is_purchase, F.col("quantity"))), F.lit(0)).alias(
             "units_sold"
         ),
-        F.count_distinct(F.when(~is_purchase, F.col("user_id"))).alias(
-            "unique_viewers"
-        ),
+        # viewers = CLICK users only — both reference definitions agree
+        # (reference: sql/marts/mart_product_daily.sql:48,
+        # scripts/spark_batch_processor.py:248-250); cart-adders are NOT
+        # viewers for conversion purposes
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("unique_viewers"),
         F.count_distinct(F.when(is_purchase, F.col("user_id"))).alias("unique_buyers"),
     )
     out = out.withColumn(
