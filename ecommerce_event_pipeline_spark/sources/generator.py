@@ -100,8 +100,11 @@ def generate_events(
         F.format_string("U%06d", F.col("id")).alias("user_id"),
         F.xxhash64(F.col("id"), F.lit(ds), F.lit(seed)).alias("uh"),
     )
-    # ~55% of users active; 1–2 sessions each
-    active = users.where(F.abs(F.col("uh")) % 100 < 55)
+    # activity share varies by day of week — weekends busier, mirroring the
+    # reference's weekday multipliers (reference: scripts/generate_events.py:81)
+    dow = F.dayofweek(F.to_date(F.lit(ds)))  # 1=Sun … 7=Sat
+    active_pct = F.when(dow.isin(1, 7), F.lit(65)).otherwise(F.lit(50))
+    active = users.where(F.abs(F.col("uh")) % 100 < active_pct)
     sessions = active.select(
         "user_id",
         "uh",
@@ -118,10 +121,26 @@ def generate_events(
             "pattern"
         ),
         _pick(F.col("sh"), PLATFORMS, 1).alias("platform"),
-        # start early enough that the longest pattern (7 × ≤115 s strides)
-        # stays inside the day without clamping (clamping would create ties
-        # that break the strict funnel ordering Q4 checks)
-        (F.abs(F.xxhash64(F.col("sh"), F.lit(2))) % 85000).alias("session_start_s"),
+        # session start hour drawn from a realistic daily curve (evening-
+        # heavy, quiet 1–6 AM — reference: scripts/generate_events.py hour
+        # weighting); minute/second uniform. The hour list is a weighted
+        # sampling table: hour h appears once per unit of weight.
+        (
+            _pick(
+                F.col("sh"),
+                # 24 hours with weights: 0-6h low, 9-17h medium, 19-22h peak
+                [0, 1, 2, 3, 4, 5, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12,
+                 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18, 19,
+                 19, 19, 20, 20, 20, 21, 21, 21, 22, 22, 23],
+                2,
+            )
+            * 3600
+            # minute cap 55, second cap 59 keep the longest pattern
+            # (7 × ≤115 s strides) inside the hour+day without clamping
+            # (clamping would create ties that break the strict funnel
+            # ordering Q4 checks)
+            + (F.abs(F.xxhash64(F.col("sh"), F.lit(14))) % 3200)
+        ).alias("session_start_s"),
     )
     with_device = with_pattern.withColumn(
         "device_type",

@@ -70,3 +70,20 @@ def test_pipeline_quality_fail_branch_skips_marts(spark, tmp_path):
     assert res.status == "QUALITY_FAIL"
     assert "mart_user_daily" not in res.outputs
     assert "quality_check_log" in res.outputs  # log written on both branches
+
+
+def test_generator_hour_curve_and_weekend_lift(spark):
+    # hour realism: evening hours (19–22) busier than night hours (1–4)
+    ev = generate_events(spark, "2026-02-06", n_users=400).cache()
+    by_hour = {
+        r["event_hour"]: r["n"]
+        for r in ev.groupBy("event_hour").agg(F.count("*").alias("n")).collect()
+    }
+    evening = sum(by_hour.get(h, 0) for h in (19, 20, 21, 22))
+    night = sum(by_hour.get(h, 0) for h in (1, 2, 3, 4))
+    assert evening > night * 2
+    ev.unpersist()
+    # weekend lift: 2026-02-07 is a Saturday, 2026-02-06 a Friday
+    fri = generate_events(spark, "2026-02-06", n_users=400).count()
+    sat = generate_events(spark, "2026-02-07", n_users=400).count()
+    assert sat > fri
