@@ -212,3 +212,184 @@ def customer_nation_rollup(
         )
         .orderBy("r_name", "n_name")
     )
+
+
+def cheapest_part_per_brand(part: DataFrame) -> DataFrame:
+    """TPC-H Q2-shaped min-per-group + join-back: the cheapest part of each
+    brand (with its attributes). The min is aggregated first (one small
+    shuffle), then joined back on (brand, price) — the group-wise-minimum
+    pattern that avoids a window over the whole dimension."""
+    # distinct alias for the aggregated side — the join-back is a self-join
+    # and needs unambiguous lineage
+    mins = part.groupBy(F.col("p_brand").alias("_mb")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == mins._mb)
+            & (part.p_retailprice == mins.min_price),
+        )
+        .select(
+            part.p_brand.alias("brand"),
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").alias("price"),
+        )
+        .groupBy("brand")
+        .agg(
+            F.min("p_partkey").alias("cheapest_partkey"),  # tie-break: lowest key
+            F.min("price").alias("price"),
+        )
+        .orderBy("brand")
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped: revenue between two nations by (supp_nation,
+    cust_nation, year) — two dimension joins against the same broadcast
+    nation table under different aliases."""
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            (
+                (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+            )
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: PROMO revenue share per ship-year — conditional
+    share of a joined aggregate."""
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))).alias(
+                "promo_revenue"
+            ),
+            F.sum(rev).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share_pct",
+            F.round(F.col("promo_revenue") * 100.0 / F.col("total_revenue"), 4),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_quantity: float = 300.0,
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a threshold
+    (aggregate + HAVING), joined back to order/customer attributes, top-N
+    by quantity. The HAVING reduces the fact side to a tiny set before any
+    dimension join."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_quantity"))
+        .where(F.col("total_quantity") > min_quantity)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            "total_quantity",
+        )
+        .orderBy(F.desc("total_quantity"), "o_orderkey")
+        .limit(top_n)
+    )
+
+
+def rich_idle_customers(
+    customer: DataFrame, orders: DataFrame, before: str = "1996-01-01"
+) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average balance and no early
+    orders (none before ``before``) — scalar subquery (global avg, computed
+    once and broadcast as a 1-row side) + anti join against the filtered
+    fact."""
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    early_orders = orders.where(
+        F.col("o_orderdate") < F.lit(before).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        early_orders,
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.sum("c_acctbal").alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def shipping_lag_buckets(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q12-shaped CASE bucketing: lineitems by order→ship lag class per
+    order priority (the fixture has no shipmode; the lag buckets exercise
+    the same conditional-aggregation-over-join shape)."""
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(lag < 0, F.lit("before_order"))
+        .when(lag <= 30, F.lit("fast"))
+        .when(lag <= 90, F.lit("normal"))
+        .otherwise(F.lit("slow"))
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", bucket.alias("ship_lag_bucket"))
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "ship_lag_bucket")
+    )

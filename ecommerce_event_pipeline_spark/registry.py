@@ -1210,7 +1210,8 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_JOIN_ORACLE = """
 SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 ORDER BY c.c_custkey
 """
 
@@ -1218,9 +1219,13 @@ ORDER BY c.c_custkey
 @register("customers_without_orders", _ANTI_JOIN_ORACLE)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS via left-anti join (ships only join keys, never widens
-    rows)."""
+    rows): customers with no orders in the final year."""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
@@ -1411,3 +1416,168 @@ def repeat_buyers_two_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("user_id")
 
     return buyers("2024-01-01").intersect(buyers("2024-01-02")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H-shaped coverage: min-per-group join-back, two-alias dims,
+# conditional share, HAVING, scalar subquery, CASE bucketing over a join
+# ---------------------------------------------------------------------------
+
+_CHEAPEST_PART_ORACLE = """
+WITH m AS (SELECT p_brand, MIN(p_retailprice) AS min_price FROM part GROUP BY 1)
+SELECT p.p_brand AS brand,
+       MIN(p.p_partkey) AS cheapest_partkey,
+       MIN(p.p_retailprice) AS price
+FROM part p
+JOIN m ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("cheapest_part_per_brand", _CHEAPEST_PART_ORACLE)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-per-group + join-back."""
+    return relational.cheapest_part_per_brand(read_table(spark, sf_dir, "part"))
+
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("volume_shipping", _VOLUME_SHIPPING_ORACLE)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: one broadcast dimension joined twice under
+    different roles (supplier nation vs customer nation)."""
+    return relational.volume_shipping(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "nation"),
+    )
+
+
+_PROMO_ORACLE = """
+SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) AS promo_revenue,
+       SUM(l.l_extendedprice * (1 - l.l_discount)) AS total_revenue,
+       ROUND(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+             * 100.0 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("promo_revenue_share", _PROMO_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional revenue share."""
+    return relational.promo_revenue_share(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+_LARGE_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_quantity
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(l_quantity) > 300
+)
+SELECT o.o_orderkey, c.c_custkey, c.c_name,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_totalprice, big.total_quantity
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY big.total_quantity DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@register("large_orders", _LARGE_ORDERS_ORACLE)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped aggregate + HAVING + join-back, expressed through
+    the spark.sql FRONT-END over temp views — same Catalyst plan as the
+    DataFrame form (equivalence asserted in tests)."""
+    tune(spark)
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_ord")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("_cust")
+    return spark.sql(
+        """
+        WITH big AS (
+          SELECT l_orderkey, SUM(l_quantity) AS total_quantity
+          FROM _li GROUP BY 1 HAVING SUM(l_quantity) > 300
+        )
+        SELECT o.o_orderkey, c.c_custkey, c.c_name,
+               TO_DATE(o.o_orderdate) AS order_date,
+               o.o_totalprice, big.total_quantity
+        FROM _ord o
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        JOIN _cust c ON o.o_custkey = c.c_custkey
+        ORDER BY big.total_quantity DESC, o.o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+_RICH_IDLE_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS customer_count,
+       SUM(c_acctbal) AS total_balance
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("rich_idle_customers", _RICH_IDLE_ORACLE)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped scalar subquery (global average) + anti join."""
+    return relational.rich_idle_customers(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+_LAG_BUCKETS_ORACLE = """
+SELECT o.o_orderpriority,
+       CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 0 THEN 'before_order'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+            ELSE 'slow' END AS ship_lag_bucket,
+       COUNT(*) AS line_count,
+       SUM(l.l_extendedprice) AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("shipping_lag_buckets", _LAG_BUCKETS_ORACLE)
+def shipping_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped CASE bucketing over a fact-fact join."""
+    return relational.shipping_lag_buckets(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "orders")
+    )

@@ -108,3 +108,26 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sql_frontend_equals_dataframe_form(spark):
+    """large_orders is registered through spark.sql; the DataFrame operator
+    must produce identical rows — same Catalyst plan, two front-ends."""
+    from ecommerce_event_pipeline_spark import registry
+    from ecommerce_event_pipeline_spark.operators import relational
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    sql_rows = sorted(
+        map(str, registry.queries()["large_orders"](spark, SF_DIR).collect())
+    )
+    df_rows = sorted(
+        map(
+            str,
+            relational.large_orders(
+                read_table(spark, SF_DIR, "lineitem"),
+                read_table(spark, SF_DIR, "orders"),
+                read_table(spark, SF_DIR, "customer"),
+            ).collect(),
+        )
+    )
+    assert sql_rows == df_rows
