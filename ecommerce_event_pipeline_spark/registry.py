@@ -1581,3 +1581,107 @@ def shipping_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.shipping_lag_buckets(
         read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "orders")
     )
+
+
+_MA_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS revenue
+  FROM events
+  GROUP BY 1
+)
+SELECT event_date, revenue,
+       AVG(revenue) OVER w AS revenue_7d_ma,
+       SUM(revenue) OVER w AS revenue_7d_sum
+FROM daily
+WINDOW w AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_date
+"""
+
+
+@register("revenue_7day_ma", _MA_ORACLE)
+def revenue_7day_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame moving aggregates over an aggregated daily series (the
+    fixture has every day populated, so a 6-preceding rows frame equals a
+    7-day range frame). A single-partition window over ~days is driver-tiny
+    at any scale — the heavy lifting is the upstream daily aggregate."""
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir)
+    daily = events.groupBy("event_date").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("revenue")
+    )
+    w = Window.orderBy("event_date").rowsBetween(-6, 0)
+    return daily.select(
+        "event_date",
+        "revenue",
+        F.avg("revenue").over(w).alias("revenue_7d_ma"),
+        F.sum("revenue").over(w).alias("revenue_7d_sum"),
+    ).orderBy("event_date")
+
+
+_DEDUP_CORPUS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex AS (
+  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS cnt,
+         unnest(shingles) AS shingle
+  FROM sh
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE) >= 0.6
+),
+dropped AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs)
+SELECT d.lang,
+       COUNT(*) AS docs_total,
+       CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS docs_kept,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS docs_dropped
+FROM documents d
+LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("dedup_corpus_stats", _DEDUP_CORPUS_ORACLE)
+def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-product dedup: drop the higher doc_id of every near-dup pair
+    (exact 3-gram Jaccard ≥ 0.6) and report kept/dropped per language —
+    the shape a training-data pipeline actually materializes. At scale the
+    pair generation is the LSH candidate path; here the exact pairs keep
+    the oracle checkable."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+    dropped = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
+    flagged = docs.join(
+        dropped.withColumn("_dropped", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_total"),
+            F.sum(F.when(F.col("_dropped").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_kept"),
+            F.sum(F.coalesce(F.col("_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("docs_dropped"),
+        )
+        .orderBy("lang")
+    )

@@ -165,20 +165,34 @@ def generate_events(
 
     product = F.element_at(catalog, (F.abs(F.xxhash64(eh, F.lit(5))) % len(CATALOG) + 1).cast("int"))
     quantity = (F.abs(F.xxhash64(eh, F.lit(6))) % 3 + 1).cast("int")
-    # purchase payload: 1 product line, qty 1–3, reference discount/shipping rules
-    items_total = quantity * product["price"]
+    # purchase payload: 1–3 product lines (reference: 1–3 products per
+    # purchase), each with qty 1–3; discount/shipping per reference rules
+    n_items = (F.abs(F.xxhash64(eh, F.lit(15))) % 3 + 1).cast("int")
+    items = F.transform(
+        F.sequence(F.lit(1), n_items),
+        lambda i: F.struct(
+            F.element_at(
+                catalog,
+                (F.abs(F.xxhash64(eh, i)) % len(CATALOG) + 1).cast("int"),
+            )["product_id"].alias("product_id"),
+            (F.abs(F.xxhash64(eh, i, F.lit(16))) % 3 + 1).cast("int").alias("quantity"),
+            F.element_at(
+                catalog,
+                (F.abs(F.xxhash64(eh, i)) % len(CATALOG) + 1).cast("int"),
+            )["price"].alias("unit_price"),
+        ),
+    )
+    items_total = F.aggregate(
+        items,
+        F.lit(0.0),
+        lambda acc, x: acc + x["quantity"].cast("double") * x["unit_price"],
+    )
     discount = _pick(eh, DISCOUNTS, 7)
     shipping = F.when(items_total >= 50000, F.lit(0.0)).otherwise(F.lit(3000.0))
     total_amount = items_total - discount + shipping
     extra_data = F.to_json(
         F.struct(
-            F.array(
-                F.struct(
-                    product["product_id"].alias("product_id"),
-                    quantity.alias("quantity"),
-                    product["price"].alias("unit_price"),
-                )
-            ).alias("products"),
+            items.alias("products"),
             discount.alias("discount_amount"),
             shipping.alias("shipping_fee"),
             F.when(discount > 0, F.concat(F.lit("COUP"), (F.abs(eh) % 900 + 100).cast("string"))).alias(

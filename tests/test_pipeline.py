@@ -87,3 +87,15 @@ def test_generator_hour_curve_and_weekend_lift(spark):
     fri = generate_events(spark, "2026-02-06", n_users=400).count()
     sat = generate_events(spark, "2026-02-07", n_users=400).count()
     assert sat > fri
+
+
+def test_generator_multi_item_purchases(spark):
+    from ecommerce_event_pipeline_spark.operators.products import parse_extra_data
+
+    ev = generate_events(spark, "2026-02-08", n_users=300)
+    purchases = parse_extra_data(ev.where("event_type = 'purchase'"))
+    sizes = {
+        r["n"]
+        for r in purchases.select(F.size("payload.products").alias("n")).distinct().collect()
+    }
+    assert sizes == {1, 2, 3}  # 1–3 product lines per purchase
