@@ -47,3 +47,38 @@ def append_dedup_by_key(df: DataFrame, existing: DataFrame | None, key: str) -> 
     if existing is not None:
         out = out.join(existing.select(key), on=key, how="left_anti")
     return out
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str = "event_date",
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a partitioned dataset with bounded
+    file counts and optional within-file clustering.
+
+    Streaming/incremental writers leave many small files per partition;
+    at 100 TB that destroys scan throughput (footer/open overhead per
+    file) and listing latency. This rewrites each partition via
+    ``repartition(partition_col)`` + ``maxRecordsPerFile`` so output files
+    are near-target-size, and ``sortWithinPartitions(sort_cols)`` clusters
+    rows so parquet min/max stats prune row groups for queries filtering
+    on those columns (poor man's Z-order for a single dimension).
+
+    Returns the number of files after compaction.
+    """
+    df = spark.read.parquet(path)
+    out = df.repartition(partition_col)
+    if sort_cols:
+        out = out.sortWithinPartitions(partition_col, *sort_cols)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(path + "__compacted")
+    )
+    import glob
+
+    return len(glob.glob(f"{path}__compacted/*/*.parquet"))

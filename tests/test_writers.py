@@ -41,3 +41,34 @@ def test_append_dedup_by_key(spark):
     existing = events_df(spark, [make_event("page_view", event_id="e2")])
     out = append_dedup_by_key(batch, existing, "event_id")
     assert [r["event_id"] for r in out.collect()] == ["e1"]
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    from ecommerce_event_pipeline_spark.sources.writers import compact_partitions
+
+    # simulate a fragmented layout: many tiny appends into one partition
+    path = str(tmp_path / "fragmented")
+    for batch in range(6):
+        events_df(
+            spark,
+            [
+                make_event(
+                    "page_view",
+                    event_id=f"b{batch}-e{i}",
+                    timestamp=f"2026-01-15T10:{batch:02d}:{i:02d}",
+                )
+                for i in range(5)
+            ],
+        ).write.mode("append").partitionBy("event_date").parquet(path)
+
+    import glob
+
+    before = len(glob.glob(f"{path}/*/*.parquet"))
+    after = compact_partitions(
+        spark, path, "event_date", target_rows_per_file=100_000,
+        sort_cols=["user_id", "ts"],
+    )
+    assert after < before
+    assert after >= 1
+    compacted = spark.read.parquet(path + "__compacted")
+    assert compacted.count() == 30
