@@ -1685,3 +1685,99 @@ def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * ln(n.n_docs / df.df) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, ROUND(tfidf, 6) AS tfidf, term_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS INTEGER) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: token explode → tf, document
+    frequency, idf = ln(N/df), ranked window per doc. The df table is
+    broadcast (|vocab| rows); the only large shuffle is the (doc, token)
+    aggregate."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver scalar — one tiny job, same at any scale
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            "term_rank",
+        )
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS transition_count
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("event_transitions", _TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (bigrams of the per-session sequence)
+    via a lead window — the building block for funnel/flow analysis."""
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_date").orderBy("ts", "event_id")
+    seq = events.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("transition_count"))
+        .orderBy("from_type", "to_type")
+    )
