@@ -1781,3 +1781,201 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("transition_count"))
         .orderBy("from_type", "to_type")
     )
+
+
+_DECILES_ORACLE = """
+SELECT decile,
+       COUNT(*) AS customer_count,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       SUM(c_acctbal) AS total_bal
+FROM (
+  SELECT c_acctbal,
+         CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
+  FROM customer
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("customer_balance_deciles", _DECILES_ORACLE)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing (c_custkey tiebreak keeps the tile assignment
+    deterministic across engines)."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+       event_type,
+       COUNT(*) AS event_count
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("type_hour_unpivot", _UNPIVOT_ORACLE)
+def type_hour_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: the hour×type count matrix melted back
+    to long form via stack(); zero-count cells are dropped so the result
+    equals the plain long-form aggregate (proving pivot+unpivot lose
+    nothing)."""
+    from .operators import olap
+    from .schemas import FIXTURE_EVENT_TYPES
+
+    wide = olap.type_hour_pivot(read_events(spark, sf_dir), list(FIXTURE_EVENT_TYPES))
+    stack_expr = "stack({n}, {args}) AS (event_type, event_count)".format(
+        n=len(FIXTURE_EVENT_TYPES),
+        args=", ".join(f"'{t}', `{t}`" for t in FIXTURE_EVENT_TYPES),
+    )
+    return (
+        wide.selectExpr("event_hour", stack_expr)
+        .where(F.col("event_count") > 0)
+        .orderBy("event_hour", "event_type")
+    )
+
+
+_SAMPLE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS docs_total,
+       CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_sampled,
+       ROUND(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) * 100.0
+             / CAST(COUNT(*) AS DOUBLE), 2) AS sample_pct
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sampled_corpus_stats", _SAMPLE_ORACLE)
+def sampled_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-mod sampling — the reproducible subsetting a
+    training-data pipeline uses instead of rand() (re-runs and backfills
+    pick the identical sample)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sampled = F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_total"),
+            F.sum(sampled).cast("bigint").alias("docs_sampled"),
+            F.round(
+                F.sum(sampled) * 100.0 / F.count("*").cast("double"), 2
+            ).alias("sample_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+_COMPLETION_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_date,
+       COUNT(*) AS converting_sessions,
+       CAST(MIN(date_diff('second', first_view, first_purchase)) AS BIGINT) AS min_seconds,
+       AVG(CAST(date_diff('second', first_view, first_purchase) AS DOUBLE)) AS avg_seconds,
+       CAST(MAX(date_diff('second', first_view, first_purchase)) AS BIGINT) AS max_seconds
+FROM s
+WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase > first_view
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("funnel_completion_time", _COMPLETION_ORACLE)
+def funnel_completion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: first view → first purchase per session (user ×
+    date), aggregated per day — conditional MINs, no window needed."""
+    events = read_events(spark, sf_dir)
+    s = events.groupBy("user_id", "event_date").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    secs = F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+    return (
+        s.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_view"))
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("converting_sessions"),
+            F.min(secs).cast("bigint").alias("min_seconds"),
+            F.avg(secs.cast("double")).alias("avg_seconds"),
+            F.max(secs).cast("bigint").alias("max_seconds"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_OUTLIERS_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS outlier_count,
+       MIN(value) AS outlier_floor,
+       MAX(value) AS outlier_max
+FROM ranked
+WHERE rk <= CAST(ceil(n * 0.01) AS BIGINT)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("value_outliers_per_type", _OUTLIERS_ORACLE)
+def value_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1%-by-rank outlier slice per event type — rank-based (integer
+    boundary) rather than a quantile cutoff, so membership is exact and
+    engine-independent; the pattern for outlier filtering in cleaning
+    pipelines."""
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rk") <= F.ceil(F.col("n") * 0.01).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("outlier_count"),
+            F.min("value").alias("outlier_floor"),
+            F.max("value").alias("outlier_max"),
+        )
+        .orderBy("event_type")
+    )
