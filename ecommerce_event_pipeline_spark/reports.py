@@ -121,3 +121,47 @@ tr.fail td:last-child {{ color: #b3261e; font-weight: bold; }}
 {rows}
 </table>
 </body></html>"""
+
+
+def build_llm_prompt(ds: str, kpis: dict, quality: list[dict], payments: list[dict]) -> str:
+    """The prompt the reference sends its LLM for the daily narrative
+    (reference: scripts/llm_daily_report.py:358-420 builds a KPI block +
+    instruction header). The HTTP call stays outside the engine — callers
+    pipe this to whatever model endpoint they use."""
+    data_block = render_markdown(ds, kpis, quality, payments)
+    return (
+        "You are a data analyst for an e-commerce platform. Write a concise "
+        "daily business report (5-8 sentences) from the metrics below. "
+        "Highlight conversion, revenue drivers, and any quality issues. "
+        "Do not invent numbers.\n\n"
+        f"{data_block}\n"
+    )
+
+
+def build_slack_payload(ds: str, status: str, kpis: dict, quality: list[dict]) -> dict:
+    """Slack webhook payload (blocks form) the reference posts on success/
+    failure (reference: dags/event_pipeline_dag.py:307-355). Returns the
+    JSON-serializable dict; POSTing it is the caller's side effect."""
+    emoji = ":white_check_mark:" if status == "SUCCESS" else ":rotating_light:"
+    failed = [q["check_name"] for q in quality if q["status"] == "FAIL"]
+    fields = [
+        {"type": "mrkdwn", "text": f"*Events:*\n{kpis.get('total_events', 0):,}"},
+        {"type": "mrkdwn", "text": f"*Users:*\n{kpis.get('unique_users', 0):,}"},
+        {"type": "mrkdwn", "text": f"*Revenue:*\n{kpis.get('revenue', 0.0):,.0f}"},
+        {"type": "mrkdwn", "text": f"*Buyers:*\n{kpis.get('buyers', 0):,}"},
+    ]
+    blocks = [
+        {
+            "type": "header",
+            "text": {"type": "plain_text", "text": f"{emoji} Daily pipeline — {ds}: {status}"},
+        },
+        {"type": "section", "fields": fields},
+    ]
+    if failed:
+        blocks.append(
+            {
+                "type": "section",
+                "text": {"type": "mrkdwn", "text": "*Failed checks:* " + ", ".join(failed)},
+            }
+        )
+    return {"blocks": blocks}

@@ -38,3 +38,26 @@ def test_html_dashboard_renders(spark):
     assert html.startswith("<!DOCTYPE html>")
     assert "q4_funnel_sequence" in html
     assert "PASS" in html
+
+
+def test_llm_prompt_and_slack_payload(spark):
+    ev = generate_events(spark, "2026-03-04", n_users=60).cache()
+    kpis = reports.daily_kpis(ev).collect()[0].asDict()
+    quality = [r.asDict() for r in QualityValidator(ev).run_all().collect()]
+    payments = [r.asDict() for r in reports.payment_method_distribution(ev).collect()]
+
+    prompt = reports.build_llm_prompt("2026-03-04", kpis, quality, payments)
+    assert "data analyst" in prompt and "Do not invent numbers" in prompt
+    assert "## KPIs" in prompt  # the metrics block is embedded
+
+    ok = reports.build_slack_payload("2026-03-04", "SUCCESS", kpis, quality)
+    assert ok["blocks"][0]["text"]["text"].startswith(":white_check_mark:")
+    import json
+
+    json.dumps(ok)  # JSON-serializable
+
+    bad_quality = [dict(q, status="FAIL") for q in quality[:2]]
+    alert = reports.build_slack_payload("2026-03-04", "QUALITY_FAIL", kpis, bad_quality)
+    assert ":rotating_light:" in alert["blocks"][0]["text"]["text"]
+    assert "Failed checks" in alert["blocks"][-1]["text"]["text"]
+    ev.unpersist()
