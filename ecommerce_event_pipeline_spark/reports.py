@@ -125,9 +125,9 @@ tr.fail td:last-child {{ color: #b3261e; font-weight: bold; }}
 
 def build_llm_prompt(ds: str, kpis: dict, quality: list[dict], payments: list[dict]) -> str:
     """The prompt the reference sends its LLM for the daily narrative
-    (reference: scripts/llm_daily_report.py:358-420 builds a KPI block +
-    instruction header). The HTTP call stays outside the engine — callers
-    pipe this to whatever model endpoint they use."""
+    (reference: scripts/llm_daily_report.py:37-77 SYSTEM/USER prompt
+    templates, build_prompt ~:492). The HTTP call stays outside the
+    engine — callers pipe this to whatever model endpoint they use."""
     data_block = render_markdown(ds, kpis, quality, payments)
     return (
         "You are a data analyst for an e-commerce platform. Write a concise "
@@ -140,10 +140,18 @@ def build_llm_prompt(ds: str, kpis: dict, quality: list[dict], payments: list[di
 
 def build_slack_payload(ds: str, status: str, kpis: dict, quality: list[dict]) -> dict:
     """Slack webhook payload (blocks form) the reference posts on success/
-    failure (reference: dags/event_pipeline_dag.py:307-355). Returns the
-    JSON-serializable dict; POSTing it is the caller's side effect."""
-    emoji = ":white_check_mark:" if status == "SUCCESS" else ":rotating_light:"
+    failure (reference: scripts/slack_alert.py _build_quality_blocks /
+    send_pipeline_success; the DAG calls those at
+    dags/event_pipeline_dag.py:446-451). Returns the JSON-serializable
+    dict; POSTing it is the caller's side effect.
+
+    The header derives from BOTH the run status and the quality rows — a
+    'SUCCESS' run with failing checks must not render a green header (the
+    reference likewise derives pass/fail from the quality data itself).
+    """
     failed = [q["check_name"] for q in quality if q["status"] == "FAIL"]
+    all_clear = status == "SUCCESS" and not failed
+    emoji = ":white_check_mark:" if all_clear else ":rotating_light:"
     fields = [
         {"type": "mrkdwn", "text": f"*Events:*\n{kpis.get('total_events', 0):,}"},
         {"type": "mrkdwn", "text": f"*Users:*\n{kpis.get('unique_users', 0):,}"},
