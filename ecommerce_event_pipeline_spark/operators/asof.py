@@ -38,8 +38,16 @@ def asof_join(
     ``right`` row with the same ``on`` key and ``right_ts <= left_ts``.
 
     ``right`` must be unique per (on, right_ts) — pre-dedupe if not, or the
-    matched payload among ties is unspecified.
+    matched payload among ties is unspecified. ``payload_cols`` must not
+    collide with ``left``'s column names (the payload is emitted under its
+    own names next to every left column).
     """
+    collisions = set(payload_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"payload_cols collide with left columns: {sorted(collisions)}; "
+            "alias the right-side payload before the join"
+        )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),

@@ -65,12 +65,17 @@ def funnel_conversion(
         # shuffle. Because every step counts the SAME column (user), a
         # two-phase form is equivalent and expand-free: pre-aggregate a
         # 0/1 flag per (group, user) — map-side combinable, shuffle carries
-        # ≤ |groups × users| rows — then sum the flags per group.
+        # ≤ |groups × users| rows — then sum the flags per group. NULL
+        # users flag 0 (COUNT DISTINCT ignores NULLs) while their group
+        # row survives, exactly like the count_distinct form.
         flags = events.groupBy(*group_cols, user_col).agg(
             *[
-                F.max(F.when(F.col("event_type") == s, F.lit(1)).otherwise(F.lit(0))).alias(
-                    f"_f{i}"
-                )
+                F.max(
+                    F.when(
+                        (F.col("event_type") == s) & F.col(user_col).isNotNull(),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ).alias(f"_f{i}")
                 for i, s in enumerate(steps)
             ]
         )

@@ -46,7 +46,12 @@ class PipelineResult:
 
 
 def build_marts(events: DataFrame) -> dict[str, DataFrame]:
-    """The four marts + two Spark-output analytics over one event scan."""
+    """The four marts + two Spark-output analytics over one event scan.
+
+    Every mart carries a date column so its write can be a per-date
+    partition overwrite (mart_orders partitions on order_date; session
+    patterns get event_date from the session start).
+    """
     return {
         "mart_funnel_daily": marts.funnel_conversion(
             events, steps=FUNNEL_STEPS, group_cols=("event_date", "platform")
@@ -55,8 +60,17 @@ def build_marts(events: DataFrame) -> dict[str, DataFrame]:
         "mart_product_daily": products.product_daily(events),
         "mart_orders": products.orders_mart(events),
         "hourly_traffic": marts.hourly_traffic(events),
-        "session_patterns": marts.session_sequences(events),
+        "session_patterns": marts.session_sequences(events).withColumn(
+            "event_date", F.to_date("session_start")
+        ),
     }
+
+
+def _date_partition_col(df: DataFrame) -> str | None:
+    for c in ("event_date", "order_date", "activity_date"):
+        if c in df.columns:
+            return c
+    return None
 
 
 def run_for_date(
@@ -74,6 +88,9 @@ def run_for_date(
     both paths write the quality log.
     """
     t0 = time.time()
+    from .session import tune
+
+    tune(spark)  # dynamic partition overwrite must be on for per-date writes
     out = output_dir.rstrip("/")
     if events is None:
         events = generate_events(spark, ds, n_users=n_users)
@@ -91,8 +108,12 @@ def run_for_date(
         event_count=event_count,
         quality=report,
     )
-    # quality log is written on BOTH branches (converging DAG edge)
-    report_df.write.mode("append").parquet(f"{out}/quality_check_log")
+    # quality log is written on BOTH branches (converging DAG edge);
+    # partitioned by check_date so a re-run for the same ds REPLACES its
+    # rows instead of appending duplicates (idempotent retries/backfills)
+    report_df.write.mode("overwrite").partitionBy("check_date").parquet(
+        f"{out}/quality_check_log"
+    )
     result.outputs["quality_check_log"] = f"{out}/quality_check_log"
 
     if passed:
@@ -100,10 +121,10 @@ def run_for_date(
         result.outputs["raw_events"] = f"{out}/raw_events"
         for name, df in build_marts(events).items():
             path = f"{out}/{name}"
-            if "event_date" in df.columns:
-                write_partitioned_parquet(df, path)
-            else:
-                df.write.mode("overwrite").parquet(path)
+            date_col = _date_partition_col(df)
+            if date_col is None:  # defensive: no mart should hit this
+                raise ValueError(f"mart {name} lacks a date partition column")
+            write_partitioned_parquet(df, path, partition_col=date_col)
             result.outputs[name] = path
     elif fail_on_quality:
         events.unpersist()
@@ -115,7 +136,9 @@ def run_for_date(
         [(ds, result.status, event_count, result.elapsed_s)],
         "ds string, status string, event_count long, elapsed_s double",
     )
-    run_log.write.mode("append").parquet(f"{out}/pipeline_run_log")
+    run_log.write.mode("overwrite").partitionBy("ds").parquet(
+        f"{out}/pipeline_run_log"
+    )
     result.outputs["pipeline_run_log"] = f"{out}/pipeline_run_log"
     events.unpersist()
     return result

@@ -1375,22 +1375,12 @@ ORDER BY 1
 def daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: reporting aggregates — the FILTER-clause style conditional
     avg/sum/max of the reference's daily report
-    (reference: scripts/llm_daily_report.py:226-356)."""
-    events = read_events(spark, sf_dir)
-    is_purchase = F.col("event_type") == "purchase"
-    return (
-        events.groupBy("event_date")
-        .agg(
-            F.count("*").alias("total_events"),
-            F.count_distinct("user_id").alias("unique_users"),
-            F.count_distinct(F.when(is_purchase, F.col("user_id"))).alias("buyers"),
-            F.coalesce(F.sum(F.when(is_purchase, F.col("value"))), F.lit(0.0)).alias(
-                "revenue"
-            ),
-            F.avg(F.when(is_purchase, F.col("value"))).alias("avg_order_value"),
-            F.max(F.when(is_purchase, F.col("value"))).alias("max_order_value"),
-        )
-        .orderBy("event_date")
+    (reference: scripts/llm_daily_report.py:226-356). Delegates to the
+    reporting layer's implementation with the fixture amount column."""
+    from .reports import daily_kpis as kpis_impl
+
+    return kpis_impl(read_events(spark, sf_dir), amount_col="value").orderBy(
+        "event_date"
     )
 
 

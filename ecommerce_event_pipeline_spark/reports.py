@@ -15,21 +15,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def daily_kpis(events: DataFrame) -> DataFrame:
+def daily_kpis(events: DataFrame, amount_col: str = "total_amount") -> DataFrame:
     """The KPI block of the daily report (reference:
     scripts/llm_daily_report.py:226-356): volumes, buyers, revenue, AOV —
     one aggregation pass. The FILTER-clause aggregates of the reference
-    map to avg/sum over `when(cond, x)` (NULLs ignored)."""
+    map to avg/sum over `when(cond, x)` (NULLs ignored). ``amount_col``
+    names the purchase-amount column (the driver fixture log uses
+    ``value``)."""
     is_purchase = F.col("event_type") == "purchase"
     return events.groupBy("event_date").agg(
         F.count("*").alias("total_events"),
         F.count_distinct("user_id").alias("unique_users"),
         F.count_distinct(F.when(is_purchase, F.col("user_id"))).alias("buyers"),
-        F.coalesce(F.sum(F.when(is_purchase, F.col("total_amount"))), F.lit(0.0)).alias(
+        F.coalesce(F.sum(F.when(is_purchase, F.col(amount_col))), F.lit(0.0)).alias(
             "revenue"
         ),
-        F.avg(F.when(is_purchase, F.col("total_amount"))).alias("avg_order_value"),
-        F.max(F.when(is_purchase, F.col("total_amount"))).alias("max_order_value"),
+        F.avg(F.when(is_purchase, F.col(amount_col))).alias("avg_order_value"),
+        F.max(F.when(is_purchase, F.col(amount_col))).alias("max_order_value"),
     )
 
 
@@ -85,8 +87,11 @@ def render_markdown(
 
 
 def build_daily_report(events: DataFrame, quality_report: DataFrame, ds: str) -> str:
-    """End-to-end report for one day's events (all aggregates are small —
-    collecting them is driver-safe at any scale)."""
+    """End-to-end report for ONE day: events are filtered to ``ds`` so
+    multi-day input cannot surface another day's KPIs under this day's
+    header. All aggregates are small — collecting them is driver-safe at
+    any scale."""
+    events = events.where(F.col("event_date") == F.lit(ds))
     kpi_rows = daily_kpis(events).collect()
     kpis = kpi_rows[0].asDict() if kpi_rows else {}
     quality = [r.asDict() for r in quality_report.collect()]

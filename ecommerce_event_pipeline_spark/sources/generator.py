@@ -135,11 +135,12 @@ def generate_events(
                 2,
             )
             * 3600
-            # minute cap 55, second cap 59 keep the longest pattern
-            # (7 × ≤115 s strides) inside the hour+day without clamping
-            # (clamping would create ties that break the strict funnel
-            # ordering Q4 checks)
-            + (F.abs(F.xxhash64(F.col("sh"), F.lit(14))) % 3200)
+            # intra-hour jitter capped at 3184 s: the longest pattern adds
+            # 6×60 + 55 = 415 s, and 3184 + 415 = 3599 keeps every event
+            # inside the start hour — and therefore inside the day even for
+            # hour 23 (no clamping; clamping would create ties that break
+            # the strict funnel ordering Q4 checks)
+            + (F.abs(F.xxhash64(F.col("sh"), F.lit(14))) % 3185)
         ).alias("session_start_s"),
     )
     with_device = with_pattern.withColumn(

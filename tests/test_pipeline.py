@@ -99,3 +99,26 @@ def test_generator_multi_item_purchases(spark):
         for r in purchases.select(F.size("payload.products").alias("n")).distinct().collect()
     }
     assert sizes == {1, 2, 3}  # 1–3 product lines per purchase
+
+
+def test_generator_events_never_cross_midnight(spark):
+    # hour-23 sessions with the longest pattern must stay inside the day
+    ev = generate_events(spark, "2026-02-09", n_users=500)
+    assert ev.select("event_date").distinct().count() == 1
+
+
+def test_pipeline_reruns_are_idempotent_across_dates(spark, tmp_path):
+    out = str(tmp_path)
+    pipeline.run_for_date(spark, "2026-02-10", out, n_users=60)
+    r2 = pipeline.run_for_date(spark, "2026-02-11", out, n_users=60)
+    # day 2's run must not destroy day 1's marts (per-date overwrite)
+    orders = spark.read.parquet(r2.outputs["mart_orders"])
+    assert orders.select("order_date").distinct().count() == 2
+    sessions = spark.read.parquet(r2.outputs["session_patterns"])
+    assert sessions.select("event_date").distinct().count() == 2
+    # re-running the same ds must not duplicate quality/run log rows
+    pipeline.run_for_date(spark, "2026-02-11", out, n_users=60)
+    qlog = spark.read.parquet(r2.outputs["quality_check_log"])
+    assert qlog.where("check_date = '2026-02-11'").count() == 7
+    rlog = spark.read.parquet(r2.outputs["pipeline_run_log"])
+    assert rlog.where("ds = '2026-02-11'").count() == 1
