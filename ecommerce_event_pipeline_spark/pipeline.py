@@ -142,3 +142,50 @@ def run_for_date(
     result.outputs["pipeline_run_log"] = f"{out}/pipeline_run_log"
     events.unpersist()
     return result
+
+
+def main() -> None:
+    """CLI entry — the analog of the reference's spark-submit batch job
+    (reference: scripts/spark_batch_processor.py:394-425 main/arg parsing):
+    run the full day pipeline, write the markdown report and HTML quality
+    dashboard next to the marts, print one summary JSON line."""
+    import argparse
+    import os
+
+    from .reports import build_daily_report, render_html_dashboard
+    from .session import get_spark
+
+    parser = argparse.ArgumentParser(description="Run the daily event pipeline")
+    parser.add_argument("--date", required=True, help="target date YYYY-MM-DD")
+    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument("--users", type=int, default=500, help="simulated users")
+    args = parser.parse_args()
+
+    spark = get_spark(f"event-pipeline-{args.date}")
+    try:
+        result = run_for_date(spark, args.date, args.output, n_users=args.users)
+        if result.status == "SUCCESS":
+            events = spark.read.parquet(result.outputs["raw_events"]).where(
+                F.col("event_date") == args.date
+            )
+            quality = spark.read.parquet(result.outputs["quality_check_log"]).where(
+                F.col("check_date") == args.date
+            )
+            report_dir = f"{args.output.rstrip('/')}/reports"
+            os.makedirs(report_dir, exist_ok=True)
+            with open(f"{report_dir}/daily_{args.date}.md", "w") as fh:
+                fh.write(build_daily_report(events, quality, args.date))
+            with open(f"{report_dir}/dashboard_{args.date}.html", "w") as fh:
+                fh.write(
+                    render_html_dashboard(
+                        args.date, [r.asDict() for r in quality.collect()]
+                    )
+                )
+            result.outputs["reports"] = report_dir
+        print(result.to_json())
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
