@@ -36,7 +36,14 @@ def run_pipeline_task(ds: str, output_dir: str = OUTPUT_DIR) -> dict:
 
 
 def report_task(ds: str, output_dir: str = OUTPUT_DIR) -> str:
-    """Render the daily markdown report from the written marts + logs."""
+    """Render the daily markdown report from the written marts + logs.
+
+    Guards on the quality gate itself (the DAG edge is unconditional, as
+    the report runs on BOTH branches like the reference's converging
+    quality_report task): on a FAIL day raw_events was never loaded, so an
+    alert report is written from the quality log instead of reading a
+    nonexistent/stale mart path.
+    """
     from pyspark.sql import functions as F
 
     from ecommerce_event_pipeline_spark.reports import build_daily_report
@@ -44,17 +51,29 @@ def report_task(ds: str, output_dir: str = OUTPUT_DIR) -> str:
 
     spark = get_spark(f"event-report-{ds}")
     try:
-        events = spark.read.parquet(f"{output_dir}/raw_events").where(
-            F.col("event_date") == ds
-        )
         quality = spark.read.parquet(f"{output_dir}/quality_check_log").where(
             F.col("check_date") == ds
         )
-        report = build_daily_report(events, quality, ds)
-        path = f"{output_dir}/reports/daily_{ds}.md"
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as fh:
-            fh.write(report)
+        quality_rows = [r.asDict() for r in quality.collect()]
+        passed = bool(quality_rows) and all(
+            q["status"] == "PASS" for q in quality_rows
+        )
+        os.makedirs(f"{output_dir}/reports", exist_ok=True)
+        if passed:
+            events = spark.read.parquet(f"{output_dir}/raw_events").where(
+                F.col("event_date") == ds
+            )
+            path = f"{output_dir}/reports/daily_{ds}.md"
+            with open(path, "w") as fh:
+                fh.write(build_daily_report(events, quality, ds))
+        else:
+            path = f"{output_dir}/reports/alert_{ds}.md"
+            failed = [q["check_name"] for q in quality_rows if q["status"] != "PASS"]
+            with open(path, "w") as fh:
+                fh.write(
+                    f"# QUALITY ALERT — {ds}\n\nData was NOT loaded. "
+                    f"Failed checks: {', '.join(failed) or 'no quality log found'}\n"
+                )
         return path
     finally:
         spark.stop()

@@ -99,7 +99,8 @@ def run_for_date(
 
     validator = QualityValidator(events)
     report_df = validator.run_all().withColumn("check_date", F.lit(ds))
-    report = [r.asDict() for r in report_df.collect()]
+    report_rows = report_df.collect()
+    report = [r.asDict() for r in report_rows]
     passed = all(r["status"] == "PASS" for r in report)
 
     result = PipelineResult(
@@ -110,10 +111,12 @@ def run_for_date(
     )
     # quality log is written on BOTH branches (converging DAG edge);
     # partitioned by check_date so a re-run for the same ds REPLACES its
-    # rows instead of appending duplicates (idempotent retries/backfills)
-    report_df.write.mode("overwrite").partitionBy("check_date").parquet(
-        f"{out}/quality_check_log"
-    )
+    # rows instead of appending duplicates (idempotent retries/backfills).
+    # Rebuilt from the already-collected rows — writing report_df directly
+    # would re-run both aggregation passes over the events.
+    spark.createDataFrame(report_rows, report_df.schema).write.mode(
+        "overwrite"
+    ).partitionBy("check_date").parquet(f"{out}/quality_check_log")
     result.outputs["quality_check_log"] = f"{out}/quality_check_log"
 
     if passed:
@@ -126,11 +129,10 @@ def run_for_date(
                 raise ValueError(f"mart {name} lacks a date partition column")
             write_partitioned_parquet(df, path, partition_col=date_col)
             result.outputs[name] = path
-    elif fail_on_quality:
-        events.unpersist()
-        raise RuntimeError(f"quality gate FAILED for {ds}: {report}")
 
-    # pipeline run log (reference: sql/create_tables.sql:64-76)
+    # pipeline run log (reference: sql/create_tables.sql:64-76) — written
+    # BEFORE any fail_on_quality raise so failed runs are recorded too (the
+    # runs an operator most needs to see in the log)
     result.elapsed_s = round(time.time() - t0, 2)
     run_log = spark.createDataFrame(
         [(ds, result.status, event_count, result.elapsed_s)],
@@ -141,6 +143,8 @@ def run_for_date(
     )
     result.outputs["pipeline_run_log"] = f"{out}/pipeline_run_log"
     events.unpersist()
+    if not passed and fail_on_quality:
+        raise RuntimeError(f"quality gate FAILED for {ds}: {report}")
     return result
 
 

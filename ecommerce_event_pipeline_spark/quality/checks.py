@@ -84,21 +84,21 @@ def _report_rows(
             ]
         structs.append(F.struct(*fields))
     rows = agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
-    pass_rate = F.round(
-        (F.lit(1.0) - F.col("failed_records") / F.col("total_records").cast("double"))
-        * 100.0,
-        2,
-    )
+    # denominator floored at 1 exactly like the reference — an empty check
+    # population (e.g. zero purchases for Q6) is a 100% pass, never a
+    # NULL-rate FAIL (reference: scripts/validate_quality.py:36-39
+    # `failed / max(total, 1)`)
+    denom = F.greatest(F.col("total_records"), F.lit(1)).cast("double")
+    rate = F.round((F.lit(1.0) - F.col("failed_records") / denom) * 100.0, 2)
     return (
-        rows.withColumn("pass_rate", pass_rate)
+        rows.withColumn("pass_rate", rate)
+        # status compares the ROUNDED rate, as the reference does
+        # (98.996 rounds to 99.0 → PASS)
         .withColumn(
             "status",
-            F.when(
-                (F.lit(1.0) - F.col("failed_records") / F.col("total_records").cast("double"))
-                * 100.0
-                >= F.lit(PASS_THRESHOLD),
-                F.lit("PASS"),
-            ).otherwise(F.lit("FAIL")),
+            F.when(F.col("pass_rate") >= F.lit(PASS_THRESHOLD), F.lit("PASS")).otherwise(
+                F.lit("FAIL")
+            ),
         )
         .orderBy("check_name")
     )

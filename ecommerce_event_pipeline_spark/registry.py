@@ -456,8 +456,8 @@ r AS (
 SELECT check_name,
        total AS total_records,
        failed_records,
-       ROUND((1 - failed_records / CAST(total AS DOUBLE)) * 100.0, 2) AS pass_rate,
-       CASE WHEN (1 - failed_records / CAST(total AS DOUBLE)) * 100.0 >= 99.0
+       ROUND((1 - failed_records / CAST(GREATEST(total, 1) AS DOUBLE)) * 100.0, 2) AS pass_rate,
+       CASE WHEN ROUND((1 - failed_records / CAST(GREATEST(total, 1) AS DOUBLE)) * 100.0, 2) >= 99.0
             THEN 'PASS' ELSE 'FAIL' END AS status
 FROM r
 ORDER BY check_name
@@ -1506,27 +1506,38 @@ LIMIT 20
 def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped aggregate + HAVING + join-back, expressed through
     the spark.sql FRONT-END over temp views — same Catalyst plan as the
-    DataFrame form (equivalence asserted in tests)."""
+    DataFrame form (equivalence asserted in tests).
+
+    Views get unique names and are dropped once the plan is built (SQL
+    resolves views at analysis time, so the returned DataFrame survives
+    the drop) — a user session's own view names are never clobbered."""
+    import uuid
+
     tune(spark)
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li")
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_ord")
-    read_table(spark, sf_dir, "customer").createOrReplaceTempView("_cust")
-    return spark.sql(
-        """
-        WITH big AS (
-          SELECT l_orderkey, SUM(l_quantity) AS total_quantity
-          FROM _li GROUP BY 1 HAVING SUM(l_quantity) > 300
+    tag = uuid.uuid4().hex[:10]
+    names = {t: f"_{t}_{tag}" for t in ("lineitem", "orders", "customer")}
+    for table, view in names.items():
+        read_table(spark, sf_dir, table).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH big AS (
+              SELECT l_orderkey, SUM(l_quantity) AS total_quantity
+              FROM {names['lineitem']} GROUP BY 1 HAVING SUM(l_quantity) > 300
+            )
+            SELECT o.o_orderkey, c.c_custkey, c.c_name,
+                   TO_DATE(o.o_orderdate) AS order_date,
+                   o.o_totalprice, big.total_quantity
+            FROM {names['orders']} o
+            JOIN big ON o.o_orderkey = big.l_orderkey
+            JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
+            ORDER BY big.total_quantity DESC, o.o_orderkey
+            LIMIT 20
+            """
         )
-        SELECT o.o_orderkey, c.c_custkey, c.c_name,
-               TO_DATE(o.o_orderdate) AS order_date,
-               o.o_totalprice, big.total_quantity
-        FROM _ord o
-        JOIN big ON o.o_orderkey = big.l_orderkey
-        JOIN _cust c ON o.o_custkey = c.c_custkey
-        ORDER BY big.total_quantity DESC, o.o_orderkey
-        LIMIT 20
-        """
-    )
+    finally:
+        for view in names.values():
+            spark.catalog.dropTempView(view)
 
 
 _RICH_IDLE_ORACLE = """

@@ -67,6 +67,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     deliberate: the ns epoch magnitude (~1.7e18) exceeds double's 53-bit
     exact range, so float division could land a microsecond off. The
     truncation matches how DuckDB/pyarrow read the same file (µs).
+
+    Known side effect: ``nanosAsLong`` stays set on the session (it must be
+    active when the lazy plan later EXECUTES, so set-and-restore around the
+    read would break execution) — any subsequent read of an unrelated
+    nanos-timestamp parquet in the same session will yield raw LongType
+    instead of the loud PARQUET_TYPE_ILLEGAL error.
     """
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
@@ -76,8 +82,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: session-scoped cache of the prepared events table, keyed by (session, dir)
+#: session-scoped cache of the prepared events table, keyed by (session, dir).
+#: Entries live for the process; callers that regenerate fixture data
+#: mid-session must clear_events_cache() or the stale cached rows win.
 _EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_events_cache() -> None:
+    """Unpersist and drop every cached events DataFrame (see read_events)."""
+    for df in _EVENTS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # session may already be stopped
+            pass
+    _EVENTS_CACHE.clear()
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

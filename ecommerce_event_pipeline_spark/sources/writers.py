@@ -67,7 +67,10 @@ def compact_partitions(
     rows so parquet min/max stats prune row groups for queries filtering
     on those columns (poor man's Z-order for a single dimension).
 
-    Returns the number of files after compaction.
+    The compacted copy is written ALONGSIDE the input at
+    ``<path>__compacted`` — atomically swapping it in place of the
+    original is the caller's step (rename/alias/manifest update,
+    store-specific). Returns the number of files after compaction.
     """
     df = spark.read.parquet(path)
     out = df.repartition(partition_col)
@@ -79,6 +82,6 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(path + "__compacted")
     )
-    import glob
-
-    return len(glob.glob(f"{path}__compacted/*/*.parquet"))
+    # count via Spark's file index, not a local-FS glob — works for any
+    # Hadoop-compatible path (s3a://, hdfs://, file:)
+    return len(spark.read.parquet(path + "__compacted").inputFiles())

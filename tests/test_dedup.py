@@ -64,7 +64,14 @@ def test_simhash_identical_docs_same_fingerprint(spark, docs):
 def test_simhash_dupes_blocks_and_verifies(spark, docs):
     out = {
         (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
-        for r in dedup.simhash_dupes(docs, max_hamming=10).collect()
+        for r in dedup.simhash_dupes(docs, max_hamming=3).collect()
     }
     assert out[(1, 2)] == 0
     assert (1, 4) not in out
+
+
+def test_simhash_dupes_rejects_radius_beyond_pigeonhole(spark, docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_dupes(docs, max_hamming=4)

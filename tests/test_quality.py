@@ -157,3 +157,13 @@ def test_gate_fails_below_threshold(spark):
 
 def test_gate_passes_on_clean_data(spark, valid_session_rows):
     assert QualityValidator(events_df(spark, valid_session_rows)).gate() is True
+
+
+def test_empty_check_population_passes(spark):
+    # a day with zero purchases: Q6's denominator is 0 → the reference
+    # floors it at 1 (pass rate 100), never a NULL-rate FAIL
+    rows = [make_event("page_view"), make_event("click")]
+    rep = _report(spark, rows)
+    assert rep["q6_order_amount"]["total_records"] == 0
+    assert rep["q6_order_amount"]["pass_rate"] == 100.0
+    assert rep["q6_order_amount"]["status"] == "PASS"
