@@ -106,7 +106,9 @@ def union_activity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("row_count"),
             F.count_distinct("entity_key").alias("unique_keys"),
-            F.sum("amount").alias("total_amount"),
+            # rounded to cents: double accumulation order is partition-
+            # dependent, the rounded sum is deterministic
+            F.round(F.sum("amount"), 2).alias("total_amount"),
         )
         .orderBy("kind")
     )

@@ -118,7 +118,9 @@ def local_supplier_volume(
     return (
         joined.groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -160,8 +162,11 @@ def market_segment_summary(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("order_count"),
             F.count_distinct("o_custkey").alias("unique_customers"),
-            F.sum("o_totalprice").alias("total_revenue"),
-            F.avg("o_totalprice").alias("avg_order_value"),
+            # money sums/avgs round to cents: accumulation order differs
+            # across partitions (and engines), so the raw double is not
+            # deterministic — the rounded value is.
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
             F.max("o_totalprice").alias("max_order_value"),
         )
         .orderBy("c_mktsegment")
@@ -367,7 +372,7 @@ def rich_idle_customers(
         idle.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("customer_count"),
-            F.sum("c_acctbal").alias("total_balance"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
         .orderBy("c_mktsegment")
     )

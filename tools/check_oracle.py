@@ -5,8 +5,9 @@ DuckDB on the same fixture dir, then compares:
 
 - row count
 - column-name sets
-- order-insensitive values (rows sorted; floats compared with relative
-  tolerance; everything else exact)
+- order-insensitive values (rows sorted; EXACT comparison, including
+  full-precision floats — the driver hashes exact values, so any float
+  tolerance here would mask a driver-side hash mismatch)
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -36,11 +37,18 @@ def normalize(v):
     return v
 
 
-def values_equal(a, b, rel=1e-9, abs_tol=1e-9):
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        if isinstance(b, float) and math.isnan(a) and math.isnan(b):
+def values_equal(a, b):
+    # Exact, like the driver's value hash. NaN==NaN is the only concession
+    # (both engines emit real NaN objects; a hash of the repr treats them
+    # identically too).
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, float(b), rel_tol=rel, abs_tol=abs_tol)
+        return a == b and repr(a) == repr(b)
+    if isinstance(a, float) or isinstance(b, float):
+        # int-vs-float type drift (e.g. DuckDB DOUBLE vs Spark LONG) would
+        # change the hashed repr → flag it even when numerically equal.
+        return False
     return a == b
 
 
@@ -63,7 +71,7 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
         for i in idx:
             v = normalize(row[i])
             if isinstance(v, float):
-                v = f"{v:.6g}"
+                v = repr(v)  # full precision — exact rows must sort together
             out.append(str(v))
         return tuple(out)
 
