@@ -150,22 +150,10 @@ def ann_topk(
     return brute_force_topk(candidates, query, k)
 
 
-def ivf_assign(
-    embeddings: DataFrame, n_centroids: int = 16, centroid_source: DataFrame | None = None
-) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantization: assign every vector to its nearest centroid
-    (one vectorized matmul per Arrow batch). Centroids are the first
-    ``n_centroids`` vectors by vec_id — deterministic and good enough as a
-    coarse quantizer for near-uniform data; swap in k-means centroids for
-    clustered corpora without touching the assignment path."""
+def _nearest_udf(cents: np.ndarray):
+    """Vectorized nearest-centroid assignment against a broadcast-closure
+    centroid matrix (rows must be L2-normalized)."""
     from pyspark.sql.types import IntegerType
-
-    src = centroid_source if centroid_source is not None else embeddings
-    cent_rows = (
-        src.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
-    )
-    cents = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
 
     @F.pandas_udf(IntegerType())
     def nearest(emb: pd.Series) -> pd.Series:
@@ -173,7 +161,82 @@ def ivf_assign(
         mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
         return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
 
-    return embeddings.withColumn("centroid_id", nearest(F.col("embedding"))), cents
+    return nearest
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids via distributed Lloyd iterations.
+
+    - **Init**: the ``n_centroids`` vectors ranked first by
+      ``xxhash64(vec_id, seed)`` — a deterministic pseudo-random sample
+      (TakeOrderedAndProject + bounded collect), unbiased unlike first-N
+      by vec_id on clustered/sorted corpora.
+    - **Iterate**: assignment is the same vectorized matmul UDF the search
+      path uses; the update is a per-(cluster, dim) declarative aggregate
+      (posexplode → groupBy → sum/count), so only K·dim partial rows ever
+      reach the driver — never the vectors themselves.
+    - Empty clusters keep their previous centroid.
+
+    At 100 TB run this on a deterministic sample (filter on
+    ``xxhash64(vec_id, seed) % N``) — centroid quality needs only ~1k
+    points per cluster, and the assignment pass stays full-corpus.
+    """
+    init_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in init_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+
+    for _ in range(iters):
+        assigned = embeddings.withColumn(
+            "centroid_id", _nearest_udf(cents)(F.col("embedding"))
+        )
+        partials = (
+            assigned.select(
+                "centroid_id", F.posexplode(_as_double("embedding")).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()  # bounded: n_centroids × dim rows
+        )
+        new = cents.copy()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in partials:
+            sums[r["centroid_id"], r["pos"]] = r["s"]
+            counts[r["centroid_id"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        new /= np.linalg.norm(new, axis=1, keepdims=True) + 1e-12
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroid_source: DataFrame | None = None,
+    kmeans_iters: int = 4,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (one vectorized matmul per Arrow batch). Centroids come from seeded
+    spherical k-means (``kmeans_iters`` Lloyd rounds over a deterministic
+    init); ``kmeans_iters=0`` degrades to the raw seeded sample — still
+    unbiased, just unrefined."""
+    src = centroid_source if centroid_source is not None else embeddings
+    cents = kmeans_centroids(src, n_centroids, iters=kmeans_iters)
+    return (
+        embeddings.withColumn("centroid_id", _nearest_udf(cents)(F.col("embedding"))),
+        cents,
+    )
 
 
 def ivf_topk(
@@ -182,12 +245,13 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 4,
 ) -> DataFrame:
     """IVF search: probe the ``n_probe`` clusters nearest the query, exact
-    cosine rerank within them. At scale the assignment is precomputed and
-    the probe is a partition-pruned read of ~n_probe/n_centroids of the
-    data instead of a full scan."""
-    assigned, cents = ivf_assign(embeddings, n_centroids)
+    cosine rerank within them. At scale the k-means fit and assignment are
+    precomputed and the probe is a partition-pruned read of
+    ~n_probe/n_centroids of the data instead of a full scan."""
+    assigned, cents = ivf_assign(embeddings, n_centroids, kmeans_iters=kmeans_iters)
     q = np.asarray(
         query.select("embedding").collect()[0]["embedding"], dtype=np.float64
     )

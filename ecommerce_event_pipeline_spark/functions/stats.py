@@ -1,15 +1,14 @@
-"""Statistical operators: exact percentiles and grouped-map model fitting.
+"""Statistical operators: exact percentiles and closed-form trend fitting.
 
-``percentile`` is JVM-side exact (sort-based within the aggregate);
-``applyInPandas`` appears only for the per-group model fit — the canonical
-grouped-map use case (each group's rows must be in one place, the model is
-a numpy call, output is one row per group).
+Everything here is JVM-side: ``percentile`` is exact (sort-based within
+the aggregate) and the per-user trend is closed-form least squares over
+plain ``F.sum`` aggregates — a 1-degree polyfit has an algebraic solution,
+so grouped-map ``applyInPandas`` (Arrow transfer + per-group Python) would
+be pure overhead. Reserve grouped-map for models without closed forms.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,35 +28,49 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+#: Fixed epoch offset (seconds) subtracted before the regression sums —
+#: keeps t² within double's exact range so the normal equations don't
+#: cancel catastrophically. Must match the oracle SQL constant.
+_TREND_EPOCH_OFFSET = 1_700_000_000
+
+
 def user_purchase_trend(events: DataFrame, min_purchases: int = 3) -> DataFrame:
-    """Per-user linear trend of purchase values over time via grouped-map
-    ``applyInPandas``: one least-squares fit per user (numpy), one output
-    row per user. The shuffle is keyed by user — each group is small, the
-    fleet of fits parallelizes across executors."""
+    """Per-user linear trend of purchase values over time as a closed-form
+    least-squares fit: ``slope = (nΣtv − ΣtΣv) / (nΣt² − (Σt)²)`` — five
+    plain aggregates per user, entirely JVM-side (no grouped-map, no Arrow
+    transfer). ``intercept`` is the value at the user's time centroid,
+    i.e. the mean purchase value (the centered-fit intercept).
+
+    t is converted to days relative to a fixed offset BEFORE summing:
+    epoch-seconds squared (~3e18) exceeds double's 53-bit exact range and
+    the normal equations would cancel catastrophically; day-scale values
+    keep every sum well-conditioned. Outputs are rounded (slope 6dp,
+    intercept 2dp) so the result is accumulation-order independent."""
+    t_days = (
+        (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH_OFFSET)).cast("double")
+        / F.lit(86400.0)
+    )
     purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_timestamp("ts").alias("t"), "value"
+        "user_id", t_days.alias("t"), F.col("value").alias("v")
     )
-
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < min_purchases:
-            return pd.DataFrame(
-                columns=["user_id", "n_purchases", "slope_per_day", "intercept"]
-            )
-        t = pdf["t"].to_numpy(dtype=np.float64)
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        t0 = (t - t.mean()) / 86400.0  # days, centered → stable fit
-        slope, intercept = np.polyfit(t0, v, 1)
-        return pd.DataFrame(
-            [[pdf["user_id"].iloc[0], len(pdf), float(slope), float(intercept)]],
-            columns=["user_id", "n_purchases", "slope_per_day", "intercept"],
-        )
-
-    return (
+    agg = (
         purchases.groupBy("user_id")
-        .applyInPandas(
-            fit,
-            schema="user_id long, n_purchases long, slope_per_day double, "
-            "intercept double",
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("t").alias("st"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("t") * F.col("v")).alias("stv"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
         )
-        .orderBy("user_id")
+        .where(F.col("n_purchases") >= min_purchases)
     )
+    n = F.col("n_purchases").cast("double")
+    slope = (n * F.col("stv") - F.col("st") * F.col("sv")) / F.nullif(
+        n * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0)
+    )
+    return agg.select(
+        "user_id",
+        "n_purchases",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(F.col("sv") / n, 2).alias("intercept"),
+    ).orderBy("user_id")

