@@ -210,8 +210,13 @@ class QualityValidator:
             - F.coalesce(payload["discount_amount"], F.lit(0.0))
             + F.coalesce(payload["shipping_fee"], F.lit(0.0))
         )
+        # the reference gates on `if extra:` — Python-falsy, so an EMPTY
+        # string payload is skipped, not parsed-and-failed; isNotNull()
+        # alone would count extra_data='' as a failure
         is_purchase_with_payload = (
-            (F.col("event_type") == "purchase") & F.col("extra_data").isNotNull()
+            (F.col("event_type") == "purchase")
+            & F.col("extra_data").isNotNull()
+            & (F.col("extra_data") != "")
         )
         # an item with a NULL quantity/unit_price raises TypeError in the
         # reference (⇒ failure); mirror explicitly — the summation above
@@ -257,7 +262,13 @@ class QualityValidator:
         a session fails if it has a purchase but no add_to_cart anywhere
         (order-insensitive), or it has an add_to_cart but no page_view/click
         strictly before the FIRST add_to_cart (order-sensitive). Denominator
-        is the session count.
+        is the session count. "Before" is POSITIONAL, not a raw timestamp
+        compare: the reference stable-sorts by ts and walks positions, so a
+        page_view sharing the cart's timestamp but ordered ahead of it
+        passes. We mirror that with row_number over (ts, event_id) — same
+        result on tie-free data, reference-faithful on tied timestamps
+        (event_id standing in for the reference's input order, which a
+        distributed read cannot observe).
 
         Q7b platform consistency (reference: scripts/validate_quality.py:305-315):
         each event whose platform differs from the session's first-seen
@@ -266,16 +277,18 @@ class QualityValidator:
         """
         w = Window.partitionBy("session_id").orderBy("ts", "event_id")
         first_platform = F.first("platform").over(w)
-        with_first = self.events.withColumn("_first_platform", first_platform)
+        with_first = self.events.withColumn(
+            "_first_platform", first_platform
+        ).withColumn("_pos", F.row_number().over(w))
         return with_first.groupBy("session_id").agg(
             F.max(_i(F.col("event_type") == "purchase")).alias("has_purchase"),
             F.max(_i(F.col("event_type") == "add_to_cart")).alias("has_cart"),
             F.min(
-                F.when(F.col("event_type") == "add_to_cart", F.col("ts"))
-            ).alias("first_cart_ts"),
+                F.when(F.col("event_type") == "add_to_cart", F.col("_pos"))
+            ).alias("first_cart_pos"),
             F.min(
-                F.when(F.col("event_type").isin("page_view", "click"), F.col("ts"))
-            ).alias("first_view_ts"),
+                F.when(F.col("event_type").isin("page_view", "click"), F.col("_pos"))
+            ).alias("first_view_pos"),
             F.sum(_i(F.col("platform") != F.col("_first_platform"))).alias(
                 "platform_switches"
             ),
@@ -288,8 +301,10 @@ class QualityValidator:
             | (
                 (F.col("has_cart") == 1)
                 & (
-                    F.col("first_view_ts").isNull()
-                    | (F.col("first_view_ts") >= F.col("first_cart_ts"))
+                    F.col("first_view_pos").isNull()
+                    # positions are unique within a session, so > is
+                    # "not strictly before" — ties on ts resolve by order
+                    | (F.col("first_view_pos") > F.col("first_cart_pos"))
                 )
             )
         )

@@ -167,3 +167,24 @@ def test_empty_check_population_passes(spark):
     assert rep["q6_order_amount"]["total_records"] == 0
     assert rep["q6_order_amount"]["pass_rate"] == 100.0
     assert rep["q6_order_amount"]["status"] == "PASS"
+
+
+def test_q4_tied_timestamp_view_ordered_before_cart_passes(spark):
+    """Positional "before": a page_view sharing the cart's timestamp but
+    ordered ahead of it (event_id tiebreak standing in for the reference's
+    stable input order) satisfies the funnel — a raw ts >= compare would
+    wrongly fail the session."""
+    ts = "2026-01-15T10:00:00"
+    rows = [
+        make_event("page_view", event_id="a-view", timestamp=ts),
+        make_event("add_to_cart", event_id="b-cart", timestamp=ts),
+    ]
+    rep = _report(spark, rows)
+    assert rep["q4_funnel_sequence"]["failed_records"] == 0
+
+
+def test_q6_empty_string_payload_is_skipped_not_failed(spark):
+    # reference gates on `if extra:` — falsy '' payload is skipped entirely
+    rows = [make_event("purchase", extra_data="", total_amount=100.0)]
+    rep = _report(spark, rows)
+    assert rep["q6_order_amount"]["failed_records"] == 0
