@@ -150,6 +150,113 @@ def ann_topk(
     return brute_force_topk(candidates, query, k)
 
 
+def _exact_pair_cosine(
+    embeddings: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact cosine for a (small) candidate pair set: broadcast the pairs,
+    join the vectors back in, and compute the similarity as the SAME
+    sequential zip_with/aggregate fold the rest of this module uses — the
+    fold order is deterministic, so results are bit-identical to any
+    engine that folds the list in order (this is what keeps the DuckDB
+    oracle exact; a BLAS dot would differ in the last bits)."""
+    e1 = embeddings.select(
+        F.col("vec_id").alias("vec_id_1"), _as_double("embedding").alias("_e1")
+    )
+    e2 = embeddings.select(
+        F.col("vec_id").alias("vec_id_2"), _as_double("embedding").alias("_e2")
+    )
+    joined = F.broadcast(candidates).join(e1, "vec_id_1").join(e2, "vec_id_2")
+    cos_raw = cosine_sim(F.col("_e1"), F.col("_e2"), decimals=None)
+    return (
+        joined.withColumn("_cos", cos_raw)
+        .where(F.col("_cos") >= F.lit(threshold))
+        .withColumn("cosine_sim", F.round(F.col("_cos"), 6))
+        .drop("_e1", "_e2", "_cos")
+    )
+
+
+def blocked_cosine_pairs(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.35,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within metadata blocks.
+
+    Two stages, the standard shape for exact similarity join at scale:
+
+    1. **Block GEMM prefilter**: one ``applyInPandas`` per block computes
+       the block's full cosine matrix as a single normalized matmul (BLAS)
+       and emits only pairs with approx cosine ≥ threshold − margin. Cost
+       is O(|block|²·d) FLOPS but zero Python-loop overhead, and only
+       qualifying pairs leave the executor.
+    2. **Exact rerank**: the surviving pairs (tiny) are re-scored with the
+       sequential fold so the final values and the ≥ threshold cut are
+       bit-deterministic (margin 1e-6 ≫ the ~1e-14 summation-order noise,
+       so stage 1 can never drop a truly qualifying pair).
+
+    At 100 TB, blocks are whatever partitioning the corpus already has
+    (source, shard, language, IVF cell); a block too big for one task gets
+    sub-blocked by an IVF assignment first. This mirrors the shingle-df
+    cap in the Jaccard path: bounded block size ⇒ bounded task cost, no
+    corpus² anywhere."""
+    spark_schema = "vec_id_1 long, vec_id_2 long"
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id_1": [], "vec_id_2": []})
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        sims = mat @ mat.T
+        iu = np.triu_indices(n, k=1)
+        keep = sims[iu] >= (threshold - margin)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {"vec_id_1": ids[iu[0][keep]], "vec_id_2": ids[iu[1][keep]]}
+        )
+
+    cands = embeddings.groupBy(block_col).applyInPandas(block_pairs, spark_schema)
+    blocks = embeddings.select(
+        F.col("vec_id").alias("vec_id_1"), F.col(block_col).alias(block_col)
+    )
+    out = _exact_pair_cosine(embeddings, cands, threshold).join(
+        F.broadcast(blocks), "vec_id_1"
+    )
+    return out.select(
+        "vec_id_1", "vec_id_2", block_col, "cosine_sim"
+    ).orderBy("vec_id_1", "vec_id_2")
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    dim: int = 64,
+    bits: int = 12,
+    tables: int = 6,
+) -> DataFrame:
+    """Full-corpus embedding near-dup via random-hyperplane LSH: candidate
+    pairs share a signature in ≥1 table (bucket self-join — corpus² never
+    materializes), then exact cosine verification of the candidates only.
+    Approximate-recall by construction (tunable via bits/tables), so this
+    is the cross-block scale path; the blocked variant is the exact one."""
+    sigs = lsh_signatures(embeddings, dim, bits, tables)
+    a = sigs.select(F.col("vec_id").alias("vec_id_1"), "table_id", "signature")
+    b = sigs.select(F.col("vec_id").alias("vec_id_2"), "table_id", "signature")
+    cands = (
+        a.join(b, ["table_id", "signature"])
+        .where(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2")
+        .distinct()
+    )
+    return _exact_pair_cosine(embeddings, cands, threshold).select(
+        "vec_id_1", "vec_id_2", "cosine_sim"
+    ).orderBy("vec_id_1", "vec_id_2")
+
+
 def _nearest_udf(cents: np.ndarray):
     """Vectorized nearest-centroid assignment against a broadcast-closure
     centroid matrix (rows must be L2-normalized)."""

@@ -560,6 +560,45 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
 
 
+_EMB_NEAR_DUP_ORACLE = """
+WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label AS label,
+         list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+         / (SQRT(list_sum(list_transform(a.e, x -> x * x)))
+            * SQRT(list_sum(list_transform(b.e, x -> x * x)))) AS c
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_id_1, vec_id_2, label, ROUND(c, 6) AS cosine_sim
+FROM p
+WHERE c >= 0.35
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+@register("embedding_near_dupes", _EMB_NEAR_DUP_ORACLE)
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within label blocks: per-block
+    GEMM prefilter (one vectorized matmul per block, only qualifying pairs
+    leave the executor) + sequential-fold exact rerank so the oracle's
+    fold-in-order cosine matches bit-for-bit. The fixtures plant no
+    ≥0.9-cosine dupes, so the threshold sits where the pair set is small
+    but non-empty at every SF."""
+    return similarity.blocked_cosine_pairs(
+        read_table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
+    )
+
+
+@register("embedding_lsh_near_dupes", None)  # LSH candidates → approximate recall
+def embedding_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus cosine near-dup via random-hyperplane LSH buckets + exact
+    verification — the cross-block scale path (recall tunable via
+    bits/tables, checked against the exact blocked variant in tests)."""
+    return similarity.lsh_cosine_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.3, bits=12, tables=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window operators beyond the reference (sessionization, frames, top-k/group)
 # ---------------------------------------------------------------------------
@@ -1152,9 +1191,16 @@ def _synthetic_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("extra_data"),
         )
     )
+    if cache_on:
+        # Cache ONLY the purchases branch: it carries the expensive
+        # collect_list + to_json construction (and the wide JSON strings),
+        # while the direct branch is a cheap narrow join that recomputes in
+        # well under a second — caching the whole union roughly doubles the
+        # materialization cost for no downstream saving.
+        purchases = purchases.cache()
     out = purchases.unionByName(direct)
     if cache_on:
-        _SYNTH_LOG_CACHE[key] = out.cache()
+        _SYNTH_LOG_CACHE[key] = out
         return _SYNTH_LOG_CACHE[key]
     return out
 

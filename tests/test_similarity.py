@@ -106,3 +106,55 @@ def test_ivf_kmeans_recall_on_clustered_corpus(spark):
     # with k-means centroids the query's whole neighborhood lives in the
     # probed clusters; sampled-but-unrefined centroids miss chunks of it
     assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_blocked_cosine_pairs_finds_planted_dupe(spark):
+    emb = _clustered_corpus(spark).cache()
+    # plant a near-exact duplicate of vec 0 inside its own label block
+    import numpy as np
+
+    base = np.array(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    dupe = [(10_000, "c0", [float(x) for x in base * 1.0001])]
+    corpus = emb.unionByName(
+        spark.createDataFrame(dupe, "vec_id long, label string, embedding array<float>")
+    )
+    pairs = similarity.blocked_cosine_pairs(
+        corpus, block_col="label", threshold=0.99
+    ).collect()
+    assert [(r["vec_id_1"], r["vec_id_2"]) for r in pairs] == [(0, 10_000)]
+    assert pairs[0]["cosine_sim"] >= 0.999999
+    assert pairs[0]["label"] == "c0"
+
+
+def test_blocked_pairs_respect_blocks(spark):
+    emb = _clustered_corpus(spark).cache()
+    # same-cluster vectors have high cosine, so pairs exist within labels;
+    # every returned pair must share its label (cross-block pairs excluded
+    # by construction)
+    pairs = similarity.blocked_cosine_pairs(emb, block_col="label", threshold=0.9)
+    got = pairs.limit(50).collect()
+    assert len(got) > 0
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in got:
+        assert lbl[r["vec_id_1"]] == lbl[r["vec_id_2"]] == r["label"]
+
+
+def test_lsh_cosine_pairs_recall_vs_blocked_exact(spark):
+    emb = _clustered_corpus(spark).cache()
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in similarity.blocked_cosine_pairs(
+            emb, block_col="label", threshold=0.95
+        ).collect()
+    }
+    approx = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in similarity.lsh_cosine_pairs(
+            emb, threshold=0.95, dim=16, bits=6, tables=8
+        ).collect()
+    }
+    assert exact, "clustered corpus should contain high-cosine pairs"
+    # LSH is a superset candidate space (cross-block too) verified exactly,
+    # so every pair it returns is genuinely >= threshold; recall of the
+    # within-block truth should be high at 6 bits x 8 tables for cos 0.95
+    assert len(exact & approx) / len(exact) >= 0.8
