@@ -1465,6 +1465,27 @@ def streaming_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_streaming_hourly_traffic(spark, sf_dir)
 
 
+_STREAM_DEDUP_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(DISTINCT event_id) AS deduped_events
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("streaming_dedup", _STREAM_DEDUP_ORACLE)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming exact dedup
+    (``dropDuplicatesWithinWatermark``) — the deduped stream's daily counts
+    must equal batch per-day distinct keys, which is what the oracle
+    asserts (duplicate-arrival behavior is pytest-covered with planted
+    dupes; the fixture itself is duplicate-free)."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_dedup(spark, sf_dir)
+
+
 _STREAM_SESSION_ORACLE = """
 WITH g AS (
   SELECT user_id, ts, value, event_type,

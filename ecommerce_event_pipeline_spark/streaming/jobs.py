@@ -204,3 +204,30 @@ def run_streaming_to_parquet(
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(output_path).orderBy("window_start")
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicatesWithinWatermark`` on
+    the event key, state bounded by the watermark horizon — the streaming
+    twin of the batch hash-groupBy dedup (``functions/dedup.exact_dedup``)
+    and the idempotent-append key contract (``sources/writers``).
+
+    Append mode emits each first-seen event immediately; duplicates that
+    arrive within the watermark window are dropped by keyed state, and the
+    watermark bounds that state (an unbounded ``dropDuplicates`` would grow
+    state forever on an infinite stream — the *WithinWatermark* variant is
+    the only production-safe form). The daily rollup of the deduped stream
+    happens batch-side on the sink table, so the streaming stage stays a
+    single stateful operator.
+    """
+    events = streaming_events(spark, sf_dir).select("event_id", "ts")
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    table = _run_to_memory(deduped, "append")
+    return (
+        spark.table(table)
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count("*").alias("deduped_events"))
+        .orderBy("event_date")
+    )

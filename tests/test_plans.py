@@ -72,3 +72,28 @@ def test_no_python_udf_in_relational_paths(spark):
         plan = plan_of(name, spark)
         assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
         assert "ArrowEvalPython" not in plan, f"{name} uses a UDF it shouldn't"
+
+
+def test_orders_mart_bounds_driver_transfer(spark):
+    plan = plan_of("orders_mart", spark)
+    assert "TakeOrderedAndProject" in plan, "orders_mart lost its bounded-transfer slice"
+
+
+def test_embedding_near_dupes_broadcasts_candidates(spark):
+    # exact rerank joins the (tiny) candidate pair set back to the vectors —
+    # the pair side must broadcast, the vector scan must never shuffle into
+    # a sort-merge join
+    plan = plan_of("embedding_near_dupes", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_self_join_reuses_one_shingle_pass(spark):
+    # the shingle transform must be computed once and served to every
+    # branch (stop-list, capped sets, both join sides) via exchange reuse —
+    # AQE only marks the reuse in the final (post-execution) plan
+    df = registry.queries()["ngram_jaccard_pairs"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "InMemoryTableScan" in plan, plan[:2000]

@@ -69,3 +69,42 @@ def test_foreach_batch_parquet_sink_is_idempotent(spark, tmp_path):
         .count()
     )
     assert len(first) == batch.count()
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    stream = jobs.run_streaming_dedup(spark, SF_DIR)
+    batch = (
+        read_events(spark, SF_DIR)
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count_distinct("event_id").alias("deduped_events"))
+        .orderBy("event_date")
+    )
+    assert [tuple(r) for r in stream.collect()] == [tuple(r) for r in batch.collect()]
+
+
+def test_streaming_dedup_drops_planted_duplicates(spark, tmp_path):
+    import glob
+    import os
+
+    # raw-schema rows (ts as ns int64, like the fixture): four rows, one
+    # event_id planted twice within the watermark window
+    ns = 1_700_000_000 * 1_000_000_000
+    rows = [
+        (1, ns, 10, "click", 1.0, None),
+        (2, ns + 60 * 10**9, 10, "click", 1.0, None),
+        (1, ns + 120 * 10**9, 10, "click", 1.0, None),  # duplicate of event 1
+        (3, ns + 180 * 10**9, 11, "purchase", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_staging"))
+    part = glob.glob(str(tmp_path / "_staging" / "part-*.parquet"))[0]
+    os.rename(part, str(tmp_path / "events.parquet"))
+
+    out = jobs.run_streaming_dedup(spark, str(tmp_path))
+    assert [tuple(r) for r in out.collect()] == [
+        (__import__("datetime").date(2023, 11, 14), 3)
+    ]
