@@ -246,8 +246,10 @@ def lsh_cosine_pairs(
     sigs = lsh_signatures(embeddings, dim, bits, tables)
     a = sigs.select(F.col("vec_id").alias("vec_id_1"), "table_id", "signature")
     b = sigs.select(F.col("vec_id").alias("vec_id_2"), "table_id", "signature")
+    # shuffle_hash self-join: both sides are the same pandas_udf signature
+    # subtree — broadcasting one side would run the matmul twice
     cands = (
-        a.join(b, ["table_id", "signature"])
+        a.join(b.hint("shuffle_hash"), ["table_id", "signature"])
         .where(F.col("vec_id_1") < F.col("vec_id_2"))
         .select("vec_id_1", "vec_id_2")
         .distinct()

@@ -969,6 +969,81 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(read_table(spark, sf_dir, "documents"))
 
 
+@register("simhash_near_dupes", None)  # xxhash64-based → rows-only
+def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit quarter pigeonhole blocking + exact
+    Hamming verify (≤3 bits). Deterministic but hash-family-specific, so
+    rows-only; the pair semantics are pytest-verified against planted
+    near-dups and the blocking guarantee is enforced in the operator."""
+    return dedup.simhash_dupes(read_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
+),
+ex AS (
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  )
+  WHERE jaccard >= 0.2
+),
+edges AS (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph: every
+    document mapped to its cluster representative (min doc_id reachable
+    through ≥0.2-similarity pairs) — min-label propagation in Spark, a
+    recursive transitive-closure CTE in the oracle. The iterative loop is
+    the documented exception pattern (driver-side BSP with checkpointed
+    rounds); the result is still exactly SQL-checkable."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.2, max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    return dedup.dedup_clusters(docs, pairs)
+
+
 @register("doc_fingerprints", None)  # xxhash64-based → rows-only
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content hash + positional rolling hash per document."""

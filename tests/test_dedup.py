@@ -75,3 +75,17 @@ def test_simhash_dupes_rejects_radius_beyond_pigeonhole(spark, docs):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_dupes(docs, max_hamming=4)
+
+
+def test_dedup_clusters_min_label_over_chain(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # chain 1-2-3 (transitive), pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_id_1 long, doc_id_2 long"
+    )
+    from ecommerce_event_pipeline_spark.functions.dedup import dedup_clusters
+
+    got = [(r["doc_id"], r["cluster_id"]) for r in dedup_clusters(docs, pairs).collect()]
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)]
