@@ -1561,6 +1561,28 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_streaming_dedup(spark, sf_dir)
 
 
+_STREAM_ENRICHED_ORACLE = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS event_count,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("streaming_enriched_traffic", _STREAM_ENRICHED_ORACLE)
+def streaming_enriched_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (event stream × customer→nation
+    dim) + per-nation aggregate; the streaming result must equal the batch
+    three-table join, which is what the oracle asserts."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_enriched_traffic(spark, sf_dir)
+
+
 _STREAM_SESSION_ORACLE = """
 WITH g AS (
   SELECT user_id, ts, value, event_type,
@@ -2288,6 +2310,156 @@ def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_dropped"),
         )
         .orderBy("lang")
+    )
+
+
+_CURATED_CORPUS_ORACLE = """
+WITH q AS (
+  SELECT doc_id,
+         ROUND((LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0)
+                + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))
+                + (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                      AS DOUBLE) / len(string_split(text, ' ')) - 0.4)))
+               / 3.0, 4) AS quality_score
+  FROM documents
+),
+h AS (SELECT doc_id, md5(text) AS th FROM documents),
+keepers AS (SELECT th, MIN(doc_id) AS keeper FROM h GROUP BY 1),
+exact_losers AS (
+  SELECT doc_id FROM h JOIN keepers USING (th) WHERE doc_id <> keeper
+),
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
+ex AS (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+near_losers AS (
+  SELECT DISTINCT doc_id_2 AS doc_id FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  ) WHERE jaccard >= 0.6
+),
+f AS (
+  SELECT d.lang, d.source, q.quality_score,
+         CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN q.quality_score < 0.6 THEN 'low_quality'
+              ELSE 'kept' END AS status
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  LEFT JOIN exact_losers e ON d.doc_id = e.doc_id
+  LEFT JOIN near_losers n ON d.doc_id = n.doc_id
+)
+SELECT lang, source, docs_total, docs_kept, dropped_exact_dup,
+       dropped_near_dup, dropped_low_quality,
+       -- half-up rounding carried out in INTEGER arithmetic: a float mean
+       -- can land on a .5 ulp boundary where Spark (shortest-repr) and
+       -- DuckDB (binary) round opposite ways; int-div of identical
+       -- integers cannot, and int/10000.0 is the same double in both
+       CAST((2 * qsum + docs_kept) // (2 * NULLIF(docs_kept, 0)) AS DOUBLE)
+         / 10000.0 AS avg_kept_quality
+FROM (
+  SELECT lang, source,
+         COUNT(*) AS docs_total,
+         CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_exact_dup,
+         CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_near_dup,
+         CAST(SUM(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality,
+         -- integer micro-quality sum: per-doc scores are exact 4-decimal
+         -- multiples, so summing them as ints is order-independent; the
+         -- final avg divides identical integers in both engines
+         SUM(CASE WHEN status = 'kept'
+             THEN CAST(ROUND(quality_score * 10000) AS BIGINT) END) AS qsum
+  FROM f
+  GROUP BY 1, 2
+)
+ORDER BY 1, 2
+"""
+
+
+@register("curated_corpus", _CURATED_CORPUS_ORACLE)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composition a data
+    pipeline actually ships: exact dedup (md5 keeper), near-dedup (exact
+    3-gram Jaccard ≥0.6 over the df-capped shingle universe), then a
+    quality floor, with first-matching-drop-reason accounting per
+    lang × source. All three stages reuse the operators registered
+    individually (exact_dedup / ngram_jaccard_pairs / quality_score), so
+    this is one shuffle per stage plus the final rollup — no new scan
+    shapes."""
+    from .functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    keepers = h.groupBy("th").agg(F.min("doc_id").alias("keeper"))
+    exact_losers = (
+        h.join(keepers, "th")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .withColumn("_exact", F.lit(1))
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.6, max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    near_losers = (
+        pairs.select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    status = (
+        F.when(F.col("_exact").isNotNull(), "exact_dup")
+        .when(F.col("_near").isNotNull(), "near_dup")
+        .when(F.col("quality_score") < 0.6, "low_quality")
+        .otherwise("kept")
+    )
+    flagged = (
+        docs.select("doc_id", "lang", "source")
+        .join(q, "doc_id")
+        .join(exact_losers, "doc_id", "left")
+        .join(near_losers, "doc_id", "left")
+        .withColumn("status", status)
+    )
+    is_ = lambda s: F.when(F.col("status") == s, 1).otherwise(0)  # noqa: E731
+    # integer micro-quality sum → order-independent avg (a float AVG can
+    # land exactly on a rounding boundary where summation order flips the
+    # 4th decimal between engines; identical-integer division cannot)
+    e4 = F.round(F.col("quality_score") * 10000).cast("long")
+    out = flagged.groupBy("lang", "source").agg(
+        F.count("*").alias("docs_total"),
+        F.sum(is_("kept")).cast("bigint").alias("docs_kept"),
+        F.sum(is_("exact_dup")).cast("bigint").alias("dropped_exact_dup"),
+        F.sum(is_("near_dup")).cast("bigint").alias("dropped_near_dup"),
+        F.sum(is_("low_quality")).cast("bigint").alias("dropped_low_quality"),
+        F.sum(F.when(F.col("status") == "kept", e4)).cast("bigint").alias("_qsum"),
+    )
+    # half-up mean via integer division (see oracle comment: float means
+    # at a .5 ulp boundary round differently across engines)
+    half_up = (2 * F.col("_qsum") + F.col("docs_kept")) / (
+        2 * F.nullif(F.col("docs_kept"), F.lit(0))
+    )
+    return (
+        out.withColumn(
+            "avg_kept_quality",
+            F.floor(half_up).cast("double") / F.lit(10000.0),
+        )
+        .drop("_qsum")
+        .orderBy("lang", "source")
     )
 
 

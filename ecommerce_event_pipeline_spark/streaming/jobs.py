@@ -231,3 +231,32 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("deduped_events"))
         .orderBy("event_date")
     )
+
+
+def run_streaming_enriched_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a
+    broadcast customer→nation dimension, then aggregated per nation — the
+    canonical streaming-ETL shape (clickstream × user dim). The static
+    side is planned as a broadcast hash join against every micro-batch, so
+    the stream never shuffles for the join; only the final aggregate
+    exchanges data, keyed by the (tiny) nation cardinality."""
+    from ..sources.readers import read_table
+
+    events = streaming_events(spark, sf_dir).select("user_id", "value")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        ).select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    agg = (
+        events.join(dim, "user_id")
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    table = _run_to_memory(agg, "complete")
+    return spark.table(table).orderBy("nation")
