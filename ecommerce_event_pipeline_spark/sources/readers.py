@@ -22,6 +22,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..schemas import EVENT_SCHEMA, FIXTURE_TABLES
 
@@ -60,13 +61,16 @@ def load_events_jsonl(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (``<sf_dir>/<name>.parquet``).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
-    it as raw INT64 via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild
-    a TimestampType with integer ``div 1000`` (ns → µs). Integer division is
-    deliberate: the ns epoch magnitude (~1.7e18) exceeds double's 53-bit
-    exact range, so float division could land a microsecond off. The
-    truncation matches how DuckDB/pyarrow read the same file (µs).
+    The ``events`` table's ``ts`` physical type has varied across fixture
+    generations: TIMESTAMP(MICROS) (read natively as TimestampType) or
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
+    (PARQUET_TYPE_ILLEGAL). For the nanos layout we read raw INT64 via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a TimestampType
+    with integer ``div 1000`` (ns → µs). Integer division is deliberate:
+    the ns epoch magnitude (~1.7e18) exceeds double's 53-bit exact range,
+    so float division could land a microsecond off. The truncation matches
+    how DuckDB/pyarrow read the same file (µs). We branch on the resolved
+    schema, so either layout works.
 
     Known side effect: ``nanosAsLong`` stays set on the session (it must be
     active when the lazy plan later EXECUTES, so set-and-restore around the
@@ -78,7 +82,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
