@@ -18,8 +18,16 @@ import os
 
 from pyspark.sql import SparkSession
 
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
 #: Conf that is safe (and required for oracle parity) to set at runtime on
-#: any externally provided session.
+#: any externally provided session. shuffle.partitions is pinned to the
+#: machine because stateful streaming ops (applyInPandasWithState,
+#: dropDuplicatesWithinWatermark) get NO AQE coalescing — under an external
+#: session's 200-partition default a 150-user stateful op fans out over 200
+#: Python workers (the round-2 streaming_user_state 7x regression).
 RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
@@ -27,11 +35,8 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.shuffle.partitions": str(default_parallelism()),
 }
-
-
-def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -23,34 +23,32 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-#: Raw schema of the fixture events parquet (ts as raw ns INT64 — the
-#: streaming reader needs an explicit schema and the same nanos handling as
-#: the batch reader; see sources/readers.read_table).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the fixture events parquet with ns→µs repair."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """``readStream`` over the fixture events parquet.
+
+    The file stream source requires an explicit schema, so we resolve it
+    from the actual parquet footer via the SAME helper the batch reader
+    uses (``sources.readers.events_ts_layout``) and apply the ns→µs repair
+    only when ``ts`` resolved as raw INT64 nanos — a micros fixture streams
+    straight through as TimestampType. Sharing the helper keeps the two
+    paths from diverging on the layout branch (the round-2 regression)."""
+    from ..sources.readers import _repair_ns_ts, events_ts_layout
+
+    schema, ts_is_long = events_ts_layout(spark, sf_dir)
     # the file stream source requires a directory: point at sf_dir and
     # select the one table with a glob filter
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return _repair_ns_ts(raw)
+    # a micros fixture resolves as TIMESTAMP_NTZ, which EventTimeWatermark
+    # rejects; with the session timezone pinned UTC the cast to TIMESTAMP
+    # is wall-clock-preserving
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> str:
@@ -153,16 +151,16 @@ def run_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     table = _run_to_memory(updated, "update")
-    # update mode emits one row per (user, batch); keep the final state row
-    from pyspark.sql import Window
-    import pyspark.sql.functions as SF
-
-    w = Window.partitionBy("user_id").orderBy(SF.desc("events_seen"))
+    # update mode emits one row per (user, batch); events_seen is strictly
+    # increasing per user, so the final state row is the max_by — a plain
+    # hash aggregate, no window pass over the sink needed
     return (
         spark.table(table)
-        .withColumn("_rn", SF.row_number().over(w))
-        .where(SF.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy("user_id")
+        .agg(
+            F.max("events_seen").alias("events_seen"),
+            F.max_by("total_value", "events_seen").alias("total_value"),
+        )
         .orderBy("user_id")
     )
 
