@@ -100,15 +100,30 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def stats(a: np.ndarray) -> tuple[float, float]:
+            # mean/std via EXACT integer sums then one float op each —
+            # byte sums fit in int64 exactly, so an external SQL engine
+            # (the DuckDB oracle) reproduces the same IEEE doubles
+            # bit-for-bit, which a streaming/pairwise float std would not
+            n = a.size
+            s = int(a.sum(dtype=np.int64))
+            sq = int((a.astype(np.int64) ** 2).sum())
+            mean = s / n
+            var = sq / n - mean * mean
+            return mean, math.sqrt(var if var > 0 else 0.0)
+
         for pdf in batches:
             arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            st = [stats(a) for a in arrs]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload_bytes": [a.size for a in arrs],
-                    "byte_mean": [float(a.mean()) for a in arrs],
-                    "byte_std": [float(a.std()) for a in arrs],
+                    "byte_mean": [m for m, _ in st],
+                    "byte_std": [sd for _, sd in st],
                     "content_hash": [
                         int.from_bytes(a[:8].tobytes(), "little", signed=True)
                         for a in arrs

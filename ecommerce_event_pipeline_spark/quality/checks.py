@@ -360,3 +360,35 @@ class QualityValidator:
         (reference: dags/event_pipeline_dag.py:181-188)."""
         report = self.run_all()
         return report.where(F.col("status") == "FAIL").limit(1).count() == 0
+
+
+def platform_flip_sessions(
+    events: DataFrame,
+    session_col: str = "session_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Q7b standalone: per-session platform-flip accounting.
+
+    The reference counts, per session, every event whose platform differs
+    from the session's FIRST-SEEN platform (input order; files are
+    ts-sorted — reference: scripts/validate_quality.py:305-315). One window
+    to pin the first platform, one groupBy(session) to count flips — the
+    same single session-shuffle as the embedded check in
+    ``QualityChecks.session_checks``, exposed standalone so the session
+    half of Q7 is driver-checkable, not pytest-only.
+
+    Returns one row per session:
+    ``(session, first_platform, flip_events, event_count)``.
+    """
+    w = Window.partitionBy(session_col).orderBy(*order_cols)
+    with_first = events.withColumn("_first_platform", F.first("platform").over(w))
+    return (
+        with_first.groupBy(F.col(session_col).alias("session"))
+        .agg(
+            F.first("_first_platform").alias("first_platform"),
+            F.sum(_i(F.col("platform") != F.col("_first_platform"))).alias(
+                "flip_events"
+            ),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
