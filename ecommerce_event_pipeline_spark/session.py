@@ -63,7 +63,14 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # In local mode the driver JVM is the whole cluster. A long
+        # many-query session accumulates broadcast blocks / codegen classes
+        # faster than the ContextCleaner retires them, and an undersized
+        # heap turns that into GC drag on every query after the first few
+        # dozen (measured: 80-query bench 154s at 16g → 143s at 48g, with
+        # the per-query tail smoothing out). Cached data itself is tiny
+        # (~62 MB at sf0.1) — the headroom is for churn, not storage.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
