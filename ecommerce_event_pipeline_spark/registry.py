@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import marts, relational
-from .functions import dedup, similarity, text
+from .functions import curation, dedup, similarity, text
 from .session import tune
 from .sources.readers import read_events, read_table
 
@@ -2930,6 +2930,238 @@ def session_platform_flips_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation operators (functions/curation.py): the training-data
+# stages between raw corpus and tokenized shards. All but semantic_dedup
+# are fully oracle-backed.
+# ---------------------------------------------------------------------------
+
+_CONTAMINATION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 0
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS contaminated_shingles
+  FROM corpus JOIN bench USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id,
+       len(s.shingles) AS n_shingles,
+       COALESCE(h.contaminated_shingles, 0) AS contaminated_shingles,
+       ROUND(CAST(COALESCE(h.contaminated_shingles, 0) AS DOUBLE)
+             / len(s.shingles), 6) AS containment,
+       ROUND(CAST(COALESCE(h.contaminated_shingles, 0) AS DOUBLE)
+             / len(s.shingles), 6) >= 0.5 AS is_contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id % 20 <> 0
+ORDER BY s.doc_id
+"""
+
+
+@register("contamination_check", _CONTAMINATION_ORACLE)
+def contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: shingle containment of every training
+    doc against the deterministic benchmark slice (doc_id % 20 == 0).
+    Shares the cached shingle scan with the dedup family; the benchmark
+    shingle universe broadcasts (eval sets are small by nature)."""
+    return curation.contamination_check(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        benchmark_mod=20,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+
+
+_DOC_CHUNKS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 48 AS INT) AS chunk_index,
+       array_to_string(toks[start:start+63], ' ') AS chunk_text,
+       len(toks[start:start+63]) AS n_tokens
+FROM s
+ORDER BY doc_id, chunk_index
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_ORACLE)
+def doc_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking (64-token chunks, stride 48) — the
+    doc → training-example lateral expansion, all built-in expressions."""
+    return curation.doc_chunks(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+_PACK_SEQUENCES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 512 AS bin_id,
+       start_offset % 512 AS offset_in_bin,
+       (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+         AS bins_spanned
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("pack_sequences", _PACK_SEQUENCES_ORACLE)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing at budget 512: the oracle is the naive
+    single-ordered-window cumsum; the Spark side is the scale-safe
+    two-phase prefix sum (per-shard windows + broadcast shard offsets)."""
+    return curation.pack_sequences(
+        read_table(spark, sf_dir, "documents"), budget=512, shard_size=1000
+    )
+
+
+_PII_SCRUB_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' see https://example.com/doc/' || doc_id ELSE '' END
+           AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+  FROM p
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+       len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+       length(scrubbed) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("pii_scrub_stats", _PII_SCRUB_ORACLE)
+def pii_scrub_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phones / URLs → typed placeholders) over a
+    deterministically-planted corpus; the scrubbed text is value-checked
+    via its md5 so the oracle verifies the actual redaction output."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.pii_scrub(curation.plant_pii(docs))
+
+
+_QUALITY_FLAGS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS token_count,
+         len(list_distinct(toks)) AS uniq,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+           AS stop_hits,
+         CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_len
+  FROM t
+)
+SELECT doc_id, lang, token_count,
+       token_count < 24 AS too_short,
+       token_count > 400 AS too_long,
+       (CAST(uniq AS DOUBLE) / token_count) < 0.3 AS low_diversity,
+       stop_hits = 0 AS no_stopwords,
+       (mean_len < 2.5 OR mean_len > 8.0) AS bad_token_len,
+       CAST(token_count < 24 AS INT) + CAST(token_count > 400 AS INT)
+         + CAST((CAST(uniq AS DOUBLE) / token_count) < 0.3 AS INT)
+         + CAST(stop_hits = 0 AS INT)
+         + CAST(mean_len < 2.5 OR mean_len > 8.0 AS INT) AS n_failed,
+       CAST(token_count < 24 AS INT) + CAST(token_count > 400 AS INT)
+         + CAST((CAST(uniq AS DOUBLE) / token_count) < 0.3 AS INT)
+         + CAST(stop_hits = 0 AS INT)
+         + CAST(mean_len < 2.5 OR mean_len > 8.0 AS INT) = 0 AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("doc_quality_flags", _QUALITY_FLAGS_ORACLE)
+def doc_quality_flags_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule filter with per-rule verdict columns — the
+    auditable why-was-this-dropped form of corpus quality filtering."""
+    return curation.quality_flags(read_table(spark, sf_dir, "documents"))
+
+
+_TRAINING_SHARDS_ORACLE = """
+WITH a AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('7#' || doc_id), 1, 8)) AS BIGINT) AS sort_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sort_key % 16 AS INT) AS shard_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY sort_key % 16 ORDER BY sort_key, doc_id) AS shard_pos
+FROM a
+ORDER BY doc_id
+"""
+
+
+@register("training_shards", _TRAINING_SHARDS_ORACLE)
+def training_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment (md5 sort key, 16
+    shards): reproducible across engines/runs unlike rand(); per-shard
+    position windows keep the sort partitioned, never a global order."""
+    return curation.training_shards(
+        read_table(spark, sf_dir, "documents"), n_shards=16, seed=7
+    )
+
+
+@register("semantic_dedup", None)  # iterative float k-means → rows-only
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: seeded spherical k-means cells,
+    per-cell GEMM cosine pairs, keep-lowest-id. Float-iterative, so no SQL
+    oracle; pytest verifies recall vs brute-force pairs and the keep-rule
+    invariants (tests/test_curation.py)."""
+    return curation.semantic_dedup(
+        read_table(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
 # of the contract: a curated front-50 of oracle-backed entries covering
@@ -2943,8 +3175,6 @@ _FRONT: tuple[str, ...] = (
     # event-log marts + quality (reference parity core)
     "funnel_daily",
     "hourly_traffic",
-    "user_daily",
-    "session_patterns",
     "funnel_violations",
     "quality_report",
     "inferred_sessions",
@@ -2960,14 +3190,17 @@ _FRONT: tuple[str, ...] = (
     "top_parts_by_revenue",
     "market_segment_summary",
     "cheapest_part_per_brand",
-    "volume_shipping",
-    "promo_revenue_share",
     "shipping_lag_buckets",
     "events_asof_orders",
     "customers_without_orders",
     "revenue_7day_ma",
-    "customer_balance_deciles",
-    "type_hour_unpivot",
+    # corpus-curation stages (round 3, all oracle-backed, never graded)
+    "contamination_check",
+    "doc_chunks",
+    "pack_sequences",
+    "pii_scrub_stats",
+    "doc_quality_flags",
+    "training_shards",
     # round-3 rotation: oracle-backed entries that had never been graded
     "repeat_buyers_two_days",
     "large_orders",
@@ -3000,15 +3233,18 @@ _FRONT: tuple[str, ...] = (
     "simhash_near_dupes",
     "embedding_lsh_near_dupes",
 )
-# Seat accounting for the round-3 window: the 13 swapped-out entries
-# (hourly→pattern_frequency, props_key_stats, overall_stats,
-# orders_projection, union_activity, daily_kpis, viewers_never_purchased,
-# pricing_summary, shipping_priority, order_priority_counts,
-# customer_nation_rollup, exact_dedup, doc_token_stats) are ALL
-# driver-green in CORRECTNESS_r02 (most in r01 too), stay oracle-checked by
-# tools/check_oracle.py locally, and every §2 row they cover keeps either a
-# cumulative green or an in-window twin. The 13 swapped-in entries have
-# never had a driver row: 11 oracle-backed + the 2 rows-only dedup ops.
+# Seat accounting for the round-3 window: the 19 swapped-out entries
+# (pattern_frequency, props_key_stats, overall_stats, orders_projection,
+# union_activity, daily_kpis, viewers_never_purchased, pricing_summary,
+# shipping_priority, order_priority_counts, customer_nation_rollup,
+# exact_dedup, doc_token_stats, user_daily, session_patterns,
+# volume_shipping, promo_revenue_share, customer_balance_deciles,
+# type_hour_unpivot) are ALL driver-green in CORRECTNESS_r02 (most in r01
+# too), stay oracle-checked by tools/check_oracle.py locally, and every §2
+# row they cover keeps either a cumulative green or an in-window twin. The
+# 19 swapped-in entries have never had a driver row: the 13 from the first
+# rotation (11 oracle-backed + 2 rows-only dedup ops) plus the 6 new
+# oracle-backed corpus-curation stages.
 
 
 def _reorder_registry() -> None:
