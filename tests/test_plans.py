@@ -97,3 +97,43 @@ def test_jaccard_self_join_reuses_one_shingle_pass(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    # chunking is a pure 1→N projection: the only allowed exchange is the
+    # final presentation orderBy's range partitioning — no hash shuffle,
+    # no aggregation pass anywhere
+    plan = plan_of("doc_chunks", spark)
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "HashAggregate" not in plan
+
+
+def test_pack_sequences_never_globally_orders_the_corpus(spark):
+    # the corpus-grain window must be partitioned by shard; only the
+    # one-row-per-shard offsets cumsum may run single-partition, and the
+    # shard offsets must come back via a broadcast join
+    plan = plan_of("pack_sequences", spark)
+    m = re.findall(r"Window .*?windowspecdefinition\(([^,]*),", plan)
+    assert any("_shard" in spec for spec in m), plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_universe(spark):
+    # the benchmark shingle set is the provably-small side — the corpus
+    # explode must stream past it, never shuffle into a sort-merge join
+    plan = plan_of("contamination_check", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_training_shards_windows_per_shard_only(spark):
+    plan = plan_of("training_shards", spark)
+    m = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert m and all("shard_id" in spec for spec in m), plan[:3000]
+
+
+def test_pii_scrub_is_row_local(spark):
+    plan = plan_of("pii_scrub_stats", spark)
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
