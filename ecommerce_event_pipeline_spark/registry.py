@@ -1228,8 +1228,18 @@ def _synthetic_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_products")
     )
+    # Numbered repartition before the projection: the join output is small
+    # enough that AQE would coalesce it to ONE partition, which would (a)
+    # serialize the collect_list/to_json construction and (b) leave every
+    # consumer's from_json parse stage single-threaded against the cache.
+    # An explicit count survives AQE; 8 keeps per-partition JSON batches
+    # large enough to amortize task overhead.
+    from .session import default_parallelism
+
+    n_parts = max(8, default_parallelism() // 4)
     purchases = (
         o.join(items, okey == F.col("l_orderkey"), "left")
+        .repartition(n_parts, okey)
         .select(
             okey.cast("string").alias("order_id"),
             F.col("o_custkey").cast("string").alias("user_id"),
