@@ -2939,6 +2939,34 @@ def session_platform_flips_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return platform_flip_sessions(purchases).orderBy("session")
 
 
+_STREAM_ATTRIBUTION_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id AS user_id, view_ts, purchase_ts,
+       ROUND(purchase_value, 2) AS purchase_value,
+       date_diff('second', view_ts, purchase_ts) // 60 AS lag_minutes
+FROM v JOIN p ON v.user_id = p.user_id
+ AND purchase_ts >= view_ts
+ AND purchase_ts <= view_ts + INTERVAL 30 MINUTE
+ORDER BY v.user_id, view_ts, purchase_ts
+"""
+
+
+@register("streaming_attribution_join", _STREAM_ATTRIBUTION_ORACLE)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view → purchase attribution within 30
+    minutes): watermarks on both sides + the time-bound predicate keep join
+    state finite. The oracle is the equivalent batch interval join."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_attribution_join(spark, sf_dir, "30 minutes")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-curation operators (functions/curation.py): the training-data
 # stages between raw corpus and tokenized shards. All but semantic_dedup
@@ -3203,7 +3231,8 @@ _FRONT: tuple[str, ...] = (
     "shipping_lag_buckets",
     "events_asof_orders",
     "customers_without_orders",
-    "revenue_7day_ma",
+    # stream-stream interval join (round 3, new op family)
+    "streaming_attribution_join",
     # corpus-curation stages (round 3, all oracle-backed, never graded)
     "contamination_check",
     "doc_chunks",
@@ -3243,13 +3272,13 @@ _FRONT: tuple[str, ...] = (
     "simhash_near_dupes",
     "embedding_lsh_near_dupes",
 )
-# Seat accounting for the round-3 window: the 19 swapped-out entries
+# Seat accounting for the round-3 window: the 20 swapped-out entries
 # (pattern_frequency, props_key_stats, overall_stats, orders_projection,
 # union_activity, daily_kpis, viewers_never_purchased, pricing_summary,
 # shipping_priority, order_priority_counts, customer_nation_rollup,
 # exact_dedup, doc_token_stats, user_daily, session_patterns,
 # volume_shipping, promo_revenue_share, customer_balance_deciles,
-# type_hour_unpivot) are ALL driver-green in CORRECTNESS_r02 (most in r01
+# type_hour_unpivot, revenue_7day_ma) are ALL driver-green in CORRECTNESS_r02 (most in r01
 # too), stay oracle-checked by tools/check_oracle.py locally, and every §2
 # row they cover keeps either a cumulative green or an in-window twin. The
 # 19 swapped-in entries have never had a driver row: the 13 from the first

@@ -108,3 +108,42 @@ def test_streaming_dedup_drops_planted_duplicates(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [
         (__import__("datetime").date(2023, 11, 14), 3)
     ]
+
+
+def test_streaming_attribution_join_equals_batch_interval_join(spark):
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    sf = "/root/testdata/sf0.001"
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = jobs.run_streaming_attribution_join(spark, sf, "30 minutes").collect()
+
+    ev = read_events(spark, sf)
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    batch = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+        )
+        .select("user_id", "view_ts", "purchase_ts", "purchase_value")
+        .orderBy("user_id", "view_ts", "purchase_ts")
+        .collect()
+    )
+    assert [(r["user_id"], r["view_ts"], r["purchase_ts"], r["purchase_value"]) for r in out] == [
+        tuple(r) for r in batch
+    ]
+    # shuffle partitions restored after the pinned-state run
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
