@@ -20,6 +20,7 @@ Kafka and the sink to a transactional table; the dataflow is identical.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,18 +52,42 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession, cap: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` (which is also the STATE
+    partition count — stateful ops get no AQE coalescing) for the duration
+    of one streaming run, then restore.
+
+    Every stateful operator keeps one state store per partition (a
+    stream-stream join keeps four), and per-batch open/commit/snapshot
+    overhead scales with store count, not data volume — at fixture scale
+    every job here measured ~2× faster at 8 partitions than 32 (the
+    stream-stream join 4×). Production sizing follows state volume per
+    partition; the cap only ever lowers the session's setting.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(min(cap, int(old or cap))))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> str:
-    """Drive a streaming aggregate to completion against a memory sink;
+    """Drive a streaming aggregate to completion against a memory sink
+    (state partitions bounded — see ``_bounded_state_partitions``);
     returns the sink table name."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _bounded_state_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return name
 
 
@@ -194,13 +219,14 @@ def run_streaming_to_parquet(
             .parquet(output_path)
         )
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.read.parquet(output_path).orderBy("window_start")
 
 
@@ -277,26 +303,10 @@ def run_streaming_attribution_join(
     under ``processAllAvailable``.
 
     State-partition sizing: a stream-stream join keeps FOUR state stores
-    per partition (left/right × keyed/keyWithIndex), and per-batch store
-    open/commit/snapshot overhead scales with partition count, not data —
-    at this fixture's volume 32 partitions measured 11.8s vs 3.1s at 8.
-    The count is pinned (bounded by the session setting) for the duration
-    of the run and restored after; production sizing follows state volume
-    per partition, not core count.
+    per partition (left/right × keyed/keyWithIndex) — the strongest case
+    for ``_bounded_state_partitions`` (32 partitions measured 11.8s vs
+    3.1s at 8 on the fixture), applied by ``_run_to_memory``.
     """
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(8, int(old_parts or 8)))
-    )
-    try:
-        return _attribution_join_inner(spark, sf_dir, horizon)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-
-
-def _attribution_join_inner(
-    spark: SparkSession, sf_dir: str, horizon: str
-) -> DataFrame:
     views = (
         streaming_events(spark, sf_dir)
         .where(F.col("event_type") == "view")
