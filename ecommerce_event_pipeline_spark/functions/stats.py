@@ -59,6 +59,11 @@ def user_purchase_trend(events: DataFrame, min_purchases: int = 3) -> DataFrame:
             F.count("*").alias("n_purchases"),
             F.sum("t").alias("st"),
             F.sum("v").alias("sv"),
+            # exact integer-cents sum alongside the float sum: the float
+            # mean can land on a .005 rounding boundary where last-ulp
+            # summation-order noise flips the 2nd decimal between engines;
+            # identical integers cannot (amounts are exact 2-decimal values)
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("sv_cents"),
             F.sum(F.col("t") * F.col("v")).alias("stv"),
             F.sum(F.col("t") * F.col("t")).alias("stt"),
         )
@@ -68,9 +73,15 @@ def user_purchase_trend(events: DataFrame, min_purchases: int = 3) -> DataFrame:
     slope = (n * F.col("stv") - F.col("st") * F.col("sv")) / F.nullif(
         n * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0)
     )
+    # half-up cents mean via integer arithmetic (same trick as
+    # curated_corpus's avg_kept_quality), then back to currency units
+    half_up_cents = F.floor(
+        (2 * F.col("sv_cents") + F.col("n_purchases"))
+        / (2 * F.col("n_purchases"))
+    )
     return agg.select(
         "user_id",
         "n_purchases",
         F.round(slope, 6).alias("slope_per_day"),
-        F.round(F.col("sv") / n, 2).alias("intercept"),
+        (half_up_cents.cast("double") / F.lit(100.0)).alias("intercept"),
     ).orderBy("user_id")

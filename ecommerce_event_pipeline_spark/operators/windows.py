@@ -91,19 +91,27 @@ def top_k_per_group(
 
 def running_user_spend(events: DataFrame, amount_type: str = "purchase") -> DataFrame:
     """Running (cumulative) purchase total per user over time — rows-frame
-    running sum, the canonical frame-spec window."""
+    running sum, the canonical frame-spec window.
+
+    The accumulator is exact integer cents, not a float sum: windowed
+    float sums are accumulation-STRUCTURE dependent (DuckDB's window sum
+    uses a segment tree, Spark's a running buffer), so identical inputs
+    produce last-ulp differences at larger frames. Amounts are exact
+    2-decimal values, so the cents total is exact and engine-independent —
+    the right arithmetic for money at any scale."""
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts"), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     purchases = events.where(F.col("event_type") == amount_type)
+    cents = F.round(F.col("value") * 100).cast("long")
     return purchases.select(
         "user_id",
         "event_id",
         "ts",
         F.col("value").alias("amount"),
-        F.sum("value").over(w).alias("running_total"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_total"),
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id")))
         .alias("purchase_seq"),

@@ -642,8 +642,11 @@ def inferred_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_SPEND_ORACLE = """
 SELECT user_id, event_id, ts,
        value AS amount,
-       SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS running_total,
+       -- exact integer-cents accumulation: windowed FLOAT sums differ in
+       -- the last ulp across engines (segment-tree vs running buffer)
+       SUM(CAST(ROUND(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
             AS INTEGER) AS purchase_seq
 FROM events
@@ -1952,7 +1955,11 @@ a AS (
   SELECT user_id,
          COUNT(*) AS n_purchases,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(t) AS st, SUM(v) AS sv, SUM(t * v) AS stv, SUM(t * t) AS stt
+         SUM(t) AS st, SUM(v) AS sv,
+         -- exact integer-cents twin of SUM(v): float means at a .005
+         -- boundary round differently across engines; int sums cannot
+         SUM(CAST(ROUND(v * 100) AS BIGINT)) AS sv_cents,
+         SUM(t * v) AS stv, SUM(t * t) AS stt
   FROM p
   GROUP BY 1
   HAVING COUNT(*) >= 3
@@ -1960,7 +1967,8 @@ a AS (
 SELECT user_id,
        n_purchases,
        ROUND((n * stv - st * sv) / NULLIF(n * stt - st * st, 0.0), 6) AS slope_per_day,
-       ROUND(sv / n, 2) AS intercept
+       CAST((2 * sv_cents + n_purchases) // (2 * n_purchases) AS DOUBLE)
+         / 100.0 AS intercept
 FROM a
 ORDER BY user_id
 """
