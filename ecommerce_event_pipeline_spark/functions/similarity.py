@@ -368,3 +368,42 @@ def ivf_topk(
     probes = np.argsort(-(cents @ qn))[:n_probe].tolist()
     candidates = assigned.where(F.col("centroid_id").isin(probes)).drop("centroid_id")
     return brute_force_topk(candidates, query, k)
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector affine int8 quantization — the storage/transport format
+    embedding stores actually hold (4× smaller than float32, and SIMD
+    int8 dot products for the coarse search pass).
+
+    q[i] = round((x[i] − vmin) / scale) − 128 with scale = (vmax − vmin)/255
+    — all built-in array expressions, one row-local projection, no shuffle.
+    Every step is IEEE-deterministic on the float32-exact inputs, so the
+    quantized codes are bit-identical across engines (oracle-checked).
+    ``q_sum`` is the exact integer checksum of the codes.
+
+    Note: vmin/vmax/scale are inlined into the per-element lambda by
+    CollapseProject (higher-order functions get no codegen CSE — see
+    functions/dedup.py), making the projection O(d²) per row. At d=64 that
+    is 4k flops/row — far below a materialization barrier's shuffle cost.
+    For d ≳ 1k, add the repartition barrier the MinHash path uses.
+    """
+    e = _as_double("embedding")
+    vmin = F.array_min(e)
+    vmax = F.array_max(e)
+    scale = F.nullif((vmax - vmin) / F.lit(255.0), F.lit(0.0))
+    q = F.transform(
+        e,
+        lambda x: (
+            F.coalesce(F.round((x - vmin) / scale), F.lit(0.0)).cast("int")
+            - F.lit(128)
+        ),
+    )
+    return embeddings.select(
+        "vec_id",
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        q.alias("q_codes"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+    ).orderBy("vec_id")

@@ -3196,6 +3196,40 @@ def training_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, emb,
+         list_min(emb) AS vmin, list_max(emb) AS vmax,
+         NULLIF((list_max(emb) - list_min(emb)) / 255.0, 0.0) AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, vmin, vmax,
+         list_transform(
+           emb,
+           x -> CAST(COALESCE(ROUND((x - vmin) / scale), 0.0) AS INT) - 128
+         ) AS q_codes
+  FROM m
+)
+SELECT vec_id, vmin, vmax, q_codes,
+       CAST(list_aggregate(q_codes, 'sum') AS BIGINT) AS q_sum
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize", _QUANTIZE_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 quantization of the embedding column — bit-identical
+    codes verified against the DuckDB oracle (every step IEEE-exact)."""
+    return similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+
+
 @register("semantic_dedup", None)  # iterative float k-means → rows-only
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup: seeded spherical k-means cells,

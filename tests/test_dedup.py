@@ -89,3 +89,34 @@ def test_dedup_clusters_min_label_over_chain(spark):
 
     got = [(r["doc_id"], r["cluster_id"]) for r in dedup_clusters(docs, pairs).collect()]
     assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)]
+
+
+def test_star_contraction_matches_label_prop(spark):
+    import random
+
+    random.seed(7)
+    n = 60
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    docs_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+    a = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs_df, pairs).collect()}
+    star_df, rounds = dedup.dedup_clusters_star(docs_df, pairs)
+    b = {r["doc_id"]: r["cluster_id"] for r in star_df.collect()}
+    assert a == b
+    assert rounds <= 6  # O(log n), not O(diameter)
+
+
+def test_star_contraction_handles_deep_chain(spark):
+    # diameter-29 chain: label prop needs 29 rounds (and must REFUSE at a
+    # lower cap rather than mislabel); star contraction needs ~log n
+    docs_df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "doc_id_1 long, doc_id_2 long"
+    )
+    star_df, rounds = dedup.dedup_clusters_star(docs_df, pairs)
+    assert {r["cluster_id"] for r in star_df.collect()} == {0}
+    assert rounds <= 7
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(docs_df, pairs, max_iters=5)
