@@ -3269,7 +3269,6 @@ _FRONT: tuple[str, ...] = (
     "local_supplier_volume",
     "top_parts_by_revenue",
     "market_segment_summary",
-    "cheapest_part_per_brand",
     "shipping_lag_buckets",
     "events_asof_orders",
     "customers_without_orders",
@@ -3302,6 +3301,7 @@ _FRONT: tuple[str, ...] = (
     "embedding_near_dupes",
     "tfidf_top_terms",
     "value_outliers_per_type",
+    "embedding_quantize",
     "language_id",
     "user_purchase_trend",
     "curated_corpus",
