@@ -206,3 +206,42 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+RESIZE_SCHEMA = "media_id long, orig_bytes int, resized array<int>, resized_sum long"
+
+
+def resize_payload(media: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Nearest-neighbor byte resampling of image payloads to a fixed size —
+    the codec-free stand-in for an image resize (identical Arrow batch
+    shape, numpy indexing, and typed output contract as a real
+    PIL/torchvision resize UDF; only the kernel differs).
+
+    Index selection is integer floor arithmetic (``i·(n−1) div (t−1)``) so
+    the resample is bit-deterministic and reproducible by the DuckDB
+    oracle from the sha-derived payload hex — no float rounding anywhere.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, origs, outs, sums = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = arr.size
+                idx = [(i * (n - 1)) // (target_bytes - 1) for i in range(target_bytes)]
+                resized = arr[idx].astype(int).tolist()
+                ids.append(mid)
+                origs.append(n)
+                outs.append(resized)
+                sums.append(int(sum(resized)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "orig_bytes": origs,
+                    "resized": outs,
+                    "resized_sum": sums,
+                }
+            )
+
+    images = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return images.mapInPandas(op, schema=RESIZE_SCHEMA)

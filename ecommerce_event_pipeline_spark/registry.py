@@ -3196,6 +3196,38 @@ def training_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIMODAL_RESIZE_ORACLE = f"""
+WITH {_MEDIA_HEX_CTE},
+b AS (
+  SELECT media_id,
+         list_transform(range(128),
+           i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS INT)) AS bytes
+  FROM hx WHERE kind = 'image'
+),
+r AS (
+  SELECT media_id, bytes,
+         list_transform(range(32), i -> bytes[(i * 127) // 31 + 1]) AS resized
+  FROM b
+)
+SELECT media_id,
+       CAST(128 AS INT) AS orig_bytes,
+       resized,
+       CAST(list_aggregate(resized, 'sum') AS BIGINT) AS resized_sum
+FROM r
+ORDER BY media_id
+"""
+
+
+@register("multimodal_resize", _MULTIMODAL_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor byte resample of image payloads (mapInPandas) —
+    the resize plumbing with a codec-free deterministic kernel; byte-exact
+    against the sha-hex oracle."""
+    from .functions.multimodal import resize_payload, synthetic_media
+
+    return resize_payload(synthetic_media(spark, _MEDIA_N)).orderBy("media_id")
+
+
 _QUANTIZE_ORACLE = """
 WITH e AS (
   SELECT vec_id,

@@ -59,3 +59,21 @@ def test_media_summary_metadata_only(spark, media):
     out = {r["kind"]: r for r in multimodal.media_summary(media).collect()}
     assert set(out) == {"image", "audio", "video"}
     assert out["video"]["media_count"] >= 1
+
+
+def test_resize_payload_is_deterministic_nearest_neighbor(spark):
+    from ecommerce_event_pipeline_spark.functions.multimodal import (
+        resize_payload,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    out = {r["media_id"]: r for r in resize_payload(media, 32).collect()}
+    imgs = {r["media_id"]: r for r in media.where("kind = 'image'").collect()}
+    assert set(out) == set(imgs)
+    for mid, row in out.items():
+        payload = bytes(imgs[mid]["payload"])
+        expected = [payload[(i * 127) // 31] for i in range(32)]
+        assert row["resized"] == expected
+        assert row["orig_bytes"] == 128
+        assert row["resized_sum"] == sum(expected)
