@@ -365,3 +365,28 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def doc_repetition(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Intra-document repetition score (the Gopher duplicate-n-gram
+    metric): fraction of k-gram occurrences that are repeats of an
+    earlier k-gram in the same document. Boilerplate and degenerate
+    generations score high; natural prose scores near zero.
+
+    Pure row-local array expressions — the corpus streams through one
+    codegen'd projection, no shuffle.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.round(
+            (total - distinct).cast("double") / total.cast("double"), 6
+        ).alias("rep_fraction"),
+    ).orderBy("doc_id")

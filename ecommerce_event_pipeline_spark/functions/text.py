@@ -215,3 +215,62 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.xxhash64(F.lower(F.col("text"))).alias("content_hash"),
         folded.alias("rolling_hash"),
     ).orderBy("doc_id")
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_tokens: tuple[str, ...] = ("spark", "query", "table"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents against a fixed token query — the
+    retrieval scorer a corpus-search / RAG indexing pipeline runs.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Robertson/Sparck
+    Jones form, always positive).
+
+    Scale shape: the query-term filter lands in the token explode (tiny
+    fraction survives), df/N/avgdl are scalar or |q|-row aggregates that
+    broadcast, and avgdl is computed from an exact integer token-count sum
+    so every input to the float math is bit-identical across engines. The
+    final top-n sorts by the ROUNDED score (ulp-stable ordering) then
+    doc_id.
+    """
+    toks = _tokens()
+    corpus = docs.select("doc_id", F.size(toks).alias("dl"), toks.alias("_toks"))
+    stats = corpus.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    tf = (
+        corpus.select("doc_id", "dl", F.explode("_toks").alias("token"))
+        .where(F.col("token").isin(*query_tokens))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("dl_sum").cast("double") / n
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    per_term = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(top_n)
+    )

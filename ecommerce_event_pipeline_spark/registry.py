@@ -3262,6 +3262,83 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
 
 
+_DOC_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams) AS total_ngrams,
+       len(list_distinct(grams)) AS distinct_ngrams,
+       ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / len(grams), 6) AS rep_fraction
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register("doc_repetition", _DOC_REPETITION_ORACLE)
+def doc_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document duplicate-3-gram fraction — the
+    repetition filter a curation pipeline applies before training."""
+    return curation.doc_repetition(read_table(spark, sf_dir, "documents"), k=3)
+
+
+_BM25_ORACLE = """
+WITH c AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS dl_sum
+  FROM c
+),
+tf AS (
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM c)
+  WHERE token IN ('spark', 'query', 'table')
+  GROUP BY 1, 2, 3
+),
+df_t AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.dl_sum / s.n_docs)))
+           AS term_score
+  FROM tf JOIN df_t USING (token) CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(term_score), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("bm25_search", _BM25_ORACLE)
+def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed token query — the retrieval scorer of a
+    corpus-search / RAG indexing pipeline (k1=1.2, b=0.75)."""
+    return text.bm25_search(
+        read_table(spark, sf_dir, "documents"),
+        query_tokens=("spark", "query", "table"),
+        k1=1.2,
+        b=0.75,
+        top_n=20,
+    )
+
+
 @register("semantic_dedup", None)  # iterative float k-means → rows-only
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup: seeded spherical k-means cells,
