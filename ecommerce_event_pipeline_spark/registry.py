@@ -1,4 +1,6 @@
-"""Driver-facing query registry: every operator with its DuckDB oracle twin.
+"""Driver-facing query registry: every SQL-expressible operator paired with
+its DuckDB oracle twin (9 deterministic hash/iterative entries are
+rows-only, each marked at its ``@register(..., None)`` site).
 
 Each entry maps a SURVEY §2 operator (or a beyond-parity LLM-data-pipeline
 operator) onto the driver fixture tables at ``/root/testdata/sf*`` and pairs
@@ -18,6 +20,11 @@ Parity rules baked in here (hard-won, see tests/test_oracle_parity.py):
   sequential scan, and the driver hash-compares exact values — an unrounded
   money sum is nondeterministic at the last bits and WILL hash-mismatch.
   (MIN/MAX/CONSTANT-derived doubles are order-independent and stay raw.)
+- running/windowed money sums and cross-engine means accumulate in exact
+  integer cents (see running_user_spend / user_purchase_trend /
+  curated_corpus): windowed float sums differ in accumulation STRUCTURE
+  across engines (segment tree vs running buffer), so ROUND alone cannot
+  save a value sitting on a rounding boundary.
 """
 
 from __future__ import annotations
