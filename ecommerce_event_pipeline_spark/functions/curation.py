@@ -217,25 +217,26 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     """Scrub emails / phone numbers / URLs with typed placeholder tokens
     and report per-document match counts — a row-local projection (regexp
     built-ins, codegen'd; order: URLs before emails so a URL containing
-    '@' can't be half-eaten by the email pass)."""
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_PATTERNS["url"], "<URL>"),
-            PII_PATTERNS["email"],
-            "<EMAIL>",
-        ),
-        PII_PATTERNS["phone"],
-        "<PHONE>",
-    )
-    counts = {
-        name: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
-        for name, pat in PII_PATTERNS.items()
-    }
+    '@' can't be half-eaten by the email pass).
+
+    Each count is taken on the text AS THE CORRESPONDING PASS SEES IT
+    (urls on the original, emails on the url-scrubbed text, phones after
+    both), so the counts always equal the number of replacements actually
+    performed — counting every pattern on the original would over-report
+    when patterns overlap (an email inside a URL is consumed by the URL
+    pass and never redacted as an email)."""
+    after_url = F.regexp_replace(F.col("text"), PII_PATTERNS["url"], "<URL>")
+    after_email = F.regexp_replace(after_url, PII_PATTERNS["email"], "<EMAIL>")
+    scrubbed = F.regexp_replace(after_email, PII_PATTERNS["phone"], "<PHONE>")
+
+    def n_matches(col: F.Column, pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+
     return docs.select(
         "doc_id",
-        counts["email"].alias("n_emails"),
-        counts["phone"].alias("n_phones"),
-        counts["url"].alias("n_urls"),
+        n_matches(after_url, PII_PATTERNS["email"]).alias("n_emails"),
+        n_matches(after_email, PII_PATTERNS["phone"]).alias("n_phones"),
+        n_matches(F.col("text"), PII_PATTERNS["url"]).alias("n_urls"),
         F.length(scrubbed).alias("scrubbed_len"),
         # md5 (not xxhash64): both engines implement it identically, so the
         # scrubbed text itself stays value-hash-checkable via the oracle

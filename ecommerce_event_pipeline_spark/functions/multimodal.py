@@ -108,6 +108,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             # (the DuckDB oracle) reproduces the same IEEE doubles
             # bit-for-bit, which a streaming/pairwise float std would not
             n = a.size
+            if n == 0:  # empty payload → degenerate-but-typed row
+                return 0.0, 0.0
             s = int(a.sum(dtype=np.int64))
             sq = int((a.astype(np.int64) ** 2).sum())
             mean = s / n
@@ -222,13 +224,20 @@ def resize_payload(media: DataFrame, target_bytes: int = 32) -> DataFrame:
     oracle from the sha-derived payload hex — no float rounding anywhere.
     """
 
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom = max(target_bytes - 1, 1)
         for pdf in batches:
             ids, origs, outs, sums = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 n = arr.size
-                idx = [(i * (n - 1)) // (target_bytes - 1) for i in range(target_bytes)]
+                if n == 0:  # empty payload → empty resample, not a crash
+                    ids.append(mid); origs.append(0); outs.append([]); sums.append(0)
+                    continue
+                idx = [(i * (n - 1)) // denom for i in range(target_bytes)]
                 resized = arr[idx].astype(int).tolist()
                 ids.append(mid)
                 origs.append(n)

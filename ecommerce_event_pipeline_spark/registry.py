@@ -927,7 +927,7 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
-_SHINGLE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _shingle_sets_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
@@ -938,8 +938,10 @@ def _shingle_sets_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     from cache, the same sharing the reference applies across its marts."""
     import os
 
+    from .sources.readers import session_key
+
     cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = (id(spark), sf_dir, k)
+    key = session_key(spark, sf_dir, str(k))
     if cache_on and key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
     sets_df = dedup.shingle_sets(read_table(spark, sf_dir, "documents"), k)
@@ -973,7 +975,7 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,8 +985,10 @@ def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and served from cache, like ``_shingle_sets_shared``."""
     import os
 
+    from .sources.readers import session_key
+
     cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     if cache_on and key in _SIMHASH_CACHE:
         return _SIMHASH_CACHE[key]
     fp = dedup.simhash(
@@ -1202,7 +1206,7 @@ def json_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SYNTH_LOG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SYNTH_LOG_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _synthetic_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,8 +1225,9 @@ def _synthetic_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     part and identical for all of them; env-gating the share (round 2) made
     the first consumer pay the full ~10s materialization in every
     driver/correctness session that didn't set the flag."""
-    cache_on = True
-    key = (id(spark), sf_dir)
+    from .sources.readers import session_key
+
+    key = session_key(spark, sf_dir)
     if key in _SYNTH_LOG_CACHE:
         return _SYNTH_LOG_CACHE[key]
     o = read_table(spark, sf_dir, "orders")
@@ -1313,18 +1318,14 @@ def _synthetic_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("extra_data"),
         )
     )
-    if cache_on:
-        # Cache ONLY the purchases branch: it carries the expensive
-        # collect_list + to_json construction (and the wide JSON strings),
-        # while the direct branch is a cheap narrow join that recomputes in
-        # well under a second — caching the whole union roughly doubles the
-        # materialization cost for no downstream saving.
-        purchases = purchases.cache()
-    out = purchases.unionByName(direct)
-    if cache_on:
-        _SYNTH_LOG_CACHE[key] = out
-        return _SYNTH_LOG_CACHE[key]
-    return out
+    # Cache ONLY the purchases branch: it carries the expensive
+    # collect_list + to_json construction (and the wide JSON strings),
+    # while the direct branch is a cheap narrow join that recomputes in
+    # well under a second — caching the whole union roughly doubles the
+    # materialization cost for no downstream saving.
+    purchases = purchases.cache()
+    _SYNTH_LOG_CACHE[key] = purchases.unionByName(direct)
+    return _SYNTH_LOG_CACHE[key]
 
 
 _PRODUCT_DAILY_ORACLE = """
@@ -3010,8 +3011,8 @@ hits AS (
   FROM corpus JOIN bench USING (shingle) GROUP BY 1
 )
 SELECT s.doc_id,
-       len(s.shingles) AS n_shingles,
-       COALESCE(h.contaminated_shingles, 0) AS contaminated_shingles,
+       CAST(len(s.shingles) AS INTEGER) AS n_shingles,
+       CAST(COALESCE(h.contaminated_shingles, 0) AS BIGINT) AS contaminated_shingles,
        ROUND(CAST(COALESCE(h.contaminated_shingles, 0) AS DOUBLE)
              / len(s.shingles), 6) AS containment,
        ROUND(CAST(COALESCE(h.contaminated_shingles, 0) AS DOUBLE)
@@ -3049,7 +3050,7 @@ s AS (
 SELECT doc_id,
        CAST((start - 1) // 48 AS INT) AS chunk_index,
        array_to_string(toks[start:start+63], ' ') AS chunk_text,
-       len(toks[start:start+63]) AS n_tokens
+       CAST(len(toks[start:start+63]) AS INTEGER) AS n_tokens
 FROM s
 ORDER BY doc_id, chunk_index
 """
@@ -3075,11 +3076,12 @@ c AS (
          ), 0) AS start_offset
   FROM t
 )
-SELECT doc_id, n_tokens, start_offset,
-       start_offset // 512 AS bin_id,
-       start_offset % 512 AS offset_in_bin,
-       (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
-         AS bins_spanned
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS bin_id,
+       CAST(start_offset % 512 AS BIGINT) AS offset_in_bin,
+       CAST((start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+            AS BIGINT) AS bins_spanned
 FROM c
 ORDER BY doc_id
 """
@@ -3110,7 +3112,13 @@ WITH p AS (
   FROM documents
 ),
 s AS (
+  -- staged scrubbing; counts are taken on the text as each pass sees it,
+  -- so they equal the replacements actually performed (overlap-safe)
   SELECT doc_id, text,
+         regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g') AS after_url,
+         regexp_replace(
+           regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+           '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS after_email,
          regexp_replace(
            regexp_replace(
              regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
@@ -3119,10 +3127,10 @@ s AS (
   FROM p
 )
 SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS n_emails,
-       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
-       len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
-       length(scrubbed) AS scrubbed_len,
+       CAST(len(regexp_extract_all(after_url, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(after_email, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+       CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
        md5(scrubbed) AS scrubbed_md5
 FROM s
 ORDER BY doc_id
@@ -3152,16 +3160,16 @@ m AS (
          CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_len
   FROM t
 )
-SELECT doc_id, lang, token_count,
+SELECT doc_id, lang, CAST(token_count AS INTEGER) AS token_count,
        token_count < 24 AS too_short,
        token_count > 400 AS too_long,
        (CAST(uniq AS DOUBLE) / token_count) < 0.3 AS low_diversity,
        stop_hits = 0 AS no_stopwords,
        (mean_len < 2.5 OR mean_len > 8.0) AS bad_token_len,
-       CAST(token_count < 24 AS INT) + CAST(token_count > 400 AS INT)
+       CAST(CAST(token_count < 24 AS INT) + CAST(token_count > 400 AS INT)
          + CAST((CAST(uniq AS DOUBLE) / token_count) < 0.3 AS INT)
          + CAST(stop_hits = 0 AS INT)
-         + CAST(mean_len < 2.5 OR mean_len > 8.0 AS INT) AS n_failed,
+         + CAST(mean_len < 2.5 OR mean_len > 8.0 AS INT) AS INTEGER) AS n_failed,
        CAST(token_count < 24 AS INT) + CAST(token_count > 400 AS INT)
          + CAST((CAST(uniq AS DOUBLE) / token_count) < 0.3 AS INT)
          + CAST(stop_hits = 0 AS INT)
@@ -3186,8 +3194,8 @@ WITH a AS (
 )
 SELECT doc_id,
        CAST(sort_key % 16 AS INT) AS shard_id,
-       ROW_NUMBER() OVER (
-         PARTITION BY sort_key % 16 ORDER BY sort_key, doc_id) AS shard_pos
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY sort_key % 16 ORDER BY sort_key, doc_id) AS INTEGER) AS shard_pos
 FROM a
 ORDER BY doc_id
 """
@@ -3281,8 +3289,8 @@ g AS (
   FROM t
 )
 SELECT doc_id,
-       len(grams) AS total_ngrams,
-       len(list_distinct(grams)) AS distinct_ngrams,
+       CAST(len(grams) AS INTEGER) AS total_ngrams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_ngrams,
        ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
              / len(grams), 6) AS rep_fraction
 FROM g

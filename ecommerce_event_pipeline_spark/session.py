@@ -39,13 +39,19 @@ RUNTIME_CONF = {
 }
 
 
-def tune(spark: SparkSession) -> SparkSession:
+def tune(
+    spark: SparkSession, overrides: dict[str, str] | None = None
+) -> SparkSession:
     """Apply runtime-settable conf to an existing session (idempotent).
 
     Used on sessions we did not build (e.g. the verification driver's) so
     query results are timezone/ANSI stable regardless of who built it.
+    ``overrides`` win over ``RUNTIME_CONF`` — callers that explicitly
+    request a setting (e.g. ``get_spark(shuffle_partitions=4)`` in tests)
+    must not have it silently clobbered by the defaults.
     """
-    for key, value in RUNTIME_CONF.items():
+    merged = {**RUNTIME_CONF, **(overrides or {})}
+    for key, value in merged.items():
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf may be static in some envs
@@ -76,8 +82,14 @@ def get_spark(
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
-    for key, value in (extra_conf or {}).items():
+    # explicit caller overrides are applied LAST at build time and again as
+    # tune() overrides — without this, the RUNTIME_CONF defaults (which
+    # include shuffle.partitions) would silently clobber a requested value
+    overrides = dict(extra_conf or {})
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for key, value in overrides.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return tune(spark)
+    return tune(spark, overrides)

@@ -71,7 +71,13 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # only the nanos-timestamp analysis error earns the legacy-conf
+        # retry — a missing file / corrupt footer must re-raise untouched
+        # rather than flip a session-wide conf on its way out
+        msg = str(exc)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "TIMESTAMP(NANOS" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 
@@ -89,17 +95,35 @@ def _repair_ns_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def session_key(spark: SparkSession, *parts: str) -> tuple:
+    """Cache key tying entries to a live session: the applicationId is
+    unique per SparkContext, unlike ``id(spark)`` where CPython can recycle
+    a stopped session's address and serve plans bound to a dead context."""
+    return (spark.sparkContext.applicationId, *parts)
+
+
+_LAYOUT_CACHE: dict[tuple, tuple] = {}
+
+
 def events_ts_layout(spark: SparkSession, sf_dir: str):
     """Resolve the events parquet schema and whether ts needs the ns repair.
 
     Returns ``(schema, ts_is_long)``; shared by the batch reader and the
     streaming source so the two paths cannot diverge on the layout branch.
+    Memoized per (session, dir): streaming jobs resolve the layout once per
+    source branch, and a stream-stream join has two branches — without the
+    cache each invocation pays redundant footer reads (plus, on the nanos
+    layout, thrown-and-caught analysis errors).
     """
+    key = session_key(spark, sf_dir)
+    if key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[key]
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     df = _read_events_raw(spark, path)
     if "ts" not in df.columns:
         raise ValueError(f"malformed events fixture (no ts column): {path}")
-    return df.schema, isinstance(df.schema["ts"].dataType, LongType)
+    _LAYOUT_CACHE[key] = (df.schema, isinstance(df.schema["ts"].dataType, LongType))
+    return _LAYOUT_CACHE[key]
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,10 +142,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: session-scoped cache of the prepared events table, keyed by (session, dir).
-#: Entries live for the process; callers that regenerate fixture data
-#: mid-session must clear_events_cache() or the stale cached rows win.
-_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: session-scoped cache of the prepared events table, keyed by
+#: (applicationId, dir). Entries live for the process; callers that
+#: regenerate fixture data mid-session must clear_events_cache() or the
+#: stale cached rows win.
+_EVENTS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def clear_events_cache() -> None:
@@ -148,7 +173,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = with_time_columns(read_table(spark, sf_dir, "events"), "ts", is_string=False)
     if os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1":
-        key = (id(spark), sf_dir)
+        key = session_key(spark, sf_dir)
         if key not in _EVENTS_CACHE:
             _EVENTS_CACHE[key] = df.cache()
         return _EVENTS_CACHE[key]
