@@ -3354,6 +3354,77 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS c FROM toks WHERE token <> '' GROUP BY 1
+),
+seeds AS (SELECT unnest(range(4)) AS row),
+cells AS (
+  SELECT s.row,
+         CAST(CAST(('0x' || substr(md5(s.row || '#' || t.token), 1, 8)) AS BIGINT)
+              % 256 AS INTEGER) AS bucket,
+         SUM(t.c) AS cell
+  FROM counts t CROSS JOIN seeds s
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 20
+),
+est AS (
+  SELECT t.token, t.c,
+         MIN(cl.cell) AS est
+  FROM top t
+  CROSS JOIN seeds s
+  JOIN cells cl
+    ON cl.row = s.row
+   AND cl.bucket = CAST(CAST(('0x' || substr(md5(s.row || '#' || t.token), 1, 8))
+                             AS BIGINT) % 256 AS INTEGER)
+  GROUP BY 1, 2
+)
+SELECT token, CAST(c AS BIGINT) AS true_count, CAST(est AS BIGINT) AS cms_estimate
+FROM est
+ORDER BY true_count DESC, token
+"""
+
+
+@register("token_cms_estimates", _CMS_ORACLE)
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus tokens (d=4, w=256), point estimates
+    for the top-20 exact tokens alongside truth — the mergeable
+    approximate tier for corpus-scale frequency stats, fully oracle-backed
+    because the bucket hash is an md5 prefix both engines compute
+    identically."""
+    from .functions import sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # cells built from the weighted count table (same totals as the raw
+    # stream, one row per distinct token into the sketch aggregation)
+    spark_rows = spark.range(4).select(F.col("id").cast("int").alias("row"))
+    cells = (
+        counts.crossJoin(F.broadcast(spark_rows))
+        .groupBy("row", sketch._bucket(F.col("token"), F.col("row"), 256).alias("bucket"))
+        .agg(F.sum("c").alias("cell"))
+    )
+    top = counts.orderBy(F.desc("c"), "token").limit(20)
+    est = sketch.cms_estimate(cells, top.select("token"), depth=4, width=256)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            F.col("c").cast("long").alias("true_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+        .orderBy(F.desc("true_count"), "token")
+    )
+
+
 @register("semantic_dedup", None)  # iterative float k-means → rows-only
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup: seeded spherical k-means cells,

@@ -114,3 +114,77 @@ def test_sessionize_seq_is_dense_and_monotone(spark, gaps):
     assert seqs[0] == 1
     for prev, cur, gap in zip(seqs, seqs[1:], gaps[1:]):
         assert cur == prev + (1 if gap > 1800 else 0)
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 128, 512]),
+    shard_size=st.sampled_from([1, 3, 1000]),
+)
+@SETTINGS
+def test_pack_sequences_equals_serial_cumsum(spark, lengths, budget, shard_size):
+    """The two-phase distributed prefix sum must equal the serial cumsum
+    for ANY doc lengths / budget / shard size (incl. shard_size=1 — one
+    doc per shard, maximal offset-join surface)."""
+    from ecommerce_event_pipeline_spark.functions import curation
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.pack_sequences(df, budget=budget, shard_size=shard_size).collect()
+    }
+    cum = 0
+    for i, n in enumerate(lengths):
+        r = out[i]
+        assert r["start_offset"] == cum
+        assert r["bin_id"] == cum // budget
+        assert r["bins_spanned"] == (cum + n - 1) // budget - cum // budget + 1
+        cum += n
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    chunk=st.sampled_from([16, 64]),
+    stride=st.sampled_from([8, 48]),
+)
+@SETTINGS
+def test_doc_chunks_reconstruct_document(spark, n_tokens, chunk, stride):
+    """Concatenating each chunk's NON-overlapping head (first `stride`
+    tokens) plus the final chunk's tail must reproduce the document for
+    any length/chunk/stride combination with stride <= chunk (stride >
+    chunk is deliberate sub-sampling and skips tokens by design)."""
+    from hypothesis import assume
+
+    from ecommerce_event_pipeline_spark.functions import curation
+
+    assume(stride <= chunk)
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = curation.doc_chunks(df, chunk_tokens=chunk, stride=stride).collect()
+    chunks.sort(key=lambda r: r["chunk_index"])
+    rebuilt: list[str] = []
+    for r in chunks[:-1]:
+        rebuilt.extend(r["chunk_text"].split(" ")[:stride])
+    rebuilt.extend(chunks[-1]["chunk_text"].split(" "))
+    assert rebuilt == text.split(" ")
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=60),
+    n_shards=st.sampled_from([1, 4, 16]),
+)
+@SETTINGS
+def test_training_shards_partition_the_corpus(spark, n_docs, n_shards):
+    from ecommerce_event_pipeline_spark.functions import curation
+
+    df = spark.createDataFrame([(i, "x") for i in range(n_docs)], "doc_id long, text string")
+    rows = curation.training_shards(df, n_shards=n_shards, seed=7).collect()
+    assert len(rows) == n_docs and len({r["doc_id"] for r in rows}) == n_docs
+    per = {}
+    for r in rows:
+        assert 0 <= r["shard_id"] < n_shards
+        per.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    for pos in per.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))

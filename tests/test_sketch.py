@@ -1,0 +1,51 @@
+"""Count-min sketch: over-estimate guarantee, mergeability, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark.functions import sketch
+
+
+def _tokens(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "token string")
+
+
+def test_cms_never_underestimates(spark):
+    words = ["a"] * 50 + ["b"] * 20 + [f"w{i}" for i in range(200)]
+    toks = _tokens(spark, words)
+    cells = sketch.cms_build(toks, depth=4, width=64)
+    truth = {r["token"]: r["cnt"] for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    queries = _tokens(spark, list(truth))
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in sketch.cms_estimate(cells, queries, depth=4, width=64).collect()
+    }
+    assert set(est) == set(truth)
+    for tok, true_n in truth.items():
+        assert est[tok] >= true_n  # collisions only ADD
+    # heavy hitters estimate closely at this load factor
+    assert est["a"] <= 50 + 10 and est["b"] <= 20 + 10
+
+
+def test_cms_merges_by_cell_sum(spark):
+    half1 = ["x"] * 10 + ["y"] * 5
+    half2 = ["x"] * 7 + ["z"] * 3
+    c1 = sketch.cms_build(_tokens(spark, half1), depth=4, width=32)
+    c2 = sketch.cms_build(_tokens(spark, half2), depth=4, width=32)
+    merged = (
+        c1.unionByName(c2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    whole = sketch.cms_build(_tokens(spark, half1 + half2), depth=4, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_unknown_token_estimates_from_empty_cells(spark):
+    cells = sketch.cms_build(_tokens(spark, ["only"]), depth=4, width=32)
+    est = sketch.cms_estimate(
+        cells, _tokens(spark, ["absent-token"]), depth=4, width=32
+    ).collect()
+    # an absent token either hits empty cells (0) or collides (>=0); never errors
+    assert est[0]["cms_estimate"] >= 0
