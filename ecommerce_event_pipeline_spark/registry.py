@@ -3518,9 +3518,14 @@ _FRONT: tuple[str, ...] = (
 # type_hour_unpivot, revenue_7day_ma) are ALL driver-green in CORRECTNESS_r02 (most in r01
 # too), stay oracle-checked by tools/check_oracle.py locally, and every §2
 # row they cover keeps either a cumulative green or an in-window twin. The
-# 19 swapped-in entries have never had a driver row: the 13 from the first
-# rotation (11 oracle-backed + 2 rows-only dedup ops) plus the 6 new
-# oracle-backed corpus-curation stages.
+# swapped-in entries have never had a driver row: the 13 from the first
+# rotation (11 oracle-backed + 2 rows-only dedup ops), the 6 oracle-backed
+# corpus-curation stages, streaming_attribution_join, and
+# embedding_quantize.
+#
+# Round-4 rotation candidates (registered but never graded, all locally
+# oracle-checked): doc_repetition, bm25_search, multimodal_resize,
+# token_cms_estimates (oracle-backed); semantic_dedup (rows-only).
 
 
 def _reorder_registry() -> None:
