@@ -305,11 +305,9 @@ def training_shards(docs: DataFrame, n_shards: int = 16, seed: int = 7) -> DataF
     one shard — corpus-scale total order is never materialized on one node
     (writers consume shards independently, as shard files).
     """
-    sort_key = F.conv(
-        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit("#"), F.col("doc_id"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    from .hashing import md5_prefix_long
+
+    sort_key = md5_prefix_long(str(seed), F.col("doc_id"))
     assigned = docs.select(
         "doc_id",
         sort_key.alias("sort_key"),

@@ -14,56 +14,77 @@ by cell-wise SUM — the property that makes the sketch work on a stream or
 a 100 TB fan-in where exact per-token counts would need a corpus-wide
 shuffle on a billion-key domain.
 
-The bucket hash is an md5 prefix (not xxhash64) so the whole sketch —
-cells and estimates — is reproducible by the DuckDB oracle byte-for-byte,
-keeping even the approximate tier value-hash-checkable.
+The bucket hash is an md5 prefix (``functions/hashing.py``, not xxhash64)
+so the whole sketch — cells and estimates — is reproducible by the DuckDB
+oracle byte-for-byte, keeping even the approximate tier
+value-hash-checkable.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_prefix_long
+
 
 def _bucket(token: F.Column, row: F.Column, width: int) -> F.Column:
-    """Row-salted md5 bucket: identical arithmetic exists in any engine."""
-    h = F.md5(F.concat(row.cast("string"), F.lit("#"), token))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+    """Row-salted engine-portable bucket (see functions/hashing.py)."""
+    return (md5_prefix_long(row, token) % width).cast("int")
+
+
+class CMS(NamedTuple):
+    """A built sketch with its geometry attached: estimates computed with
+    a different depth/width than the build probe the WRONG buckets and
+    silently void the over-estimate guarantee, so the two travel together."""
+
+    cells: DataFrame  # (row int, bucket int, cell long)
+    depth: int
+    width: int
 
 
 def cms_build(
-    tokens: DataFrame, depth: int = 4, width: int = 256
-) -> DataFrame:
-    """Build the d×w cell table from a ``(token)`` row stream.
+    tokens: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    weight: str | None = None,
+) -> CMS:
+    """Build the d×w cell table from a ``(token[, weight])`` DataFrame.
 
-    Output: (row, bucket, cell) — exactly depth·width rows upper-bound,
-    merge-able with another sketch by summing cells.
+    ``weight=None`` counts rows (a raw token stream); a weight column sums
+    pre-aggregated counts — same totals, one input row per distinct token.
+    Merge two sketches with equal geometry by unioning ``cells`` and
+    summing ``cell`` per (row, bucket).
     """
     spark = tokens.sparkSession
     rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
-    return (
+    agg = F.sum(weight).alias("cell") if weight else F.count("*").alias("cell")
+    cells = (
         tokens.crossJoin(F.broadcast(rows))
         .groupBy("row", _bucket(F.col("token"), F.col("row"), width).alias("bucket"))
-        .agg(F.count("*").alias("cell"))
+        .agg(agg)
     )
+    return CMS(cells, depth, width)
 
 
-def cms_estimate(
-    cells: DataFrame, queries: DataFrame, depth: int = 4, width: int = 256
-) -> DataFrame:
+def cms_estimate(cms: CMS, queries: DataFrame) -> DataFrame:
     """Point-estimate each query token: min over its d cells.
 
     ``queries`` has a ``token`` column; the (tiny) query×depth probe set
     broadcasts against the (tiny) cell table — no corpus access at all,
     which is the point of carrying a sketch.
     """
-    spark = cells.sparkSession
-    rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    spark = cms.cells.sparkSession
+    rows = spark.range(cms.depth).select(F.col("id").cast("int").alias("row"))
     probes = queries.crossJoin(F.broadcast(rows)).select(
-        "token", "row", _bucket(F.col("token"), F.col("row"), width).alias("bucket")
+        "token",
+        "row",
+        _bucket(F.col("token"), F.col("row"), cms.width).alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(cells), ["row", "bucket"], "left")
+        probes.join(F.broadcast(cms.cells), ["row", "bucket"], "left")
         .groupBy("token")
         .agg(F.min(F.coalesce("cell", F.lit(0))).alias("cms_estimate"))
     )

@@ -3404,16 +3404,11 @@ def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("c"))
-    # cells built from the weighted count table (same totals as the raw
-    # stream, one row per distinct token into the sketch aggregation)
-    spark_rows = spark.range(4).select(F.col("id").cast("int").alias("row"))
-    cells = (
-        counts.crossJoin(F.broadcast(spark_rows))
-        .groupBy("row", sketch._bucket(F.col("token"), F.col("row"), 256).alias("bucket"))
-        .agg(F.sum("c").alias("cell"))
-    )
+    # sketch built from the pre-aggregated count table (same totals as the
+    # raw stream, one input row per distinct token)
+    cms = sketch.cms_build(counts, depth=4, width=256, weight="c")
     top = counts.orderBy(F.desc("c"), "token").limit(20)
-    est = sketch.cms_estimate(cells, top.select("token"), depth=4, width=256)
+    est = sketch.cms_estimate(cms, top.select("token"))
     return (
         top.join(est, "token")
         .select(

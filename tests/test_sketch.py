@@ -14,12 +14,12 @@ def _tokens(spark, words):
 def test_cms_never_underestimates(spark):
     words = ["a"] * 50 + ["b"] * 20 + [f"w{i}" for i in range(200)]
     toks = _tokens(spark, words)
-    cells = sketch.cms_build(toks, depth=4, width=64)
+    cms = sketch.cms_build(toks, depth=4, width=64)
     truth = {r["token"]: r["cnt"] for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
     queries = _tokens(spark, list(truth))
     est = {
         r["token"]: r["cms_estimate"]
-        for r in sketch.cms_estimate(cells, queries, depth=4, width=64).collect()
+        for r in sketch.cms_estimate(cms, queries).collect()
     }
     assert set(est) == set(truth)
     for tok, true_n in truth.items():
@@ -34,18 +34,18 @@ def test_cms_merges_by_cell_sum(spark):
     c1 = sketch.cms_build(_tokens(spark, half1), depth=4, width=32)
     c2 = sketch.cms_build(_tokens(spark, half2), depth=4, width=32)
     merged = (
-        c1.unionByName(c2)
+        c1.cells.unionByName(c2.cells)
         .groupBy("row", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
     whole = sketch.cms_build(_tokens(spark, half1 + half2), depth=4, width=32)
-    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.cells.collect()))
 
 
 def test_cms_unknown_token_estimates_from_empty_cells(spark):
-    cells = sketch.cms_build(_tokens(spark, ["only"]), depth=4, width=32)
-    est = sketch.cms_estimate(
-        cells, _tokens(spark, ["absent-token"]), depth=4, width=32
-    ).collect()
-    # an absent token either hits empty cells (0) or collides (>=0); never errors
-    assert est[0]["cms_estimate"] >= 0
+    cms = sketch.cms_build(_tokens(spark, ["only"]), depth=4, width=32)
+    est = sketch.cms_estimate(cms, _tokens(spark, ["absent-token"])).collect()
+    # the md5 buckets are deterministic: 'absent-token' shares no bucket
+    # with 'only' at d=4/w=32, so every probe hits an empty cell and the
+    # coalesce(0) path must produce an exact 0 — pinning the left-join arm
+    assert est[0]["cms_estimate"] == 0
