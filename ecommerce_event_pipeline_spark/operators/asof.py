@@ -33,15 +33,28 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row + the payload of the latest
-    ``right`` row with the same ``on`` key and ``right_ts <= left_ts``.
+    """Left as-of join: every ``left`` row + the payload of the matched
+    ``right`` row with the same ``on`` key — the ``pandas.merge_asof``
+    contract, distributed.
+
+    - ``direction="backward"`` (default): latest right with
+      ``right_ts <= left_ts``;
+    - ``direction="forward"``: earliest right with ``right_ts >= left_ts``
+      (same one-shuffle plan, the window just orders descending);
+    - ``tolerance``: maximum |left_ts − right_ts| in the ts column's units
+      (seconds for timestamps) — a match farther away yields NULL payload,
+      exactly like pandas.
 
     ``right`` must be unique per (on, right_ts) — pre-dedupe if not, or the
     matched payload among ties is unspecified. ``payload_cols`` must not
     collide with ``left``'s column names (the payload is emitted under its
     own names next to every left column).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     collisions = set(payload_cols) & set(left.columns)
     if collisions:
         raise ValueError(
@@ -64,7 +77,8 @@ def asof_join(
           for c in payload_cols],
         *[F.col(c) for c in left.columns if c != on],
     )
-    order = [F.col("_ts"), F.col("_side")]
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    order = [ts_order, F.col("_side")]
     if tiebreak is not None:
         order.append(F.col(tiebreak))
     w = (
@@ -78,10 +92,25 @@ def asof_join(
             F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
             for c in payload_cols
         ],
+        # the matched row's own ts rides along so tolerance can be applied
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_matched_ts"),
+    )
+    within = (
+        F.lit(True)
+        if tolerance is None
+        else F.abs(
+            F.col("_ts").cast("double") - F.col("_matched_ts").cast("double")
+        )
+        <= F.lit(float(tolerance))
     )
     out_cols = (
         [on]
         + [c for c in left.columns if c != on]
-        + [F.col(f"_filled_{c}").alias(c) for c in payload_cols]
+        + [
+            F.when(within, F.col(f"_filled_{c}")).alias(c)
+            for c in payload_cols
+        ]
     )
     return filled.where(F.col("_side") == 1).select(*out_cols)
