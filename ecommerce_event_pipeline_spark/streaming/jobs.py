@@ -341,3 +341,53 @@ def run_streaming_attribution_join(
     )
     table = _run_to_memory(joined, "append")
     return spark.table(table).orderBy("user_id", "view_ts", "purchase_ts")
+
+
+def run_streaming_token_cms(
+    spark: SparkSession,
+    depth: int = 4,
+    width: int = 64,
+    batch_rows: int = 200,
+    max_rows: int = 600,
+) -> DataFrame:
+    """Maintain a count-min sketch over a stream via ``foreachBatch``:
+    each micro-batch is sketched independently and merged into the running
+    sketch by cell-wise SUM — the mergeability that makes a CMS the right
+    frequency structure for unbounded streams (per-token exact counts
+    would need ever-growing state; the sketch is a constant d×w cells).
+
+    The source is the custom Python DataSource (``sources/pyds.py``) so
+    the merge path genuinely crosses micro-batch boundaries; the d×w cell
+    table is driver-merged (bounded, ≤ depth·width rows per batch — this
+    is sketch state, not data). Returns the final cells DataFrame, which
+    tests compare against a one-shot batch sketch of the same rows.
+    """
+    from collections import defaultdict
+
+    from ..functions.sketch import cms_build
+    from ..sources import pyds
+
+    if not pyds.register(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+
+    state: dict[tuple[int, int], int] = defaultdict(int)
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        tokens = batch_df.select(F.col("event_type").alias("token"))
+        for row in cms_build(tokens, depth, width).cells.collect():
+            state[(row["row"], row["bucket"])] += row["cell"]
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", batch_rows)
+        .option("maxRows", max_rows)
+        .load()
+    )
+    with _bounded_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(absorb).start()
+        q.processAllAvailable()
+        q.stop()
+    return spark.createDataFrame(
+        [(r, b, c) for (r, b), c in sorted(state.items())],
+        "row int, bucket int, cell long",
+    )

@@ -49,3 +49,27 @@ def test_cms_unknown_token_estimates_from_empty_cells(spark):
     # with 'only' at d=4/w=32, so every probe hits an empty cell and the
     # coalesce(0) path must produce an exact 0 — pinning the left-join arm
     assert est[0]["cms_estimate"] == 0
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    from pyspark.sql import functions as F2
+
+    from ecommerce_event_pipeline_spark.sources import pyds
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    if not pyds.HAS_DATASOURCE_API:
+        import pytest as _pytest
+
+        _pytest.skip("pyspark lacks the DataSource API")
+    streamed = jobs.run_streaming_token_cms(
+        spark, depth=4, width=64, batch_rows=200, max_rows=600
+    )
+    pyds.register(spark)
+    batch_tokens = (
+        spark.read.format("synthetic_events").option("rows", 600).load()
+        .select(F2.col("event_type").alias("token"))
+    )
+    whole = sketch.cms_build(batch_tokens, depth=4, width=64)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, whole.cells.collect())
+    )
