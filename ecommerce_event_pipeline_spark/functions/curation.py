@@ -144,7 +144,10 @@ def pack_sequences(
     counted = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-        (F.col("doc_id") / shard_size).cast("long").alias("_shard"),
+        # integer div like the bin arithmetic below: float `/` + cast
+        # truncates via double (wrong shard past 2^53, and trunc-vs-floor
+        # breaks the prefix-sum ordering for negative ids)
+        F.expr(f"doc_id div {int(shard_size)}").alias("_shard"),
     )
     in_shard = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1

@@ -75,10 +75,10 @@ def user_purchase_trend(events: DataFrame, min_purchases: int = 3) -> DataFrame:
     )
     # half-up cents mean via integer arithmetic (same trick as
     # curated_corpus's avg_kept_quality), then back to currency units
-    half_up_cents = F.floor(
-        (2 * F.col("sv_cents") + F.col("n_purchases"))
-        / (2 * F.col("n_purchases"))
-    )
+    # integer `div`, not float `/` + floor: past 2^53 the double quotient
+    # can round across an integer boundary and diverge from the oracle's
+    # integer `//`
+    half_up_cents = F.expr("(2 * sv_cents + n_purchases) div (2 * n_purchases)")
     return agg.select(
         "user_id",
         "n_purchases",

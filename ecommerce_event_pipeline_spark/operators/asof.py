@@ -86,22 +86,28 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
-            for c in payload_cols
-        ],
-        # the matched row's own ts rides along so tolerance can be applied
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias("_matched_ts"),
-    )
+    # payload + the matched row's ts travel in ONE struct: per-column
+    # last(_p_c, ignorenulls) would skip a right row whose payload value is
+    # legitimately NULL and pair an older payload with a newer _matched_ts
+    # (diverging from pandas.merge_asof, which returns that row's NULL).
+    # The struct is non-null for every right row, so ignorenulls only skips
+    # left rows, and all fields come from the same matched row.
+    matched = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(
+                F.col("_ts").alias("_rts"),
+                *[F.col(f"_p_{c}").alias(c) for c in payload_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    filled = l.unionByName(r).select("*", matched.alias("_m"))
     within = (
-        F.lit(True)
+        F.col("_m").isNotNull()
         if tolerance is None
         else F.abs(
-            F.col("_ts").cast("double") - F.col("_matched_ts").cast("double")
+            F.col("_ts").cast("double") - F.col("_m._rts").cast("double")
         )
         <= F.lit(float(tolerance))
     )
@@ -109,7 +115,7 @@ def asof_join(
         [on]
         + [c for c in left.columns if c != on]
         + [
-            F.when(within, F.col(f"_filled_{c}")).alias(c)
+            F.when(within, F.col(f"_m.{c}")).alias(c)
             for c in payload_cols
         ]
     )

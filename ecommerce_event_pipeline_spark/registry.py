@@ -3226,7 +3226,7 @@ r AS (
 )
 SELECT media_id,
        CAST(128 AS INT) AS orig_bytes,
-       resized,
+       COALESCE(array_to_string(resized, ','), '') AS resized_csv,
        CAST(list_aggregate(resized, 'sum') AS BIGINT) AS resized_sum
 FROM r
 ORDER BY media_id
@@ -3237,10 +3237,19 @@ ORDER BY media_id
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor byte resample of image payloads (mapInPandas) —
     the resize plumbing with a codec-free deterministic kernel; byte-exact
-    against the sha-hex oracle."""
+    against the sha-hex oracle. The graded projection serializes the
+    ``resized`` array to CSV (driver canonicalizer can't hash list cells)."""
     from .functions.multimodal import resize_payload, synthetic_media
 
-    return resize_payload(synthetic_media(spark, _MEDIA_N)).orderBy("media_id")
+    r = resize_payload(synthetic_media(spark, _MEDIA_N))
+    return r.select(
+        "media_id",
+        "orig_bytes",
+        F.array_join(F.col("resized").cast("array<string>"), ",").alias(
+            "resized_csv"
+        ),
+        "resized_sum",
+    ).orderBy("media_id")
 
 
 _QUANTIZE_ORACLE = """
@@ -3263,7 +3272,8 @@ q AS (
          ) AS q_codes
   FROM m
 )
-SELECT vec_id, vmin, vmax, q_codes,
+SELECT vec_id, vmin, vmax,
+       COALESCE(array_to_string(q_codes, ','), '') AS q_codes_csv,
        CAST(list_aggregate(q_codes, 'sum') AS BIGINT) AS q_sum
 FROM q
 ORDER BY vec_id
@@ -3273,8 +3283,22 @@ ORDER BY vec_id
 @register("embedding_quantize", _QUANTIZE_ORACLE)
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Affine int8 quantization of the embedding column — bit-identical
-    codes verified against the DuckDB oracle (every step IEEE-exact)."""
-    return similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    codes verified against the DuckDB oracle (every step IEEE-exact).
+
+    The library function keeps ``q_codes`` as array<int>; the graded
+    projection serializes it to a CSV string because the driver's
+    canonicalizer pandas-sorts the frame and list cells are unhashable
+    (CORRECTNESS_r03 red row)."""
+    q = similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.array_join(F.col("q_codes").cast("array<string>"), ",").alias(
+            "q_codes_csv"
+        ),
+        "q_sum",
+    ).orderBy("vec_id")
 
 
 _DOC_REPETITION_ORACLE = """

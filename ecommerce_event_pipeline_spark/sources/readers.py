@@ -150,13 +150,18 @@ _EVENTS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def clear_events_cache() -> None:
-    """Unpersist and drop every cached events DataFrame (see read_events)."""
+    """Unpersist and drop every cached events DataFrame (see read_events).
+
+    Also drops the memoized ts-layout entries: a fixture regenerated with a
+    different physical ts layout (nanos vs micros) must re-resolve, or the
+    stale (schema, ts_is_long) drives the wrong ns→µs repair branch."""
     for df in _EVENTS_CACHE.values():
         try:
             df.unpersist()
         except Exception:  # session may already be stopped
             pass
     _EVENTS_CACHE.clear()
+    _LAYOUT_CACHE.clear()
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,6 +66,39 @@ def test_asof_join_matches_pandas(spark, direction, tolerance):
     assert got == _pandas_expected(direction, tolerance)
 
 
+@pytest.mark.parametrize("tolerance", [None, 10.0])
+def test_asof_join_null_payload_not_skipped(spark, tolerance):
+    """A right row whose payload is legitimately NULL is still the match —
+    merge_asof returns its NULL; ignorenulls must not reach past it to an
+    older non-null payload (and pair it with the newer row's ts)."""
+    left = spark.createDataFrame([(1, 25.0, "e1")], "k long, ts double, ev string")
+    right = spark.createDataFrame(
+        [(1, 5.0, "old"), (1, 20.0, None)], "k long, rts double, payload string"
+    )
+    [row] = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        payload_cols=["payload"],
+        direction="backward",
+        tolerance=tolerance,
+    ).collect()
+    # nearest match is (20.0, NULL): payload NULL either way — but with
+    # tolerance it must be judged against ts=20 (within), never ts=5
+    assert row["payload"] is None
+    lp = pd.DataFrame([(1, 25.0, "e1")], columns=["k", "ts", "ev"])
+    rp = pd.DataFrame(
+        [(1, 5.0, "old"), (1, 20.0, None)], columns=["k", "rts", "payload"]
+    )
+    exp = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k",
+        direction="backward", tolerance=tolerance,
+    )["payload"].iloc[0]
+    assert row["payload"] == (None if pd.isna(exp) else exp)
+
+
 def test_asof_join_rejects_bad_direction(spark):
     left, right = _spark_frames(spark)
     with pytest.raises(ValueError, match="direction"):
