@@ -596,11 +596,70 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_lsh_near_dupes", None)  # LSH candidates → approximate recall
+def _lsh_near_dupes_oracle(dim: int = 64, bits: int = 12, tables: int = 6) -> str:
+    """The hyperplanes are deterministic integer-mix pseudo-randoms
+    (`similarity.hyperplanes`), so they inline into the oracle as literal
+    DOUBLE[] rows (the `_lang_id_oracle` trick) and DuckDB replays the
+    whole pipeline: sign-of-dot signatures → bucket self-join → exact
+    fold-order cosine rerank. Dot-product signs are float comparisons, but
+    a numpy-vs-sequential-fold sign flip needs |dot| ≲ 1e-15 — vanishing
+    for O(1)-magnitude dots, and the driver would surface it loudly."""
+    rows = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            t, b, ", ".join(repr(v) for v in plane)
+        )
+        for t in range(tables)
+        for b, plane in enumerate(similarity.hyperplanes(dim, bits, t))
+    )
+    return f"""
+WITH planes(table_id, bit, p) AS (
+  VALUES
+    {rows}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.table_id, pl.bit,
+         list_sum(list_transform(list_zip(e.emb, pl.p), x -> x[1] * x[2])) AS d
+  FROM e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, table_id,
+         CAST(COALESCE(SUM(CASE WHEN d > 0
+                                THEN (CAST(1 AS BIGINT) << bit) END),
+                       0) AS BIGINT) AS signature
+  FROM dots GROUP BY vec_id, table_id
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM sigs a
+  JOIN sigs b
+    ON a.table_id = b.table_id AND a.signature = b.signature
+   AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_id_1, c.vec_id_2,
+         list_sum(list_transform(list_zip(x.emb, y.emb), v -> v[1] * v[2]))
+         / (SQRT(list_sum(list_transform(x.emb, v -> v * v)))
+            * SQRT(list_sum(list_transform(y.emb, v -> v * v)))) AS c
+  FROM cands c
+  JOIN e x ON x.vec_id = c.vec_id_1
+  JOIN e y ON y.vec_id = c.vec_id_2
+)
+SELECT vec_id_1, vec_id_2, ROUND(c, 6) AS cosine_sim
+FROM scored
+WHERE c >= 0.3
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+@register("embedding_lsh_near_dupes", _lsh_near_dupes_oracle())
 def embedding_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus cosine near-dup via random-hyperplane LSH buckets + exact
     verification — the cross-block scale path (recall tunable via
-    bits/tables, checked against the exact blocked variant in tests)."""
+    bits/tables, checked against the exact blocked variant in tests). The
+    oracle replays signatures, buckets, and rerank from the same inlined
+    deterministic hyperplanes, so the graded row verifies the whole LSH
+    pipeline, not just row counts."""
     return similarity.lsh_cosine_pairs(
         read_table(spark, sf_dir, "embeddings"), threshold=0.3, bits=12, tables=6
     )
@@ -1000,18 +1059,75 @@ def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp
 
 
-@register("simhash_fingerprints", None)  # xxhash64-based → rows-only
+# Both engines build the same fingerprints: per token two 32-bit longs
+# from the md5 hex (chars 1-8 / 9-16), ±1 lane sums, bit i = lane > 0.
+# All integer arithmetic in [0, 2^32) — no sign/overflow semantics to
+# diverge on (functions/hashing.py idiom).
+_SIMHASH_FP_CTE = """
+t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM t
+),
+lanes AS (
+  SELECT doc_id, r.i AS i,
+         SUM(CASE WHEN ((CASE WHEN r.i < 32 THEN lo ELSE hi END)
+                        >> (r.i % 32)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS lane
+  FROM h CROSS JOIN range(64) AS r(i)
+  GROUP BY doc_id, r.i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN lane > 0 AND i >= 32
+                                THEN (CAST(1 AS BIGINT) << (i - 32)) END),
+                       0) AS BIGINT) AS simhash_hi,
+         CAST(COALESCE(SUM(CASE WHEN lane > 0 AND i < 32
+                                THEN (CAST(1 AS BIGINT) << i) END),
+                       0) AS BIGINT) AS simhash_lo
+  FROM lanes GROUP BY doc_id
+)
+"""
+
+_SIMHASH_FP_ORACLE = f"""
+WITH {_SIMHASH_FP_CTE}
+SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id
+"""
+
+# the oracle verifies COMPLETENESS too: it scores every pair (n² at
+# sf0.01 is trivial for DuckDB), so a blocking bug that dropped a
+# ≤3-Hamming pair would show as a row-count mismatch, exercising the
+# pigeonhole guarantee the Spark side relies on
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_FP_CTE}
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_FP_ORACLE)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (fold over token hashes, JVM-side)."""
+    """64-bit SimHash per document as two 32-bit halves — md5-derived
+    token bits (engine-portable), so the fingerprints themselves are
+    oracle-checked bit-for-bit."""
     return _simhash_shared(spark, sf_dir).orderBy("doc_id")
 
 
-@register("simhash_near_dupes", None)  # xxhash64-based → rows-only
+@register("simhash_near_dupes", _SIMHASH_PAIRS_ORACLE)
 def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit quarter pigeonhole blocking + exact
-    Hamming verify (≤3 bits). Deterministic but hash-family-specific, so
-    rows-only; the pair semantics are pytest-verified against planted
-    near-dups and the blocking guarantee is enforced in the operator."""
+    Hamming verify (≤3 bits). The oracle recomputes the fingerprints AND
+    scores every pair exhaustively, so it checks both the Hamming values
+    and the completeness of the blocking."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_dupes(
         docs, max_hamming=3, fp_df=_simhash_shared(spark, sf_dir)
@@ -1072,16 +1188,19 @@ ORDER BY 1
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard near-dup graph: every
     document mapped to its cluster representative (min doc_id reachable
-    through ≥0.2-similarity pairs) — min-label propagation in Spark, a
-    recursive transitive-closure CTE in the oracle. The iterative loop is
-    the documented exception pattern (driver-side BSP with checkpointed
-    rounds); the result is still exactly SQL-checkable."""
+    through ≥0.2-similarity pairs) — a recursive transitive-closure CTE in
+    the oracle. The Spark default is star contraction (O(log n) rounds,
+    Kiveris et al. SoCC'14) rather than min-label BSP (O(diameter) rounds,
+    `dedup.dedup_clusters`): on a 100 TB dup graph with a long chain the
+    diameter-bound loop is the scale-killer; the label outputs are
+    identical (tests/test_dedup.py parity)."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
         docs, k=3, threshold=0.2, max_df=50,
         sets_df=_shingle_sets_shared(spark, sf_dir, 3),
     )
-    return dedup.dedup_clusters(docs, pairs)
+    labels, _rounds = dedup.dedup_clusters_star(docs, pairs)
+    return labels
 
 
 @register("doc_fingerprints", None)  # xxhash64-based → rows-only

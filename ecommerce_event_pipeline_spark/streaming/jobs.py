@@ -64,6 +64,12 @@ def _bounded_state_partitions(spark: SparkSession, cap: int = 8):
     every job here measured ~2× faster at 8 partitions than 32 (the
     stream-stream join 4×). Production sizing follows state volume per
     partition; the cap only ever lowers the session's setting.
+
+    Round-4 re-measurement of the session-window job (the one r03 bench
+    regression): warm runs are flat across caps 4/8/16/32 (1.1–1.4 s at
+    sf0.1) and the cold first run is ~2.5 s at any cap — the cost is
+    session-window codegen + merge init, not store count, so the cap
+    stays at 8 for all jobs.
     """
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)

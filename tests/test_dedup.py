@@ -56,9 +56,14 @@ def test_minhash_signature_is_deterministic(spark, docs):
 
 
 def test_simhash_identical_docs_same_fingerprint(spark, docs):
-    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    fp = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dedup.simhash(docs).collect()
+    }
     assert fp[1] == fp[2]
     assert fp[1] != fp[4]
+    # both halves stay in the unsigned 32-bit range (oracle portability)
+    assert all(0 <= h < 2**32 and 0 <= l < 2**32 for h, l in fp.values())
 
 
 def test_simhash_dupes_blocks_and_verifies(spark, docs):
