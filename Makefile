@@ -1,4 +1,4 @@
-.PHONY: help test test-cov check-oracle bench pipeline plans clean
+.PHONY: help test test-cov check-oracle bench pipeline plans ledger clean
 
 help: ## list targets
 	@grep -E '^[a-zA-Z_-]+:.*?## .*$$' $(MAKEFILE_LIST) | \
@@ -22,6 +22,9 @@ pipeline: ## run the daily pipeline for today into ./data
 
 plans: ## regenerate PLANS.md (formatted physical plans)
 	python tools/explain_audit.py
+
+ledger: ## regenerate COVERAGE.md (query -> driver-grade ledger)
+	python tools/make_ledger.py
 
 clean: ## remove generated local data
 	rm -rf data/ spark-warehouse/ derby.log metastore_db/

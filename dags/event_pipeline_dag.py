@@ -79,6 +79,34 @@ def report_task(ds: str, output_dir: str = OUTPUT_DIR) -> str:
         spark.stop()
 
 
+def on_failure_callback(context: dict) -> None:
+    """Post the failure to the configured webhook (reference:
+    dags/event_pipeline_dag.py:47-74 — SlackAlert.send_pipeline_failure).
+    Unconfigured → the client logs instead of sending."""
+    import os as _os
+
+    from ecommerce_event_pipeline_spark.delivery import WebhookClient
+
+    ti = context.get("task_instance")
+    WebhookClient(url=_os.environ.get("SLACK_WEBHOOK_URL")).post(
+        {
+            "text": "pipeline task failed: "
+            f"{getattr(ti, 'task_id', '?')} @ {context.get('ds', '?')}"
+        }
+    )
+
+
+def on_sla_miss_callback(dag, task_list, blocking_task_list, slas, blocking_tis):
+    """SLA-miss alert (reference: dags/event_pipeline_dag.py:76-89)."""
+    import os as _os
+
+    from ecommerce_event_pipeline_spark.delivery import WebhookClient
+
+    WebhookClient(url=_os.environ.get("SLACK_WEBHOOK_URL")).post(
+        {"text": f"SLA missed: {task_list}"}
+    )
+
+
 try:  # Airflow is optional — absent in this environment
     from datetime import datetime, timedelta
 
@@ -90,10 +118,19 @@ try:  # Airflow is optional — absent in this environment
         schedule_interval="0 17 * * *",  # daily, as the reference
         start_date=datetime(2026, 1, 1),
         catchup=False,
+        max_active_runs=1,
+        dagrun_timeout=timedelta(hours=3),
+        sla_miss_callback=on_sla_miss_callback,
+        # full operational policy of the reference DAG
+        # (reference: dags/event_pipeline_dag.py:107-121)
         default_args={
             "retries": 3,
             "retry_delay": timedelta(minutes=2),
             "retry_exponential_backoff": True,
+            "max_retry_delay": timedelta(minutes=30),
+            "execution_timeout": timedelta(hours=1),
+            "sla": timedelta(hours=2),
+            "on_failure_callback": on_failure_callback,
         },
     ) as dag:
         pipeline_op = PythonOperator(

@@ -136,6 +136,74 @@ def fixture_quality_report(events: DataFrame) -> DataFrame:
     )
 
 
+def fixture_quality_trend(events: DataFrame, days: int = 7) -> DataFrame:
+    """Per-day quality-check history over the trailing ``days`` calendar
+    days ending at the max event_date — the 7-day pass-rate trend the
+    reference dashboard renders from ``quality_check_log``
+    (reference: scripts/quality_dashboard.py:70-95). Same four checks and
+    thresholds as ``fixture_quality_report``, one grouped aggregate.
+
+    The date bound is a 1-row aggregate broadcast back onto the scan —
+    at 100 TB the filter prunes date partitions before the group-by."""
+    null_failed = sum(
+        F.sum(_i(F.col(c).isNull())) for c in ("event_id", "event_type", "user_id", "ts")
+    )
+    range_bad = (
+        F.col("value").isNull()
+        | (F.col("value") < 0)
+        | (F.col("value") > 100000000)
+        | F.col("event_type").isNull()
+        | ~F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+    )
+    ts_bad = F.col("ts").isNull() | (F.year("ts") < 2020) | (F.year("ts") > 2030)
+    bounds = events.agg(F.max("event_date").alias("_maxd"))
+    per_day = (
+        events.crossJoin(F.broadcast(bounds))
+        .where(F.datediff(F.col("_maxd"), F.col("event_date")) < days)
+        .groupBy(F.col("event_date").alias("check_date"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            null_failed.alias("null_failed"),
+            (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("dup_failed"),
+            F.sum(_i(range_bad)).alias("range_failed"),
+            F.sum(_i(ts_bad)).alias("ts_failed"),
+        )
+    )
+    checks = [
+        ("null_required_fields", "null_failed"),
+        ("duplicate_event_id", "dup_failed"),
+        ("value_range", "range_failed"),
+        ("timestamp_validity", "ts_failed"),
+    ]
+    rows = per_day.select(
+        "check_date",
+        F.col("total").cast("long").alias("total_records"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(col).cast("long").alias("failed_records"),
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("r"),
+    ).select("check_date", "r.check_name", "total_records", "r.failed_records")
+    denom = F.greatest(F.col("total_records"), F.lit(1)).cast("double")
+    rate = F.round((F.lit(1.0) - F.col("failed_records") / denom) * 100.0, 2)
+    return (
+        rows.withColumn("pass_rate", rate)
+        .withColumn(
+            "status",
+            F.when(
+                F.col("pass_rate") >= F.lit(PASS_THRESHOLD), F.lit("PASS")
+            ).otherwise(F.lit("FAIL")),
+        )
+        .orderBy("check_date", "check_name")
+    )
+
+
 class QualityValidator:
     """The reference's 7-check validator over the wide event log
     (reference: scripts/validate_quality.py), re-expressed so that:

@@ -99,10 +99,14 @@ def build_daily_report(events: DataFrame, quality_report: DataFrame, ds: str) ->
     return render_markdown(ds, kpis, quality, payments)
 
 
-def render_html_dashboard(ds: str, quality: list[dict]) -> str:
+def render_html_dashboard(
+    ds: str, quality: list[dict], trend: list[dict] | None = None
+) -> str:
     """Minimal HTML quality dashboard (reference:
     scripts/quality_dashboard.py) — a static render of the 7-check report
-    with PASS/FAIL coloring; serve or archive as-is."""
+    with PASS/FAIL coloring; serve or archive as-is. ``trend`` (rows from
+    ``fixture_quality_trend``) adds the reference dashboard's 7-day
+    pass-rate history table (reference: scripts/quality_dashboard.py:70-95)."""
     rows = "\n".join(
         f"<tr class='{q['status'].lower()}'><td>{q['check_name']}</td>"
         f"<td>{q['total_records']}</td><td>{q['failed_records']}</td>"
@@ -110,6 +114,36 @@ def render_html_dashboard(ds: str, quality: list[dict]) -> str:
         for q in quality
     )
     overall = "PASS" if all(q["status"] == "PASS" for q in quality) else "FAIL"
+    trend_html = ""
+    if trend:
+        # pivot: one row per date, one cell per check (rate + color)
+        by_date: dict[str, dict[str, dict]] = {}
+        for t in trend:
+            by_date.setdefault(str(t["check_date"]), {})[t["check_name"]] = t
+        checks = sorted({t["check_name"] for t in trend})
+        head = "".join(f"<th>{c}</th>" for c in checks)
+        body = "\n".join(
+            "<tr><td>{}</td>{}</tr>".format(
+                d,
+                "".join(
+                    (
+                        "<td class='{}'>{}%</td>".format(
+                            cells[c]["status"].lower(), cells[c]["pass_rate"]
+                        )
+                        if c in cells
+                        else "<td>—</td>"
+                    )
+                    for c in checks
+                ),
+            )
+            for d, cells in sorted(by_date.items())
+        )
+        trend_html = f"""
+<h2>7-day pass-rate trend</h2>
+<table>
+<tr><th>date</th>{head}</tr>
+{body}
+</table>"""
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>Quality — {ds}</title>
 <style>
@@ -118,13 +152,15 @@ table {{ border-collapse: collapse; }}
 td, th {{ border: 1px solid #ccc; padding: 4px 10px; }}
 tr.pass td:last-child {{ color: #0a7d32; font-weight: bold; }}
 tr.fail td:last-child {{ color: #b3261e; font-weight: bold; }}
+td.pass {{ color: #0a7d32; }}
+td.fail {{ color: #b3261e; font-weight: bold; }}
 </style></head>
 <body>
 <h1>Data quality — {ds}: {overall}</h1>
 <table>
 <tr><th>check</th><th>total</th><th>failed</th><th>pass rate</th><th>status</th></tr>
 {rows}
-</table>
+</table>{trend_html}
 </body></html>"""
 
 

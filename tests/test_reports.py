@@ -38,6 +38,29 @@ def test_html_dashboard_renders(spark):
     assert html.startswith("<!DOCTYPE html>")
     assert "q4_funnel_sequence" in html
     assert "PASS" in html
+    assert "7-day pass-rate trend" not in html  # no trend rows → no section
+
+
+def test_html_dashboard_renders_trend(spark):
+    from ecommerce_event_pipeline_spark.quality.checks import (
+        fixture_quality_trend,
+    )
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    trend = [r.asDict() for r in fixture_quality_trend(ev, days=7).collect()]
+    assert trend, "fixture should yield trend rows"
+    # 4 checks per day, trailing-7-day bound honored
+    days = {str(t["check_date"]) for t in trend}
+    assert 1 <= len(days) <= 7
+    assert len(trend) == 4 * len(days)
+    quality = [
+        {"check_name": "q1", "total_records": 1, "failed_records": 0,
+         "pass_rate": 100.0, "status": "PASS"}
+    ]
+    html = reports.render_html_dashboard("2026-03-03", quality, trend=trend)
+    assert "7-day pass-rate trend" in html
+    assert "duplicate_event_id" in html
 
 
 def test_llm_prompt_and_slack_payload(spark):
