@@ -217,6 +217,35 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_fingerprint_portable(docs: DataFrame) -> DataFrame:
+    """Engine-portable twin of :func:`doc_fingerprint`: same shape
+    (content hash + positional XOR-folded rolling hash) but built from
+    md5 prefixes instead of xxhash64, so a SQL oracle can recompute every
+    bit. 15 hex chars = 60 bits, always positive in a signed BIGINT.
+
+    Production deployments should prefer :func:`doc_fingerprint`
+    (xxhash64 is one JVM intrinsic per row vs md5's digest + hex slice),
+    but both are row-local projections — no shuffle, scales linearly.
+    Token index is 1-based to match DuckDB's ``list_transform`` lambda.
+    """
+    toks = _tokens(F.lower(F.col("text")))
+
+    def _h(s: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    indexed = F.transform(
+        toks, lambda t, i: _h(F.concat(t, F.lit("#"), (i + F.lit(1)).cast("string")))
+    )
+    folded = F.aggregate(
+        indexed, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+    return docs.select(
+        "doc_id",
+        _h(F.lower(F.col("text"))).alias("content_hash"),
+        folded.alias("rolling_hash"),
+    ).orderBy("doc_id")
+
+
 def bm25_search(
     docs: DataFrame,
     query_tokens: tuple[str, ...] = ("spark", "query", "table"),

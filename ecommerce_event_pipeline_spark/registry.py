@@ -1,5 +1,5 @@
 """Driver-facing query registry: every SQL-expressible operator paired with
-its DuckDB oracle twin (9 deterministic hash/iterative entries are
+its DuckDB oracle twin (3 float-iterative/approximate entries are
 rows-only, each marked at its ``@register(..., None)`` site).
 
 Each entry maps a SURVEY §2 operator (or a beyond-parity LLM-data-pipeline
@@ -1333,10 +1333,32 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
-@register("doc_fingerprints", None)  # xxhash64-based → rows-only
+_DOC_FINGERPRINTS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(lower(text), ' '),
+           (t, i) -> CAST(('0x' || substr(md5(t || '#' || i), 1, 15)) AS BIGINT)
+         )) AS h
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(('0x' || substr(md5(lower(d.text)), 1, 15)) AS BIGINT)
+         AS content_hash,
+       COALESCE(bit_xor(tok.h), 0) AS rolling_hash
+FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+GROUP BY d.doc_id, d.text
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_fingerprints", _DOC_FINGERPRINTS_ORACLE)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content hash + positional rolling hash per document."""
-    return text.doc_fingerprint(read_table(spark, sf_dir, "documents"))
+    """Content hash + positional rolling hash per document, md5-portable
+    variant (`text.doc_fingerprint_portable`) so DuckDB recomputes every
+    bit: content = md5-prefix of the lowered text, rolling = bit_xor over
+    md5(token#index) prefixes. The xxhash64 production twin
+    (`text.doc_fingerprint`) keeps its own pytest coverage."""
+    return text.doc_fingerprint_portable(read_table(spark, sf_dir, "documents"))
 
 
 def _lang_id_oracle() -> str:

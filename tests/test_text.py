@@ -62,3 +62,29 @@ def test_doc_fingerprint_deterministic_and_distinct(spark):
     assert out[1]["content_hash"] == out[2]["content_hash"]
     assert out[1]["rolling_hash"] == out[2]["rolling_hash"]
     assert out[1]["content_hash"] != out[3]["content_hash"]
+
+
+def test_doc_fingerprint_portable_matches_duckdb(spark):
+    import duckdb
+
+    rows = [(1, "Alpha beta gamma"), (2, "alpha beta  gamma"), (3, ""), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["content_hash"], r["rolling_hash"])
+        for r in text.doc_fingerprint_portable(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from ecommerce_event_pipeline_spark.registry import _DOC_FINGERPRINTS_ORACLE
+
+    want = {
+        r[0]: (r[1], r[2]) for r in con.execute(_DOC_FINGERPRINTS_ORACLE).fetchall()
+    }
+    assert got == want
+    # order-sensitivity: same multiset of tokens, different order → different roll
+    df2 = spark.createDataFrame(
+        [(1, "beta alpha gamma")], "doc_id long, text string"
+    )
+    (other,) = text.doc_fingerprint_portable(df2).collect()
+    assert other["rolling_hash"] != got[1][1]
