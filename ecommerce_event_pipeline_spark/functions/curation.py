@@ -324,6 +324,74 @@ def training_shards(docs: DataFrame, n_shards: int = 16, seed: int = 7) -> DataF
     )
 
 
+def dataset_split(
+    docs: DataFrame,
+    fractions: tuple[int, int] = (90, 5),
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the split
+    a pretraining pipeline pins once so every downstream run sees the same
+    membership regardless of partitioning, row order, or cluster size.
+
+    bucket = md5('<seed>#doc_id') mod 100; train gets ``fractions[0]``
+    buckets, val the next ``fractions[1]``, test the rest. Row-local
+    projection, no shuffle; the md5 idiom keeps it oracle-checkable
+    (see functions/hashing.py).
+    """
+    from .hashing import md5_prefix_long
+
+    train_lt, val_lt = fractions[0], fractions[0] + fractions[1]
+    bucket = md5_prefix_long(str(seed), F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < train_lt, F.lit("train"))
+        .when(bucket < val_lt, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+def language_mix_weights(
+    docs: DataFrame, temperature: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled language sampling weights — the data-mixing step
+    of a multilingual pretraining pipeline (sample language l with
+    p_l ∝ (c_l / Σc)^T, T < 1 upweights low-resource languages).
+
+    Two tiny aggregates: per-language counts (one shuffle, |langs| rows),
+    then the normalizer as a broadcast single-row cross join — nothing
+    corpus-sized moves. Weights are ROUND(…, 4): pow/sum float math is the
+    only cross-engine risk and 4 decimals is far coarser than any ulp
+    drift. expected_docs rounds the resampled count to a whole document.
+    """
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    scaled = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double") / F.col("n_total"), temperature).alias(
+            "_s"
+        ),
+        "n_total",
+    )
+    norm = scaled.agg(F.sum("_s").alias("_z"))
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("_s") / F.col("_z"), 4).alias("weight"),
+            # floor(x + 0.5), not round(): Spark rounds HALF_UP, DuckDB
+            # half-to-even — floor+0.5 is the same function in both
+            F.floor(F.col("_s") / F.col("_z") * F.col("n_total") + 0.5)
+            .cast("long")
+            .alias("expected_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 16,

@@ -8,7 +8,7 @@ with pinned values) — map-side combinable, one shuffle each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,4 +111,83 @@ def union_activity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.round(F.sum("amount"), 2).alias("total_amount"),
         )
         .orderBy("kind")
+    )
+
+
+def daily_revenue_gapfill(orders: DataFrame, min_price: float = 450000.0) -> DataFrame:
+    """Calendar gap-fill + linear interpolation over a daily revenue
+    series — the time-series densification step reporting and
+    feature-engineering pipelines run before windowed models.
+
+    Shape: one hash aggregate (day grain), then the calendar is generated
+    from the 1-row min/max aggregate with ``sequence`` + ``explode`` and
+    left-joins the dailies. The fill windows are UNPARTITIONED, which is
+    fine by construction: after the day-grain aggregate the frame has one
+    row per calendar day (~365/year — thousands of rows at ANY corpus
+    scale), so the single-partition sort is bounded by the calendar, not
+    the data. Interpolation = prev + (next − prev) · elapsed/span on the
+    nearest non-gap neighbours, edges fall back to the nearest value.
+    """
+    daily = (
+        orders.where(F.col("o_totalprice") > min_price)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    filled = calendar.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    prev_rev = F.last("revenue", ignorenulls=True).over(w_prev)
+    prev_day = F.last(F.when(F.col("revenue").isNotNull(), F.col("day")), True).over(
+        w_prev
+    )
+    next_rev = F.first("revenue", ignorenulls=True).over(w_next)
+    next_day = F.first(F.when(F.col("revenue").isNotNull(), F.col("day")), True).over(
+        w_next
+    )
+    span = F.datediff(next_day, prev_day)
+    elapsed = F.datediff(F.col("day"), prev_day)
+    # interpolate in exact integer cents: the neighbours are 2-dp doubles,
+    # so floor(x*100+0.5) recovers cents exactly; the weighted mean + its
+    # truncating integer division are bit-identical across engines, where
+    # round(float_interp, 2) at a half-cent boundary is not
+    prev_c = F.floor(prev_rev * 100 + F.lit(0.5)).cast("long")
+    next_c = F.floor(next_rev * 100 + F.lit(0.5)).cast("long")
+    interp_cents = F.expr(
+        "(_prev_c * (_span - _elapsed) + _next_c * _elapsed) div _span"
+    )
+    return (
+        filled.select(
+            "day",
+            "revenue",
+            "n_orders",
+            prev_rev.alias("_prev_rev"),
+            next_rev.alias("_next_rev"),
+            prev_c.alias("_prev_c"),
+            next_c.alias("_next_c"),
+            span.alias("_span"),
+            elapsed.alias("_elapsed"),
+        )
+        .select(
+            "day",
+            "revenue",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("revenue").isNull().alias("is_gap"),
+            F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+            .otherwise(
+                F.when(
+                    F.col("_prev_rev").isNotNull()
+                    & F.col("_next_rev").isNotNull(),
+                    interp_cents / 100.0,
+                ).otherwise(F.coalesce("_prev_rev", "_next_rev"))
+            )
+            .alias("revenue_filled"),
+        )
+        .orderBy("day")
     )

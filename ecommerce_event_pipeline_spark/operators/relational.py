@@ -16,7 +16,7 @@ for a 1000-executor / 100 TB design point:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -398,3 +398,130 @@ def shipping_lag_buckets(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority", "ship_lag_bucket")
     )
+
+
+def interval_activity_join(
+    events: DataFrame, anchors: DataFrame, hours_before: int = 24
+) -> DataFrame:
+    """Batch interval (range) join: per anchor row (anchor_id, user_id,
+    anchor_ts), the user's event activity in the ``hours_before`` hours
+    strictly before the anchor — the "pre-purchase context" query an
+    attribution pipeline runs in batch.
+
+    Spark has no native range join, and the naive formulation
+    (``e.user_id = a.user_id AND e.ts BETWEEN lo AND hi``) degrades to a
+    broadcast-nested-loop on the inequality. Instead each anchor explodes
+    into its covered DAY BUCKETS (bounded: ``ceil(hours/24) + 1`` rows per
+    anchor), the join is a plain equi-join on (user, day-bucket) — shuffle
+    hash/sort-merge, AQE-splittable — and the exact interval predicate
+    refines after. At 100 TB the expansion factor is a constant, not a
+    data-dependent blowup.
+    """
+    lo = F.col("anchor_ts") - F.expr(f"INTERVAL {int(hours_before)} HOURS")
+    a = anchors.select(
+        "anchor_id",
+        "user_id",
+        "anchor_ts",
+        lo.alias("lo"),
+        F.explode(
+            F.sequence(F.to_date(lo), F.to_date(F.col("anchor_ts")))
+        ).alias("day_bucket"),
+    )
+    e = events.select(
+        "user_id", "ts", "value", F.to_date("ts").alias("day_bucket")
+    )
+    joined = a.join(e, ["user_id", "day_bucket"]).where(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("anchor_ts"))
+    )
+    return (
+        joined.groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("prior_events"),
+            F.round(F.sum("value"), 2).alias("prior_value"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def cdc_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Upsert/delete (CDC MERGE) applied with pure DataFrame ops — the
+    engine-level equivalent of ``MERGE INTO`` for stores without one:
+    latest change per key wins, deletes drop the key, unmatched inserts
+    append.
+
+    ``changes`` carries (o_orderkey, op 'U'|'D', o_orderstatus,
+    o_totalprice, _seq). Base rows enter the union at seq −1, so ANY
+    change outranks base; one window per key picks the winner — a single
+    hash shuffle on the merge key, no join needed. At scale this is the
+    standard compaction shape: partition by key-hash, pick max-seq per
+    key, write back partition-aligned.
+    """
+    b = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("B").alias("op"),
+        F.lit(-1).cast("long").alias("_seq"),
+    )
+    c = changes.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "op", "_seq"
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_seq"))
+    return (
+        b.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            # cents-exact: inputs are 2-dp doubles (or cents-derived
+            # bumps); floor(x*100+0.5)/100.0 canonicalizes identically in
+            # both engines, unlike round() at half boundaries
+            (
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                / 100.0
+            ).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def scd2_value_band_history(orders: DataFrame) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history built from an event
+    stream: per customer, the contiguous [valid_from, valid_to) periods of
+    their order value band (small/medium/large by o_totalprice), collapsing
+    consecutive same-band orders — gaps-and-islands with lag + a running
+    change counter, the standard warehouse dimension-versioning rebuild.
+
+    Two window passes over the same (o_custkey, o_orderdate, o_orderkey)
+    sort — Catalyst reuses the single sort+shuffle; per-customer state
+    never leaves its partition.
+    """
+    band = (
+        F.when(F.col("o_totalprice") < 50000, F.lit("small"))
+        .when(F.col("o_totalprice") < 200000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        F.lag(band).over(w).isNull() | (F.lag(band).over(w) != band)
+    ).cast("int")
+    versioned = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        band.alias("value_band"),
+        F.sum(changed).over(w).alias("version"),
+    )
+    g = (
+        versioned.groupBy("o_custkey", "version", "value_band")
+        .agg(F.min("order_date").alias("valid_from"))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return g.select(
+        "o_custkey",
+        F.col("version").cast("int").alias("version"),
+        "value_band",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    ).orderBy("o_custkey", "version")

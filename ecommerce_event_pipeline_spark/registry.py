@@ -3757,6 +3757,251 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: warehouse/time-series/data-mixing surface — dataset
+# split, temperature mixing, calendar gap-fill, batch interval join, CDC
+# merge, SCD2 history. All oracle-backed, registered outside the graded
+# window (round-5 rotation candidates).
+# ---------------------------------------------------------------------------
+
+_DATASET_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5('11#' || doc_id), 1, 8)) AS BIGINT) % 100
+              AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register("dataset_split", _DATASET_SPLIT_ORACLE)
+def dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test membership (90/5/5) —
+    stable under repartitioning, reruns, and corpus growth within a
+    bucket."""
+    return curation.dataset_split(read_table(spark, sf_dir, "documents"))
+
+
+_LANG_MIX_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+s AS (SELECT lang, n, pow(n::DOUBLE / n_total, 0.7) AS _s, n_total FROM c, t),
+z AS (SELECT sum(_s) AS _z FROM s)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       round(_s / _z, 4) AS weight,
+       CAST(floor(_s / _z * n_total + 0.5) AS BIGINT) AS expected_docs
+FROM s, z
+ORDER BY lang
+"""
+
+
+@register("language_mix_weights", _LANG_MIX_ORACLE)
+def language_mix_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.7 language mixing weights (p_l ∝ share^T) — the
+    multilingual data-balancing step; |langs|-row math, ROUND(4) guards
+    the only float risk (pow + tiny sum)."""
+    return curation.language_mix_weights(
+        read_table(spark, sf_dir, "documents"), temperature=0.7
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS n_orders
+  FROM orders WHERE o_totalprice > 450000 GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+calendar AS (
+  SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+f AS (
+  SELECT c.day, d.revenue, d.n_orders
+  FROM calendar c LEFT JOIN daily d USING (day)
+),
+w AS (
+  SELECT day, revenue, n_orders,
+    last_value(revenue IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_rev,
+    last_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_day,
+    first_value(revenue IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_rev,
+    first_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_day
+  FROM f
+)
+SELECT day, revenue,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       revenue IS NULL AS is_gap,
+       CASE WHEN revenue IS NOT NULL THEN revenue
+            WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN
+              ((CAST(floor(prev_rev * 100 + 0.5) AS BIGINT)
+                  * (date_diff('day', prev_day, next_day)
+                     - date_diff('day', prev_day, day))
+                + CAST(floor(next_rev * 100 + 0.5) AS BIGINT)
+                  * date_diff('day', prev_day, day))
+               // date_diff('day', prev_day, next_day)) / 100.0
+            ELSE COALESCE(prev_rev, next_rev) END AS revenue_filled
+FROM w
+ORDER BY day
+"""
+
+
+@register("daily_revenue_gapfill", _GAPFILL_ORACLE)
+def daily_revenue_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + linear interpolation of a sparse daily
+    revenue series (high-value orders only, so the fixture actually has
+    gaps). The unpartitioned fill window is bounded by calendar length,
+    not data size."""
+    from .operators import olap
+
+    return olap.daily_revenue_gapfill(read_table(spark, sf_dir, "orders"))
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS anchor_id,
+       CAST(count(*) AS BIGINT) AS prior_events,
+       round(sum(e.value), 2) AS prior_value
+FROM events p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 24 HOURS
+ AND e.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("purchase_context_interval_join", _INTERVAL_JOIN_ORACLE)
+def purchase_context_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join: per purchase event, the same user's activity
+    in the prior 24 h. Day-bucket equi-join + exact refine — never a
+    nested-loop theta join; the oracle states the same semantics as a
+    plain inequality join."""
+    events = read_events(spark, sf_dir)
+    anchors = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
+    )
+    return relational.interval_activity_join(events, anchors, hours_before=24)
+
+
+_CDC_MERGE_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, 'P' AS o_orderstatus,
+         ((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 105) // 100)
+           / 100.0 AS o_totalprice, 'U' AS op, 1 AS _seq
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+u AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'B' AS op, -1 AS _seq
+  FROM orders
+  UNION ALL SELECT * FROM changes
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY o_orderkey ORDER BY _seq DESC) AS _rn
+  FROM u
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS o_totalprice
+FROM r WHERE _rn = 1 AND op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_cdc_merge", _CDC_MERGE_ORACLE)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics with DataFrame ops: a deterministic CDC batch
+    (price-bump updates on keys ≡0 mod 7, deletes on ≡0 mod 97) applied
+    to the orders base — latest-seq-wins per key, single shuffle."""
+    orders = read_table(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        # 5% bump in exact integer cents — engine-portable, unlike
+        # round(x*1.05, 2) which half-rounds differently per engine
+        (
+            F.expr(
+                "(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 105)"
+                " div 100"
+            )
+            / 100.0
+        ).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("_seq"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("_seq"),
+    )
+    return relational.cdc_merge(orders, updates.unionByName(deletes))
+
+
+_SCD2_ORACLE = """
+WITH base AS (
+  SELECT o_custkey, o_orderdate::DATE AS order_date,
+         CASE WHEN o_totalprice < 50000 THEN 'small'
+              WHEN o_totalprice < 200000 THEN 'medium'
+              ELSE 'large' END AS value_band,
+         o_orderdate AS ots, o_orderkey
+  FROM orders
+),
+flag AS (
+  SELECT *, CASE WHEN lag(value_band) OVER w IS NULL
+                   OR lag(value_band) OVER w <> value_band
+                 THEN 1 ELSE 0 END AS chg
+  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY ots, o_orderkey)
+),
+ver AS (
+  SELECT o_custkey, order_date, value_band,
+         sum(chg) OVER
+           (PARTITION BY o_custkey ORDER BY ots, o_orderkey) AS version
+  FROM flag
+),
+g AS (
+  SELECT o_custkey, version, value_band, min(order_date) AS valid_from
+  FROM ver GROUP BY 1, 2, 3
+)
+SELECT o_custkey, CAST(version AS INT) AS version, value_band, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       lead(valid_from) OVER wv IS NULL AS is_current
+FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+ORDER BY o_custkey, version
+"""
+
+
+@register("customer_value_scd2", _SCD2_ORACLE)
+def customer_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history rebuild: per-customer contiguous
+    [valid_from, valid_to) periods of order value band via
+    gaps-and-islands (lag + running change count, one sort per key)."""
+    return relational.scd2_value_band_history(read_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
 # of the contract: a curated front-50 of oracle-backed entries covering
@@ -3847,9 +4092,12 @@ _FRONT: tuple[str, ...] = (
 # simhash_fingerprints' family entries simhash_near_dupes /
 # embedding_lsh_near_dupes upgraded from rows-only to full oracles.
 # Still-never-graded after this window: simhash_fingerprints,
-# doc_fingerprints, minhash_near_dupes, semantic_dedup,
-# approx_distinct_daily (rows-only or waiting a seat) — round-5
-# candidates.
+# doc_fingerprints (md5-portable, oracle-backed this round),
+# minhash_near_dupes, semantic_dedup, approx_distinct_daily, and the
+# round-4 warehouse additions (dataset_split, language_mix_weights,
+# daily_revenue_gapfill, purchase_context_interval_join,
+# orders_cdc_merge, customer_value_scd2 — all oracle-backed) — round-5
+# rotation candidates.
 
 
 def _reorder_registry() -> None:
