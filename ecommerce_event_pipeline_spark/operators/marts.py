@@ -204,3 +204,42 @@ def pattern_frequency(sessions: DataFrame, min_count: int = 1) -> DataFrame:
         .where(F.col("session_count") >= min_count)
     )
     return out.orderBy(F.desc("session_count"), "event_sequence")
+
+
+def user_lifetime_partials(events: DataFrame) -> DataFrame:
+    """The incremental-maintenance STATE for the user-lifetime mart: one
+    row per (user_id, event_date) holding only re-aggregable components
+    (counts, sums in exact cents, min/max). A daily pipeline appends just
+    the new day's partials instead of rescanning history — the standard
+    two-level incremental materialized-view design.
+    """
+    return events.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("spend_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def user_lifetime_rollup(partials: DataFrame) -> DataFrame:
+    """Final user-lifetime mart from the partial state: every aggregate is
+    a pure re-aggregation (sum of counts/cents, min/max of extrema,
+    count of state rows = exact distinct active days since the state is
+    keyed by day). Incremental-by-construction: rolling up
+    (history-partials ∪ new-day-partials) is IDENTICAL to a full rescan —
+    the registry oracle asserts exactly that equivalence."""
+    return (
+        partials.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("total_events"),
+            (F.sum("spend_cents") / 100.0).alias("total_spend"),
+            F.count("*").cast("long").alias("active_days"),
+            F.min("first_ts").alias("first_seen"),
+            F.max("last_ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

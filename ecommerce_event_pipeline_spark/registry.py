@@ -4001,6 +4001,35 @@ def customer_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scd2_value_band_history(read_table(spark, sf_dir, "orders"))
 
 
+_USER_LIFETIME_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS total_events,
+       CAST(sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) / 100.0 AS total_spend,
+       CAST(count(DISTINCT ts::DATE) AS BIGINT) AS active_days,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("user_lifetime_incremental", _USER_LIFETIME_ORACLE)
+def user_lifetime_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the user-lifetime mart
+    computed from (history partials ∪ new-day partials) — the daily
+    pipeline path that never rescans history — while the oracle computes
+    the SAME mart with a direct full scan. Green = the re-aggregable
+    state design (counts, exact cents, min/max, day-keyed rows) loses
+    nothing across the incremental boundary."""
+    events = read_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-25").cast("date")
+    base = marts.user_lifetime_partials(events.where(F.to_date("ts") < cutoff))
+    delta = marts.user_lifetime_partials(events.where(F.to_date("ts") >= cutoff))
+    return marts.user_lifetime_rollup(base.unionByName(delta))
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
@@ -4096,7 +4125,8 @@ _FRONT: tuple[str, ...] = (
 # minhash_near_dupes, semantic_dedup, approx_distinct_daily, and the
 # round-4 warehouse additions (dataset_split, language_mix_weights,
 # daily_revenue_gapfill, purchase_context_interval_join,
-# orders_cdc_merge, customer_value_scd2 — all oracle-backed) — round-5
+# orders_cdc_merge, customer_value_scd2, user_lifetime_incremental —
+# all oracle-backed) — round-5
 # rotation candidates.
 
 

@@ -397,3 +397,75 @@ def run_streaming_token_cms(
         [(r, b, c) for (r, b), c in sorted(state.items())],
         "row int, bucket int, cell long",
     )
+
+
+def run_streaming_cdc_upsert(
+    spark: SparkSession,
+    state_dir: str,
+    batch_rows: int = 200,
+    max_rows: int = 600,
+) -> DataFrame:
+    """Streaming MERGE INTO: each micro-batch of change rows folds into a
+    keyed state table with latest-seq-wins upsert/delete semantics
+    (``relational.cdc_merge``), state persisted as parquet between
+    batches — the foreachBatch idiom for maintaining a mutable table from
+    a CDC stream on stores without a native MERGE.
+
+    Fold correctness rests on cdc_merge being associative for unique,
+    monotone sequence numbers: fold(fold(S, b1), b2) = fold(S, b1 ∪ b2),
+    which tests/test_streaming.py asserts against a one-shot batch merge
+    of the same change set. State is rewritten per batch (read parquet →
+    merge → overwrite); at scale the rewrite is partition-aligned on the
+    merge key so only touched key-hash partitions rewrite.
+
+    Change derivation from the synthetic stream: key = user_id mod 50
+    (forces cross-batch collisions), DELETE when event_type='purchase',
+    else upsert carrying the event value; seq = event_id (monotone).
+    """
+    import os
+
+    from ..operators.relational import cdc_merge
+    from ..sources import pyds
+
+    if not pyds.register(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+
+    # versioned state dirs: each batch reads version N and writes N+1 —
+    # no read-overwrite race, no driver-side collect of data-sized state,
+    # and a crash mid-write leaves version N intact (poor man's
+    # copy-on-write table format)
+    latest: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        changes = batch_df.select(
+            (F.col("user_id") % 50).alias("o_orderkey"),
+            F.col("event_type").alias("o_orderstatus"),
+            F.coalesce("value", F.lit(0.0)).alias("o_totalprice"),
+            F.when(F.col("event_type") == "purchase", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("event_id").alias("_seq"),
+        )
+        if latest:
+            base = batch_df.sparkSession.read.parquet(latest[-1])
+        else:
+            base = changes.sparkSession.createDataFrame(
+                [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+            )
+        out = os.path.join(state_dir, f"state_v{epoch_id}")
+        cdc_merge(base, changes).write.mode("overwrite").parquet(out)
+        latest.append(out)
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", batch_rows)
+        .option("maxRows", max_rows)
+        .load()
+    )
+    with _bounded_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(merge_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(latest[-1]).orderBy("o_orderkey")

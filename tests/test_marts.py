@@ -133,3 +133,26 @@ def test_pattern_frequency_rates(spark, valid_session_rows):
     full = "page_view -> click -> add_to_cart -> purchase -> search"
     assert out[full]["purchase_rate"] == 100.0
     assert out[full]["avg_duration_seconds"] == 240.0
+
+
+def test_user_lifetime_incremental_equals_full(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.operators import marts as m
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 9), 8 + (i % 10)), i % 5, float(i % 7))
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    cutoff = F.lit("2024-01-05").cast("date")
+    base = m.user_lifetime_partials(events.where(F.to_date("ts") < cutoff))
+    delta = m.user_lifetime_partials(events.where(F.to_date("ts") >= cutoff))
+    inc = m.user_lifetime_rollup(base.unionByName(delta)).collect()
+    full = m.user_lifetime_rollup(m.user_lifetime_partials(events)).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+    assert inc[0]["active_days"] > 1

@@ -147,3 +147,38 @@ def test_streaming_attribution_join_equals_batch_interval_join(spark):
     ]
     # shuffle partitions restored after the pinned-state run
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
+
+
+def test_streaming_cdc_upsert_folds_to_batch_merge(spark, tmp_path):
+    from ecommerce_event_pipeline_spark.operators.relational import cdc_merge
+    from ecommerce_event_pipeline_spark.sources import pyds
+    from pyspark.sql import functions as F
+
+    if not pyds.register(spark):
+        import pytest
+
+        pytest.skip("Python DataSource API unavailable")
+
+    streamed = jobs.run_streaming_cdc_upsert(
+        spark, str(tmp_path), batch_rows=200, max_rows=600
+    )
+    got = [tuple(r) for r in streamed.collect()]
+    assert len(got) > 0
+
+    # one-shot batch merge over the identical change set (associativity of
+    # latest-seq-wins folding across micro-batch boundaries)
+    all_rows = spark.read.format("synthetic_events").option("rows", 600).load()
+    changes = all_rows.select(
+        (F.col("user_id") % 50).alias("o_orderkey"),
+        F.col("event_type").alias("o_orderstatus"),
+        F.coalesce("value", F.lit(0.0)).alias("o_totalprice"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("_seq"),
+    )
+    empty = spark.createDataFrame(
+        [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    want = [tuple(r) for r in cdc_merge(empty, changes).collect()]
+    assert got == want
