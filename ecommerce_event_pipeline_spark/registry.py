@@ -4030,6 +4030,80 @@ def user_lifetime_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marts.user_lifetime_rollup(base.unionByName(delta))
 
 
+_LINEITEM_STATS_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(stddev_pop(l_extendedprice), 2) AS price_stddev,
+       round(var_pop(l_quantity), 4) AS qty_var
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("lineitem_stats_by_flag", _LINEITEM_STATS_ORACLE)
+def lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per group: Pearson correlation,
+    population covariance/variance/stddev — single map-side-combinable
+    hash aggregate (co-moment partials merge associatively, so the shuffle
+    carries |groups| rows). ROUND bounds the partition-order float drift
+    (relative error ~1e-11, far inside 2-4 decimals)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_pop("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_pop("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _zorder_oracle() -> str:
+    from .functions.layout import z_value_sql
+
+    z = z_value_sql("user_bucket", "minute_of_day", 11)
+    return f"""
+WITH keyed AS (
+  SELECT event_id,
+         user_id % 1024 AS user_bucket,
+         (hour(ts) * 60 + minute(ts)) AS minute_of_day
+  FROM events
+),
+z AS (SELECT *, CAST(({z}) AS BIGINT) AS z_key FROM keyed)
+SELECT CAST(z_key >> 14 AS BIGINT) AS z_prefix,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(user_bucket) AS user_lo,
+       max(user_bucket) AS user_hi,
+       min(minute_of_day) AS minute_lo,
+       max(minute_of_day) AS minute_hi
+FROM z
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("zorder_box_stats", _zorder_oracle())
+def zorder_box_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout evidence: per z-prefix group (≈ one written
+    file), the (user_bucket, minute_of_day) bounding box — tight on BOTH
+    dimensions, which is what makes parquet min/max row-group pruning
+    serve two-column predicates after a z-ordered write. Pure integer
+    shift/AND/OR interleave, identical in both engines."""
+    from .functions.layout import zorder_box_stats
+
+    return zorder_box_stats(read_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
