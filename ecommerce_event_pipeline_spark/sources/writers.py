@@ -38,6 +38,17 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """ORC sink (built into Spark, zlib-compressed columnar like parquet)
+    — the interchange format for Hive-era warehouse consumers. Same
+    dynamic-partition-overwrite idempotency contract as the parquet sink
+    when ``partition_col`` is given."""
+    w = df.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.orc(path)
+
+
 def append_dedup_by_key(df: DataFrame, existing: DataFrame | None, key: str) -> DataFrame:
     """Exactly-once-shaped append: drop within-batch dups, anti-join rows
     already present in the target (the Spark analog of
