@@ -4104,6 +4104,30 @@ def zorder_box_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_box_stats(read_events(spark, sf_dir))
 
 
+_VALUE_MEDIAN_UDAF_ORACLE = """
+SELECT event_type,
+       median(value) AS median_value,
+       CAST(count(*) AS BIGINT) AS n_values
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("value_median_udaf", _VALUE_MEDIAN_UDAF_ORACLE)
+def value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (SURVEY §2.11): per-type interpolated median via an
+    Arrow-vectorized GROUPED_AGG pandas UDF — the extension point for
+    aggregates Catalyst lacks — checked against DuckDB's native
+    median()/quantile_cont(0.5). pandas' interpolated median has the
+    identical semantics, and halving a two-double sum is exact, so the
+    cross-engine comparison is sound without rounding."""
+    from .functions import udx
+
+    return udx.value_median_by_type(read_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -1,0 +1,41 @@
+"""UDAF/UDTF surface: vectorized median aggregate + bigram UDTF parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark.functions import udx
+
+
+def test_pandas_median_udaf_matches_exact_median(spark):
+    rows = [("a", float(v)) for v in [1, 3, 2, 10]] + [
+        ("b", float(v)) for v in [5, 1, 9]
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in udx.value_median_by_type(df).collect()}
+    assert out["a"]["median_value"] == 2.5  # interpolated even-n median
+    assert out["b"]["median_value"] == 5.0
+    assert out["a"]["n_values"] == 4
+
+
+def test_bigram_udtf_equals_native_posexplode(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "solo"), (3, ""), (4, "a b")],
+        "doc_id long, text string",
+    )
+    native = [tuple(r) for r in udx.bigrams_native(docs, max_tokens=30).collect()]
+    BigramUDTF = udx.make_bigram_udtf()
+    via_udtf = [
+        tuple(r)
+        for r in docs.select("doc_id", "text")
+        .lateralJoin(
+            BigramUDTF(
+                F.lit(30), F.col("doc_id").outer(), F.col("text").outer()
+            ).alias("g")
+        )
+        .select("g.doc_id", "g.pos", "g.bigram")
+        .orderBy("doc_id", "pos")
+        .collect()
+    ]
+    assert native == via_udtf
+    assert (1, 0, "the quick") in native
