@@ -4128,6 +4128,63 @@ def value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udx.value_median_by_type(read_events(spark, sf_dir))
 
 
+_RECONCILE_ORACLE = """
+WITH premium AS (
+  SELECT o_orderdate::DATE AS day, count(*) AS n_premium,
+         round(sum(o_totalprice), 2) AS premium_revenue
+  FROM orders WHERE o_totalprice > 450000 GROUP BY 1
+),
+urgent AS (
+  SELECT o_orderdate::DATE AS day, count(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+)
+SELECT COALESCE(p.day, u.day) AS day,
+       CAST(COALESCE(p.n_premium, 0) AS BIGINT) AS n_premium,
+       COALESCE(p.premium_revenue, 0.0) AS premium_revenue,
+       CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent,
+       (p.day IS NOT NULL AND u.day IS NOT NULL) AS in_both
+FROM premium p FULL OUTER JOIN urgent u ON p.day = u.day
+ORDER BY 1
+"""
+
+
+@register("daily_reconciliation_full_outer", _RECONCILE_ORACLE)
+def daily_reconciliation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface: reconcile two independently-produced daily
+    series (premium-order revenue vs urgent-order counts) keeping days
+    present in EITHER — the mismatch-hunting report shape that inner/left
+    joins silently corrupt. One sort-merge full-outer on the day key after
+    two map-side-combinable aggregates."""
+    orders = read_table(spark, sf_dir, "orders")
+    premium = (
+        orders.where(F.col("o_totalprice") > 450000)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_premium"),
+            F.round(F.sum("o_totalprice"), 2).alias("premium_revenue"),
+        )
+    )
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    p, u = premium.alias("p"), urgent.alias("u")
+    return (
+        p.join(u, F.col("p.day") == F.col("u.day"), "full_outer")
+        .select(
+            F.coalesce("p.day", "u.day").alias("day"),
+            F.coalesce("n_premium", F.lit(0)).cast("long").alias("n_premium"),
+            F.coalesce("premium_revenue", F.lit(0.0)).alias("premium_revenue"),
+            F.coalesce("n_urgent", F.lit(0)).cast("long").alias("n_urgent"),
+            (F.col("p.day").isNotNull() & F.col("u.day").isNotNull()).alias(
+                "in_both"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
