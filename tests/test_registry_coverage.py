@@ -51,3 +51,24 @@ def test_window_composition_is_mostly_oracle_backed():
         n for n in registry._FRONT if registry._REGISTRY[n].oracle is None
     ]
     assert rows_only_in_window == ["ivf_topk"], rows_only_in_window
+
+
+def test_graded_window_schemas_survive_driver_canonicalizer(spark):
+    """The driver canonicalizes results with a pandas lexsort over every
+    column; an ArrayType/MapType/StructType column raises
+    'unhashable type: list' there even when values are correct (the
+    r03 embedding_quantize red row). Plan-only check: no graded-window
+    query may emit a non-atomic column."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name in registry._FRONT:
+        df = registry._REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"non-atomic columns in graded-window outputs: {bad}"
