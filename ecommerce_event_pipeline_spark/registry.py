@@ -4185,6 +4185,75 @@ def daily_reconciliation_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _ivf_static_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """IVF oracle from the SAME committed centroid literals the Spark
+    query consumes (functions/ivf_centroids.py): assignment argmax, probe
+    selection and rerank all replayed in SQL. Assignment compares RAW
+    sequential-fold cosines in both engines (like the LSH sign-of-dot:
+    a flip needs two centroid cosines within ~1e-15 — vanishing, and the
+    driver would surface it loudly); the output similarity is ROUND(6)."""
+    from .functions.ivf_centroids import CENTROIDS
+
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(CENTROIDS)
+    )
+    return f"""
+WITH c(centroid_id, cvec) AS (
+  VALUES
+    {rows}
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ac AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2]))
+         / (SQRT(list_sum(list_transform(e.emb, x -> x * x)))
+            * SQRT(list_sum(list_transform(c.cvec, x -> x * x)))) AS cos
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM ac WHERE vec_id = 0
+  ORDER BY cos DESC, centroid_id LIMIT {n_probe}
+),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.label,
+         ROUND(
+           list_sum(list_transform(list_zip(e.emb, q.qemb), x -> x[1] * x[2]))
+           / (SQRT(list_sum(list_transform(e.emb, x -> x * x)))
+              * SQRT(list_sum(list_transform(q.qemb, x -> x * x)))), 6)
+           AS cosine_sim
+  FROM e
+  JOIN assign USING (vec_id)
+  CROSS JOIN q
+  WHERE assign.centroid_id IN (SELECT centroid_id FROM probes)
+)
+SELECT vec_id, label, cosine_sim FROM sims
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
+@register("ivf_topk_static", _ivf_static_oracle())
+def ivf_topk_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the offline-trained static coarse quantizer — the
+    production serving path (train once on a sample, pin the centroids,
+    probe n_probe/16 of the corpus per query), fully oracle-checked
+    end-to-end unlike the refit-per-run `ivf_topk`."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_static(
+        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
@@ -4257,10 +4326,12 @@ _FRONT: tuple[str, ...] = (
     "bm25_search",
     "multimodal_resize",
     "token_cms_estimates",
-    # rows-only seat: IVF's k-means is float-iterative (shuffle-order
-    # dependent sums) so an exact oracle would be unsound; the driver
-    # records its row count, recall is pytest-floored
-    "ivf_topk",
+    # round-4: IVF with the OFFLINE-trained static coarse quantizer
+    # (committed centroid literals) — fully oracle-backed, replacing the
+    # rows-only refit-per-run ivf_topk seat (that entry stays registered
+    # off-window: its k-means refit is float-iterative, recall stays
+    # pytest-floored)
+    "ivf_topk_static",
 )
 # Seat accounting for the round-4 window (the driver grades the first 50
 # registered queries). Swapped out this round — ALL triple-green

@@ -158,3 +158,66 @@ def test_lsh_cosine_pairs_recall_vs_blocked_exact(spark):
     # so every pair it returns is genuinely >= threshold; recall of the
     # within-block truth should be high at 6 bits x 8 tables for cos 0.95
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_ivf_static_assignment_matches_numpy_argmax(spark):
+    import numpy as np
+
+    from ecommerce_event_pipeline_spark.functions.ivf_centroids import CENTROIDS
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    out = similarity.ivf_topk_static(
+        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=16
+    ).collect()
+    # n_probe=16 probes every cell → static IVF degrades to exact top-k
+    brute = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=10
+    ).collect()
+    assert [r["vec_id"] for r in out] == [r["vec_id"] for r in brute]
+    # declarative fold argmax == vectorized numpy argmax on the same
+    # normalized centroid matrix (the two serving implementations agree)
+    cents = np.asarray(CENTROIDS)
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+    want = {r["vec_id"]: int(i) for r, i in zip(rows, np.argmax(mat @ cents.T, axis=1))}
+    cdf = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(CENTROIDS)],
+        "centroid_id int, cvec array<double>",
+    )
+    from pyspark.sql import Window
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    cos = similarity._dot(F.col("emb"), F.col("cvec")) / (
+        similarity._norm(F.col("emb")) * similarity._norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "centroid_id", cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivf_static_recall_floor(spark):
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_topk_static(
+            emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb, emb.where(F.col("vec_id") == 0), k=10
+        ).collect()
+    }
+    assert len(approx & exact) >= 6  # probing 4/16 cells keeps most of top-10
