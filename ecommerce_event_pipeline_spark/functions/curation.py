@@ -460,3 +460,38 @@ def doc_repetition(docs: DataFrame, k: int = 3) -> DataFrame:
             (total - distinct).cast("double") / total.cast("double"), 6
         ).alias("rep_fraction"),
     ).orderBy("doc_id")
+
+
+def semantic_dedup_static(
+    embeddings: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """:func:`semantic_dedup` served from the OFFLINE-trained static
+    quantizer (functions/ivf_centroids.py) instead of a per-run k-means
+    refit — the production shape, and deterministic end-to-end: the
+    assignment is the declarative fold-cosine argmax, candidate pairs are
+    per-cell, and the keep decision compares the SEQUENTIAL-fold pair
+    cosine against the threshold (`similarity._exact_pair_cosine`), so a
+    SQL oracle replays every step from the same centroid literals.
+    """
+    from .similarity import blocked_cosine_pairs, static_centroid_assign
+
+    assigned = static_centroid_assign(embeddings).select(
+        "vec_id", F.col("emb").alias("embedding"), "centroid_id"
+    )
+    pairs = blocked_cosine_pairs(
+        assigned, block_col="centroid_id", threshold=threshold
+    )
+    drops = pairs.groupBy(F.col("vec_id_2").alias("vec_id")).agg(
+        F.min("vec_id_1").alias("duplicate_of")
+    )
+    return (
+        assigned.select("vec_id", F.col("centroid_id").alias("cluster_id"))
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("duplicate_of").isNull().alias("keep"),
+            "duplicate_of",
+        )
+        .orderBy("vec_id")
+    )

@@ -409,6 +409,37 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def static_centroid_assign(embeddings: DataFrame) -> DataFrame:
+    """Deterministic nearest-centroid assignment against the committed
+    static quantizer (functions/ivf_centroids.py): sequential-fold cosine
+    against 16 literal centroids, argmax with centroid-id tie-break — the
+    fully declarative (and therefore oracle-replayable) twin of
+    ``_nearest_udf``'s numpy matmul; tests pin that both agree. Returns
+    (vec_id, label, emb, centroid_id)."""
+    from pyspark.sql import Window
+
+    from .ivf_centroids import CENTROIDS
+
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(CENTROIDS)],
+        "centroid_id int, cvec array<double>",
+    )
+    e = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
+    cos = _dot(F.col("emb"), F.col("cvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "emb", "centroid_id", cos.alias("_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "label", "emb", "centroid_id")
+    )
+
+
 def ivf_topk_static(
     embeddings: DataFrame,
     query: DataFrame,
@@ -434,8 +465,6 @@ def ivf_topk_static(
     precomputed at write time and the probe becomes a partition-pruned
     read of the `centroid_id=…` directories.
     """
-    from pyspark.sql import Window
-
     from .ivf_centroids import CENTROIDS
 
     spark = embeddings.sparkSession
@@ -443,23 +472,15 @@ def ivf_topk_static(
         [(i, list(c)) for i, c in enumerate(CENTROIDS)],
         "centroid_id int, cvec array<double>",
     )
-    e = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
-    cos = _dot(F.col("emb"), F.col("cvec")) / (
+    assigned = static_centroid_assign(embeddings)
+    qcos = _dot(F.col("emb"), F.col("cvec")) / (
         _norm(F.col("emb")) * _norm(F.col("cvec"))
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "emb", "centroid_id", cos.alias("_cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "label", "emb", "centroid_id")
-    )
-    qid = query.select("vec_id").collect()[0]["vec_id"]
     probes = [
         r["centroid_id"]
-        for r in scored.where(F.col("vec_id") == qid)
+        for r in query.select(_as_double("embedding").alias("emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("centroid_id", qcos.alias("_cos"))
         .orderBy(F.desc("_cos"), "centroid_id")
         .limit(n_probe)
         .collect()

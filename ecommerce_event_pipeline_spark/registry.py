@@ -4185,21 +4185,20 @@ def daily_reconciliation_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _ivf_static_oracle(k: int = 10, n_probe: int = 4) -> str:
-    """IVF oracle from the SAME committed centroid literals the Spark
-    query consumes (functions/ivf_centroids.py): assignment argmax, probe
-    selection and rerank all replayed in SQL. Assignment compares RAW
-    sequential-fold cosines in both engines (like the LSH sign-of-dot:
-    a flip needs two centroid cosines within ~1e-15 — vanishing, and the
-    driver would surface it loudly); the output similarity is ROUND(6)."""
+def _static_assign_cte() -> str:
+    """Shared oracle CTE chain ``c → e → ac → assign`` replaying the
+    static-quantizer assignment (functions/ivf_centroids.py literals):
+    sequential-fold cosine to every centroid, argmax with centroid-id
+    tie-break. RAW cosine comparison in both engines (like the LSH
+    sign-of-dot: a flip needs two centroid cosines within ~1e-15 —
+    vanishing, and the driver would surface it loudly)."""
     from .functions.ivf_centroids import CENTROIDS
 
     rows = ",\n    ".join(
         "({}, [{}])".format(i, ", ".join(repr(v) for v in c))
         for i, c in enumerate(CENTROIDS)
     )
-    return f"""
-WITH c(centroid_id, cvec) AS (
+    return f"""c(centroid_id, cvec) AS (
   VALUES
     {rows}
 ),
@@ -4218,7 +4217,14 @@ assign AS (
                               ORDER BY cos DESC, centroid_id) AS rn
     FROM ac
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_static_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """IVF oracle: static assignment + probe selection + exact rerank,
+    all from the committed centroid literals; output ROUND(6)."""
+    return f"""
+WITH {_static_assign_cte()},
 probes AS (
   SELECT centroid_id FROM ac WHERE vec_id = 0
   ORDER BY cos DESC, centroid_id LIMIT {n_probe}
@@ -4251,6 +4257,45 @@ def ivf_topk_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_static(
         emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4
+    )
+
+
+def _semantic_dedup_static_oracle(threshold: float = 0.7) -> str:
+    """SemDeDup oracle over the static quantizer: per-cell pairs with
+    sequential-fold cosine ≥ threshold (the same raw-float cut
+    `similarity._exact_pair_cosine` applies), keep-lowest-id rule."""
+    return f"""
+WITH {_static_assign_cte()},
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM assign a
+  JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(list_zip(ea.emb, eb.emb), x -> x[1] * x[2]))
+        / (SQRT(list_sum(list_transform(ea.emb, x -> x * x)))
+           * SQRT(list_sum(list_transform(eb.emb, x -> x * x))))
+        >= {threshold}
+),
+drops AS (SELECT v2 AS vec_id, min(v1) AS duplicate_of FROM pairs GROUP BY 1)
+SELECT a.vec_id,
+       a.centroid_id AS cluster_id,
+       d.duplicate_of IS NULL AS keep,
+       d.duplicate_of
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@register("semantic_dedup_static", _semantic_dedup_static_oracle())
+def semantic_dedup_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the offline-trained static quantizer —
+    deterministic end-to-end (assignment, per-cell pairing, keep rule),
+    so unlike the refit-per-run `semantic_dedup` the whole operator is
+    SQL-oracle-checked."""
+    return curation.semantic_dedup_static(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.7
     )
 
 

@@ -205,3 +205,26 @@ def test_semantic_dedup_drops_planted_dups(spark):
     assert {r["vec_id_2"] for r in brute.collect()} <= dropped | {
         r["vec_id_1"] for r in brute.collect()
     }
+
+
+def test_semantic_dedup_static_keep_rule_invariants(spark):
+    from ecommerce_event_pipeline_spark.functions.curation import (
+        semantic_dedup_static,
+    )
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup_static(emb, threshold=0.7).collect()
+    assert len(out) == emb.count()
+    by_id = {r["vec_id"]: r for r in out}
+    for r in out:
+        if r["keep"]:
+            assert r["duplicate_of"] is None
+        else:
+            # dup target is a lower id in the SAME cluster, and itself kept
+            # or dropped — but always lower
+            assert r["duplicate_of"] < r["vec_id"]
+            assert by_id[r["duplicate_of"]]["cluster_id"] == r["cluster_id"]
+    # deterministic across runs
+    again = semantic_dedup_static(emb, threshold=0.7).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
