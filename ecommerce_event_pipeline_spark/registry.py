@@ -4396,9 +4396,10 @@ _FRONT: tuple[str, ...] = (
 # minhash_near_dupes, semantic_dedup, approx_distinct_daily, and the
 # round-4 warehouse additions (dataset_split, language_mix_weights,
 # daily_revenue_gapfill, purchase_context_interval_join,
-# orders_cdc_merge, customer_value_scd2, user_lifetime_incremental —
-# all oracle-backed) — round-5
-# rotation candidates.
+# orders_cdc_merge, customer_value_scd2, user_lifetime_incremental,
+# lineitem_stats_by_flag, zorder_box_stats, value_median_udaf,
+# daily_reconciliation_full_outer, semantic_dedup_static — all
+# oracle-backed) — round-5 rotation candidates.
 
 
 def _reorder_registry() -> None:

@@ -43,14 +43,14 @@ def test_oracle_sql_matches_oracle_backed_entries():
     assert set(oracles) == backed
 
 
-def test_window_composition_is_mostly_oracle_backed():
-    """Rows-only entries spend a graded seat on a weak check — keep them
-    rare and deliberate (currently just ivf_topk, whose float-iterative
-    k-means cannot have a sound exact oracle)."""
+def test_window_composition_is_fully_oracle_backed():
+    """Rows-only entries spend a graded seat on a weak check. Since the
+    round-4 static-quantizer IVF replaced the refit-per-run seat, every
+    graded slot carries a full value-hash oracle — keep it that way."""
     rows_only_in_window = [
         n for n in registry._FRONT if registry._REGISTRY[n].oracle is None
     ]
-    assert rows_only_in_window == ["ivf_topk"], rows_only_in_window
+    assert rows_only_in_window == [], rows_only_in_window
 
 
 def test_graded_window_schemas_survive_driver_canonicalizer(spark):
