@@ -80,7 +80,9 @@ class WebhookClient:
             self.attempts_made += 1
             try:
                 status, _ = transport(self.url, body, headers)
-                if status == 200:
+                # any 2xx is a delivery ack (204 No Content is common for
+                # webhook receivers) — retrying on it would double-send
+                if 200 <= status < 300:
                     return True
                 logger.error("[WebhookClient] HTTP %d (attempt %d)", status, attempt + 1)
             except Exception as exc:  # URLError and friends
@@ -127,7 +129,7 @@ class LLMReporter:
                 status, text = transport(
                     self.url, body, {"Content-Type": "application/json"}
                 )
-                if status == 200 and text.strip():
+                if 200 <= status < 300 and text.strip():
                     return text
                 logger.error("[LLMReporter] HTTP %d (attempt %d)", status, attempt + 1)
             except Exception as exc:

@@ -53,7 +53,11 @@ def lane_constants(num: int, salt: int = 0x5EED) -> list[tuple[int, int]]:
     same literals can be inlined into a SQL oracle."""
     out = []
     for s in range(num):
-        a = _splitmix((salt << 8) | (2 * s)) % (MERSENNE_31 - 1) + 1
-        c = _splitmix((salt << 8) | (2 * s + 1)) % MERSENNE_31
+        # salt occupies bits ≥32, the lane index the low bits — the two
+        # can never alias, so lanes stay distinct for ANY num (the old
+        # `(salt << 8) | (2*s)` wrapped into the salt once 2*s ≥ 256,
+        # silently repeating lanes with period 128)
+        a = _splitmix((salt << 32) | (2 * s)) % (MERSENNE_31 - 1) + 1
+        c = _splitmix((salt << 32) | (2 * s + 1)) % MERSENNE_31
         out.append((a, c))
     return out

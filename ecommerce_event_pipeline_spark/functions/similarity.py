@@ -70,13 +70,11 @@ def brute_force_topk(
 
 
 def hyperplanes(dim: int = 64, bits: int = 16, table: int = 0) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from a splitmix-style integer
-    mix — reproducible across runs/executors with no RNG state."""
-
-    def mix(x: int) -> int:
-        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
-        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
-        return x ^ (x >> 31)
+    """Deterministic pseudo-random hyperplanes from the shared splitmix
+    mixer (functions/hashing.py) — reproducible across runs/executors
+    with no RNG state, and one definition for all committed-literal
+    oracles."""
+    from .hashing import _splitmix as mix
 
     planes = []
     for b in range(bits):

@@ -455,6 +455,12 @@ def cdc_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
     hash shuffle on the merge key, no join needed. At scale this is the
     standard compaction shape: partition by key-hash, pick max-seq per
     key, write back partition-aligned.
+
+    Ties: _seq SHOULD be unique per key (log offset / LSN); when a feed
+    reuses one (e.g. commit-timestamp seqs), the tiebreak is op
+    descending — 'U' beats 'D' beats the 'B' base sentinel — so the merge
+    is deterministic (and engine-portable) rather than partition-order
+    dependent.
     """
     b = base.select(
         "o_orderkey",
@@ -466,7 +472,7 @@ def cdc_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
     c = changes.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "op", "_seq"
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_seq"))
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_seq"), F.desc("op"))
     return (
         b.unionByName(c)
         .withColumn("_rn", F.row_number().over(w))

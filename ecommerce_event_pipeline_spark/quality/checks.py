@@ -157,10 +157,16 @@ def fixture_quality_trend(events: DataFrame, days: int = 7) -> DataFrame:
     )
     ts_bad = F.col("ts").isNull() | (F.year("ts") < 2020) | (F.year("ts") > 2030)
     bounds = events.agg(F.max("event_date").alias("_maxd"))
+    # a NULL ts has no event_date; dropping it would make the
+    # timestamp_validity (and null-field) trend blind to its primary
+    # failure mode — bucket such rows onto the latest day instead, where
+    # they degrade that day's pass rates exactly as the snapshot
+    # (fixture_quality_report) counts them
+    bucket_date = F.coalesce(F.col("event_date"), F.col("_maxd"))
     per_day = (
         events.crossJoin(F.broadcast(bounds))
-        .where(F.datediff(F.col("_maxd"), F.col("event_date")) < days)
-        .groupBy(F.col("event_date").alias("check_date"))
+        .where(F.datediff(F.col("_maxd"), bucket_date) < days)
+        .groupBy(bucket_date.alias("check_date"))
         .agg(
             F.count(F.lit(1)).alias("total"),
             null_failed.alias("null_failed"),

@@ -486,9 +486,9 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_TREND_ORACLE = """
 WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
 f AS (
-  SELECT e.*, CAST(ts AS DATE) AS check_date
+  SELECT e.*, COALESCE(CAST(ts AS DATE), b.maxd) AS check_date
   FROM events e, b
-  WHERE date_diff('day', CAST(ts AS DATE), b.maxd) < 7
+  WHERE date_diff('day', COALESCE(CAST(ts AS DATE), b.maxd), b.maxd) < 7
 ),
 d AS (
   SELECT check_date,
@@ -3919,7 +3919,7 @@ u AS (
 ),
 r AS (
   SELECT *, row_number() OVER
-    (PARTITION BY o_orderkey ORDER BY _seq DESC) AS _rn
+    (PARTITION BY o_orderkey ORDER BY _seq DESC, op DESC) AS _rn
   FROM u
 )
 SELECT o_orderkey, o_orderstatus,

@@ -468,4 +468,8 @@ def run_streaming_cdc_upsert(
             q.processAllAvailable()
         finally:
             q.stop()
+    if not latest:  # zero micro-batches → empty state, not an IndexError
+        return spark.createDataFrame(
+            [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
     return spark.read.parquet(latest[-1]).orderBy("o_orderkey")

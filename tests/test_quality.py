@@ -188,3 +188,29 @@ def test_q6_empty_string_payload_is_skipped_not_failed(spark):
     rows = [make_event("purchase", extra_data="", total_amount=100.0)]
     rep = _report(spark, rows)
     assert rep["q6_order_amount"]["failed_records"] == 0
+
+
+def test_quality_trend_counts_null_timestamp_rows(spark):
+    import datetime as dt
+
+    from ecommerce_event_pipeline_spark.quality.checks import (
+        fixture_quality_trend,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(2024, 1, 10, 12), 7, "view", 1.0),
+        (2, dt.datetime(2024, 1, 10, 13), 7, "click", 2.0),
+        (3, None, 7, "view", 3.0),  # NULL ts — must not vanish
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).withColumn("event_date", F.to_date("ts"))
+    out = fixture_quality_trend(events, days=7).collect()
+    by = {(str(r["check_date"]), r["check_name"]): r for r in out}
+    ts_row = by[("2024-01-10", "timestamp_validity")]
+    assert ts_row["total_records"] == 3
+    assert ts_row["failed_records"] == 1
+    assert ts_row["status"] == "FAIL"  # 66.67 < 99 threshold
+    null_row = by[("2024-01-10", "null_required_fields")]
+    assert null_row["failed_records"] == 1
