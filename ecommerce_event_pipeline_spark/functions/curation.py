@@ -495,3 +495,48 @@ def semantic_dedup_static(
         )
         .orderBy("vec_id")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    m: int = 100,
+    weight_col: str = "n_chars",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws a reproducible uniform
+    u ∈ (0, 1) from the engine-portable md5 hash of its id, and the m
+    rows with the largest key u^(1/w) form the sample — inclusion
+    probability proportional to weight, no coordination beyond one
+    global top-m.
+
+    We rank on ln(u)/w, monotone-equivalent to u^(1/w) (ln is increasing
+    and u^(1/w) = exp(ln(u)/w)) but one libm call instead of two, with
+    doc_id as the total-order tiebreak. The hash uniform makes the draw
+    a PURE FUNCTION of (salt, doc_id): re-runs, backfills, and the
+    DuckDB oracle all pick the identical sample — rand()-based sampling
+    can never be hash-verified.
+
+    Scale shape: the key is computed scan-side with no shuffle; the
+    global top-m is a TakeOrderedAndProject (per-partition top-m, then a
+    driver merge of m·partitions candidate rows) — no full sort, no
+    corpus shuffle. Weights must be strictly positive.
+    """
+    from .hashing import md5_prefix_long
+
+    # u ∈ (0,1): (h+1) / (2^32+1) with h the 32-bit md5 prefix — never
+    # exactly 0 or 1, so ln(u) is finite
+    u = (md5_prefix_long(salt, F.col("doc_id")) + 1).cast("double") / float(
+        (1 << 32) + 1
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    ranked = docs.withColumn("_key", key).orderBy(
+        F.desc("_key"), "doc_id"
+    ).limit(m)
+    # the float key stays internal: emitted columns are hash-stable
+    # integers/strings only (a last-ulp libm difference could flip a
+    # hash-compare on the key itself, but not the ORDER of well-spread
+    # keys — and never the sample membership this returns)
+    return ranked.select(
+        "doc_id", "lang", "source", F.col(weight_col).alias("weight")
+    ).orderBy("doc_id")

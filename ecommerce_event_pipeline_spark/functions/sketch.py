@@ -88,3 +88,87 @@ def cms_estimate(cms: CMS, queries: DataFrame) -> DataFrame:
         .groupBy("token")
         .agg(F.min(F.coalesce("cell", F.lit(0))).alias("cms_estimate"))
     )
+
+
+def misra_gries_candidates(tokens: DataFrame, k: int = 200) -> DataFrame:
+    """Per-partition Misra–Gries summaries (k counters each) — a bounded
+    superset of every token with global frequency > n/k.
+
+    Guarantee (averaging argument): if a token's global count f > n/k,
+    then in at least one partition f_p > n_p/k, and Misra–Gries never
+    evicts a token whose partition count exceeds n_p/k — so the UNION of
+    the per-partition survivor sets contains every global heavy hitter.
+    The union is ≤ k·partitions rows total, independent of corpus size;
+    which LIGHT tokens also survive depends on arrival order, which is
+    why callers must re-count candidates exactly (``heavy_hitters``)
+    before claiming frequencies.
+
+    mapInPandas (Arrow-batched, no per-row Python) holds exactly k
+    counters per partition: increment a tracked token, adopt into a free
+    slot, else decrement ALL counters by the untracked batch-remainder —
+    the classic O(k)-space stream summary (Misra & Gries 1982).
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("token", StringType()),
+            StructField("lower_bound", LongType()),
+        ]
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all; drop zeros (dict comp, no per-token
+                    # Python beyond this k-sized pass)
+                    counters = {t: c - 1 for t, c in counters.items() if c > 1}
+        if counters:
+            yield pd.DataFrame(
+                {"token": list(counters), "lower_bound": list(counters.values())}
+            )
+
+    return tokens.select("token").mapInPandas(_mg, out_schema)
+
+
+def heavy_hitters(tokens: DataFrame, k: int = 200) -> DataFrame:
+    """Exact heavy hitters (global frequency > n/k) via the two-pass
+    sketch-then-verify pattern: pass 1 collapses each partition to ≤ k
+    Misra–Gries survivors (no corpus-wide shuffle — the shuffled
+    candidate union is ≤ k·partitions rows); pass 2 re-scans the stream,
+    keeps only candidate tokens (broadcast semi-join BEFORE the shuffle,
+    so the zipfian long tail never shuffles), counts them exactly, and
+    applies the threshold with integer arithmetic.
+
+    Output is EXACT and partitioning-independent: the candidate set
+    varies with arrival order but is always a superset of the true heavy
+    hitters, and the exact re-count discards the extras — which is what
+    makes this oracle-able by a plain GROUP BY/HAVING in DuckDB.
+    """
+    cands = misra_gries_candidates(tokens, k).select("token").distinct()
+    total = tokens.agg(F.count("*").alias("_n"))
+    exact = (
+        tokens.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * k > F.col("_n"))
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq") * 100.0 / F.col("_n").cast("double"), 4).alias(
+                "share_pct"
+            ),
+        )
+        .orderBy(F.desc("freq"), "token")
+    )

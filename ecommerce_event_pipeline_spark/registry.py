@@ -4299,6 +4299,109 @@ def semantic_dedup_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_PREFIX_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS cnt FROM sh
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         a.cnt + b.cnt - COUNT(*) AS un
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+)
+SELECT doc_id_1, doc_id_2, common,
+       ROUND(CAST(common AS DOUBLE) / CAST(un AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE common * 2 >= un
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("jaccard_prefix_pairs", _JACCARD_PREFIX_ORACLE)
+def jaccard_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 1/2 via lossless AllPairs prefix filtering — the
+    oracle runs the BRUTE-FORCE all-pairs join, so a green row proves the
+    prefix pruning dropped nothing (the scale claim, verified)."""
+    return dedup.jaccard_prefix_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold_num=1,
+        threshold_den=2,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+nz AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM nz)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS freq,
+       ROUND(COUNT(*) * 100.0 / CAST(t.n AS DOUBLE), 4) AS share_pct
+FROM nz, tot t
+GROUP BY token, t.n
+HAVING COUNT(*) * 200 > t.n
+ORDER BY freq DESC, token
+"""
+
+
+@register("token_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokens with frequency > n/200 via Misra–Gries sketch-then-
+    verify: pass 1 collapses each partition to ≤200 candidate counters
+    (mapInPandas), pass 2 re-counts candidates exactly behind a broadcast
+    semi-join — the long tail never shuffles. Output is exact, so the
+    plain GROUP BY/HAVING oracle applies."""
+    from .functions import sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return sketch.heavy_hitters(toks, k=200)
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source, n_chars AS weight
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ln(CAST(CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1 AS DOUBLE)
+            / CAST(4294967297 AS DOUBLE))
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+  ORDER BY k DESC, doc_id
+  LIMIT 100
+)
+ORDER BY doc_id
+"""
+
+
+@register("weighted_doc_sample", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 weighted sample (Efraimidis–Spirakis A-ES, weight =
+    n_chars) drawn from md5-hash uniforms — a pure function of doc_id, so
+    the DuckDB oracle replays the identical draw. Global top-m is a
+    TakeOrderedAndProject: no corpus shuffle."""
+    return curation.weighted_sample(
+        read_table(spark, sf_dir, "documents"), m=100, weight_col="n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

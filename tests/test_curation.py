@@ -228,3 +228,35 @@ def test_semantic_dedup_static_keep_rule_invariants(spark):
     # deterministic across runs
     again = semantic_dedup_static(emb, threshold=0.7).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES sampling: pure function of (salt, doc_id) — two runs agree —
+    and weight-proportional: heavy docs are overrepresented vs a uniform
+    draw of the same size."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "x", "en", "web", 1000 if i % 10 == 0 else 10) for i in range(1000)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = curation.weighted_sample(docs, m=100).collect()
+    b = curation.weighted_sample(docs, m=100).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 100
+    # 10% of docs carry 100x weight -> they should dominate the sample
+    heavy = sum(1 for r in a if r["weight"] == 1000)
+    assert heavy > 50
+
+def test_weighted_sample_salt_changes_draw(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        (F.col("id") % 7 + 1).alias("n_chars"),
+    )
+    s1 = {r["doc_id"] for r in curation.weighted_sample(docs, m=50, salt="a").collect()}
+    s2 = {r["doc_id"] for r in curation.weighted_sample(docs, m=50, salt="b").collect()}
+    assert s1 != s2

@@ -125,3 +125,30 @@ def test_star_contraction_handles_deep_chain(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_clusters(docs_df, pairs, max_iters=5)
+
+
+def test_jaccard_prefix_matches_brute_force(spark, docs):
+    """Prefix filtering is lossless: output identical to the all-pairs
+    shared-shingle join at the same threshold (0.5 = 1/2)."""
+    brute = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    pref = dedup.jaccard_prefix_pairs(
+        docs, k=3, threshold_num=1, threshold_den=2
+    ).collect()
+    assert [tuple(r) for r in pref] == [tuple(r) for r in brute]
+    # and the fixture actually exercises both a surviving and a pruned pair
+    ids = {(r["doc_id_1"], r["doc_id_2"]) for r in pref}
+    assert (1, 2) in ids and (1, 4) not in ids
+
+
+def test_jaccard_prefix_boundary_thresholds(spark):
+    """A pair sitting exactly ON the rational threshold is kept (>=), and
+    integer prefix math handles 1-shingle docs without a crash."""
+    rows = [
+        (1, "a b c d e f"),   # shingles(k=3): 4
+        (2, "a b c d x y"),   # shares 2 of its 4 → J = 2/6 = 1/3
+        (3, "q"),             # single shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_prefix_pairs(docs, k=3, threshold_num=1, threshold_den=3)
+    pairs = {(r["doc_id_1"], r["doc_id_2"]): r["common"] for r in out.collect()}
+    assert pairs == {(1, 2): 2}

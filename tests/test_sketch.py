@@ -73,3 +73,43 @@ def test_streaming_cms_equals_batch_sketch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, whole.cells.collect())
     )
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """The MG candidate set varies with partitioning, but the verified
+    output must equal the brute-force GROUP BY/HAVING exactly for every
+    partition layout."""
+    from pyspark.sql import functions as F
+
+    # zipf-ish stream: token t_i appears 2^(8-i) times, plus a long tail
+    rows = [(f"t{i}",) for i in range(8) for _ in range(1 << (8 - i))]
+    rows += [(f"tail{j}",) for j in range(300)]
+    toks = spark.createDataFrame(rows, "token string")
+    n = len(rows)
+    k = 20
+    brute = sorted(
+        (t, c)
+        for t, c in (
+            (r["token"], r["cnt"])
+            for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+        )
+        if c * k > n
+    )
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r["token"], r["freq"])
+            for r in sketch.heavy_hitters(toks.repartition(parts), k=k).collect()
+        )
+        assert got == brute, f"mismatch at {parts} partitions"
+
+
+def test_misra_gries_candidates_superset(spark):
+    """Every true heavy hitter survives the per-partition sketch pass."""
+    from pyspark.sql import functions as F
+
+    rows = [("hot",)] * 500 + [(f"cold{j}",) for j in range(400)]
+    toks = spark.createDataFrame(rows, "token string").repartition(11)
+    cands = {
+        r["token"] for r in sketch.misra_gries_candidates(toks, k=5).collect()
+    }
+    assert "hot" in cands
