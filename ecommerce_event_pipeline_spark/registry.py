@@ -4402,6 +4402,53 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_EXPIRY_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+  FROM g
+),
+s AS (
+  SELECT user_id, seq, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS event_count,
+         MAX(seq) OVER (PARTITION BY user_id) AS max_seq
+  FROM m GROUP BY user_id, seq
+),
+wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm_ms FROM events
+)
+SELECT user_id, session_start,
+       last_ts + INTERVAL 30 MINUTE AS session_end,
+       event_count
+FROM s, wm
+WHERE seq < max_seq
+   OR (epoch_us(last_ts) // 1000) + 1800000 < wm_ms
+ORDER BY user_id, session_start
+"""
+
+
+@register("streaming_session_expiry", _SESSION_EXPIRY_ORACLE)
+def streaming_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a custom stateful operator with
+    EventTimeTimeout (applyInPandasWithState): a session closed by a
+    LATER event of the same user emits immediately (in-batch, watermark-
+    independent); each user's final session emits only when the watermark
+    fires its timeout in the post-drain no-data batch. The oracle encodes
+    both paths at Spark's ms watermark granularity: non-final sessions
+    unconditionally, final ones iff expiry < max ts − 1 h — the rest are
+    withheld on BOTH sides."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_session_expiry(spark, sf_dir, gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -473,3 +473,111 @@ def run_streaming_cdc_upsert(
             [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
         )
     return spark.read.parquet(latest[-1]).orderBy("o_orderkey")
+
+
+def split_gap_sessions(
+    ts_us: "list[int]", gap_us: int, open_state: "tuple[int, int, int] | None"
+) -> "tuple[list[tuple[int, int, int]], tuple[int, int, int]]":
+    """Pure gap-split over a user's SORTED event times (µs), resuming from
+    an open (start_us, last_us, count) carried in group state.
+
+    Returns (closed_sessions, open_session): every session followed by a
+    ≥gap break is closed; the trailing one stays open. Separated from the
+    streaming wiring so multi-batch resume logic is unit-testable without
+    driving a query (the fixture streams as one batch, so only the
+    timeout path exercises state resume in integration)."""
+    closed: list[tuple[int, int, int]] = []
+    cur = open_state
+    for t in ts_us:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] >= gap_us:
+            closed.append(cur)
+            cur = (t, t, 1)
+        else:
+            cur = (cur[0], t, cur[2] + 1)
+    assert cur is not None
+    return closed, cur
+
+
+def run_streaming_session_expiry(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap sessionization as a CUSTOM stateful operator with
+    **EventTimeTimeout** — the state-expiry mechanic `session_window`
+    hides, exposed: sessions closed by a later event in the same batch
+    emit immediately; each user's trailing session is held in group state
+    with ``setTimeoutTimestamp(last_ts + gap)`` and emits when the
+    event-time watermark passes it (Spark runs a no-data micro-batch
+    after the source drains precisely to fire these).
+
+    Determinism contract (what the oracle encodes): a session followed by
+    a later event of the same user emits unconditionally (its closure is
+    proven by data, not by the clock); a user's FINAL session emits iff
+    its expiry precedes the final watermark — in ms, Spark's watermark
+    granularity: ``last_us div 1000 + gap_ms  <  max_us div 1000 −
+    delay_ms`` (timeout fires on watermark STRICTLY beyond the set
+    timestamp). Final sessions ending within (delay + gap) of stream max
+    stay open and un-emitted — exactly the rows a production restart
+    would still be accumulating.
+
+    Scale: state is one (start, last, count) triple per ACTIVE user —
+    the watermark bounds it regardless of throughput; emission is
+    append-mode (each session exactly once), so the sink never rewrites.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def _emit(user_id: int, sessions: "list[tuple[int, int, int]]"):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": pd.to_datetime(
+                    [s[0] for s in sessions], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [s[1] + gap_us for s in sessions], unit="us"
+                ),
+                "event_count": [s[2] for s in sessions],
+            }
+        )
+
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        if state.hasTimedOut:
+            yield _emit(key[0], [tuple(state.get)])
+            state.remove()
+            return
+        parts = [pdf for pdf in pdfs]
+        rows = pd.concat(parts) if len(parts) > 1 else parts[0]
+        # datetime64[ns] → µs; stable ts sort (equal-ts order is
+        # irrelevant to gap splits: a 0 gap never breaks a session)
+        ts_us = sorted(rows["ts"].astype("int64") // 1000)
+        open_state = tuple(state.get) if state.exists else None
+        closed, cur = split_gap_sessions(ts_us, gap_us, open_state)
+        state.update(cur)
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        if closed:
+            yield _emit(key[0], closed)
+
+    events = streaming_events(spark, sf_dir).select("user_id", "ts")
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, event_count long"
+            ),
+            stateStructType="start_us long, last_us long, cnt long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    table = _run_to_memory(sessions, "append")
+    return spark.table(table).orderBy("user_id", "session_start")

@@ -182,3 +182,61 @@ def test_streaming_cdc_upsert_folds_to_batch_merge(spark, tmp_path):
     )
     want = [tuple(r) for r in cdc_merge(empty, changes).collect()]
     assert got == want
+
+
+def test_split_gap_sessions_resume_across_batches():
+    """The pure splitter must produce identical sessions whether events
+    arrive in one batch or resume from carried state mid-session."""
+    from ecommerce_event_pipeline_spark.streaming.jobs import split_gap_sessions
+
+    gap = 100
+    ts = [0, 10, 50, 200, 220, 500]
+    one_shot_closed, one_shot_open = split_gap_sessions(ts, gap, None)
+    c1, open1 = split_gap_sessions(ts[:2], gap, None)
+    c2, open2 = split_gap_sessions(ts[2:], gap, open1)
+    assert c1 + c2 == one_shot_closed == [(0, 50, 3), (200, 220, 2)]
+    assert open2 == one_shot_open == (500, 500, 1)
+    # resume INSIDE an open session: state extends, no spurious close
+    c3, open3 = split_gap_sessions([60], gap, (0, 50, 3))
+    assert c3 == [] and open3 == (0, 60, 4)
+
+
+def test_streaming_session_expiry_matches_batch_rule(spark, tmp_path):
+    """End-to-end: in-batch closures AND timeout-fired trailing sessions
+    emit; sessions inside the (delay+gap) tail stay open/unemitted."""
+    import datetime as dt
+
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions well before the tail -> both emit (first closes
+    # in-batch, second by timeout)
+    rows += [(1, base + dt.timedelta(minutes=m)) for m in (0, 5)]
+    rows += [(1, base + dt.timedelta(minutes=120))]
+    # user 2: single session ending at stream max -> watermark never
+    # passes its expiry -> withheld
+    rows += [(2, base + dt.timedelta(hours=10))]
+    df = spark.createDataFrame(
+        [(i, ts, uid, "view", 0.0, "{}") for i, (uid, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src = str(tmp_path / "sf_fixture")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
+    import os, glob, shutil
+
+    # the reader globs for events.parquet inside the dir
+    part = glob.glob(os.path.join(src, "part-*.parquet"))[0]
+    fixture_dir = str(tmp_path / "sfdir")
+    os.makedirs(fixture_dir)
+    shutil.move(part, os.path.join(fixture_dir, "events.parquet"))
+
+    out = jobs.run_streaming_session_expiry(spark, fixture_dir, gap_minutes=30)
+    got = [
+        (r["user_id"], r["session_start"], r["event_count"])
+        for r in out.collect()
+    ]
+    assert got == [
+        (1, base, 2),
+        (1, base + dt.timedelta(minutes=120), 1),
+    ]
