@@ -31,6 +31,28 @@ def traffic_cube(events: DataFrame) -> DataFrame:
     )
 
 
+def traffic_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP(event_date, event_type) with an explicit ``grouping_id``
+    disambiguator: the hierarchy-only subset of CUBE (detail → per-date
+    subtotal → grand total). At scale ROLLUP's Expand factor is
+    levels+1 (3 here) vs CUBE's 2^levels — the right default for
+    report hierarchies. ``grouping_id`` (bitmask, left col = MSB) lets
+    consumers separate a genuine NULL key from a subtotal row — both
+    engines agree on the encoding (DuckDB ``GROUPING(a, b)``)."""
+    return (
+        events.rollup("event_date", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("event_count"),
+        )
+        .orderBy(
+            "gid",
+            F.col("event_date").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
 def type_hour_pivot(events: DataFrame, event_types: list[str]) -> DataFrame:
     """Hour × event-type count matrix via pivot with PINNED values — an
     unpinned pivot triggers an extra distinct-scan to discover columns."""

@@ -581,3 +581,33 @@ def run_streaming_session_expiry(
     )
     table = _run_to_memory(sessions, "append")
     return spark.table(table).orderBy("user_id", "session_start")
+
+
+def run_streaming_sliding_traffic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OVERLAPPING (sliding) windows — 1-hour duration, 15-minute slide:
+    every event lands in duration/slide = 4 windows, the streaming-native
+    form of a smoothed traffic series (tumbling windows are the slide ==
+    duration special case, covered by ``run_streaming_hourly_traffic``).
+
+    State cost scales with OPEN windows per key-space: 4× tumbling here,
+    still bounded by the watermark (windows whose end precedes it are
+    finalized and evicted). Counts only — exact under any merge order, so
+    the complete-mode result is the batch answer and the oracle can
+    replay window assignment arithmetically (window starts are aligned to
+    epoch multiples of the slide, exactly Spark's alignment rule with the
+    session pinned UTC)."""
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+        )
+    )
+    table = _run_to_memory(agg, "complete")
+    return spark.table(table).orderBy("window_start")

@@ -156,3 +156,25 @@ def test_user_lifetime_incremental_equals_full(spark):
     full = m.user_lifetime_rollup(m.user_lifetime_partials(events)).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in full]
     assert inc[0]["active_days"] > 1
+
+
+def test_traffic_rollup_gid_disambiguates_null_keys(spark):
+    """A genuine NULL grouping key must be separable from a subtotal row:
+    gid bit set only for aggregated columns."""
+    import datetime as dt
+
+    from ecommerce_event_pipeline_spark.operators import olap
+
+    d = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(d, "view"), (d, None), (d, "view")],
+        "event_date date, event_type string",
+    )
+    rows = {
+        (r["event_date"], r["event_type"], r["gid"]): r["event_count"]
+        for r in olap.traffic_rollup(df).collect()
+    }
+    assert rows[(d, "view", 0)] == 2       # detail row
+    assert rows[(d, None, 0)] == 1         # genuine NULL key, gid=0
+    assert rows[(d, None, 1)] == 3         # per-date subtotal, gid=1
+    assert rows[(None, None, 3)] == 3      # grand total, gid=3
