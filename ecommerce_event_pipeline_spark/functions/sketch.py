@@ -172,3 +172,89 @@ def heavy_hitters(tokens: DataFrame, k: int = 200) -> DataFrame:
         )
         .orderBy(F.desc("freq"), "token")
     )
+
+
+#: HLL geometry: p = 8 → m = 256 buckets from the top 8 bits of a 60-bit
+#: md5-derived hash; the remaining 52 bits feed the leading-zero count.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_W_BITS = 60 - HLL_P  # 52
+_HLL_W_MOD = 1 << _HLL_W_BITS
+#: alpha_m · m² · 2^52 pre-multiplied to ONE double literal so the raw
+#: estimate is a single division of that literal by an exact integer —
+#: bit-identical in any engine (alpha_256 = 0.7213 / (1 + 1.079/256)).
+#: scale exponent 53 = max rho, so every register term 2^(53−rho) is a
+#: NON-NEGATIVE power of two (rho ∈ [1, 53]; empty buckets contribute
+#: 2^53) and the 256-bucket sum stays under 2^62 — exact BIGINT.
+_HLL_SCALE_BITS = _HLL_W_BITS + 1  # 53
+HLL_EST_NUMERATOR = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << _HLL_SCALE_BITS)
+
+
+def hll_sketch(values: DataFrame, group_cols: list[str], value_col: str, salt: str = "hll") -> DataFrame:
+    """Per-group HyperLogLog register table — ENGINE-PORTABLE like the
+    count-min sketch above: the element hash is a 60-bit md5 prefix, the
+    register is max(rho) per 256-way bucket, and every step is integer
+    arithmetic both engines reproduce bit-for-bit (rho via the length of
+    the binary string — exact, unlike float log2).
+
+    Returns (group_cols..., bucket int, m_rho int). Registers from
+    corpus shards MERGE by max per (group, bucket) — the property that
+    replaces a 100 TB distinct-shuffle with a 256-row-per-group
+    fan-in (Flajolet et al. 2007).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "#"), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # integer `div`, never float `/`: the hash is 60 bits, past double
+    # exactness — a float shift would mis-bucket high hashes
+    split = values.select(*group_cols, h.alias("_hv")).select(
+        *group_cols,
+        F.expr(f"_hv div {_HLL_W_MOD}").alias("bucket"),
+        (F.col("_hv") % _HLL_W_MOD).alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.conv(F.col("_w"), 10, 2))
+    )
+    return (
+        split.select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate from a register table, hash-comparable across
+    engines: the register sum Σ 2^(−rho) is carried as the EXACT integer
+    Σ 2^(53−rho) (empty buckets contribute 2^53 each; ≤ 256·2^53 < 2^62),
+    so the raw estimate is one double division of two exactly-agreed
+    numbers. Small-range correction (E ≤ 2.5m, V > 0 → m·ln(m/V)) uses
+    one ln call, rounded to 2 decimals on both sides."""
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_present"),
+        # SQL expr: the Python shiftleft() wrapper takes only a literal
+        # shift amount, the SQL function takes an expression
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS} - m_rho)")
+        ).alias("_sum_present"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("_present")
+    sum_scaled = F.col("_sum_present") + v_zero * F.lit(1 << _HLL_SCALE_BITS).cast(
+        "long"
+    )
+    raw_e = F.lit(HLL_EST_NUMERATOR) / sum_scaled.cast("double")
+    est = F.when(
+        (raw_e <= 2.5 * HLL_M) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(raw_e)
+    return per_group.select(
+        *group_cols,
+        v_zero.cast("long").alias("v_zero"),
+        sum_scaled.cast("long").alias("sum_scaled"),
+        F.round(est, 2).alias("estimate"),
+    )

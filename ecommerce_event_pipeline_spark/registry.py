@@ -4497,6 +4497,84 @@ def streaming_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_streaming_sliding_traffic(spark, sf_dir)
 
 
+def _hll_oracle() -> str:
+    """Full HLL replay in SQL: 60-bit md5 hash, integer bucket/rho split,
+    exact scaled register sum, one shared-literal division — see
+    ``functions/sketch.py`` (hll_sketch/hll_estimate) for the design."""
+    from .functions.sketch import _HLL_W_MOD, HLL_EST_NUMERATOR, HLL_M
+
+    scale = _HLL_W_MOD * 2  # 2^53
+    return f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+b AS (
+  SELECT event_date, hv // {_HLL_W_MOD} AS bucket, hv % {_HLL_W_MOD} AS w FROM h
+),
+r AS (
+  SELECT event_date, bucket,
+         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_rho
+  FROM b GROUP BY 1, 2
+),
+d AS (
+  SELECT event_date,
+         {HLL_M} - COUNT(*) AS v_zero,
+         SUM(CAST(1 AS BIGINT) << (53 - m_rho))
+           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS sum_scaled
+  FROM r GROUP BY 1
+),
+x AS (
+  SELECT event_date, v_zero, sum_scaled,
+         {HLL_EST_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE) AS raw_e
+  FROM d
+),
+ex AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT x.event_date, exact_users,
+       ROUND(CASE WHEN raw_e <= {2.5 * HLL_M!r} AND v_zero > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+                  ELSE raw_e END, 2) AS hll_users,
+       v_zero, sum_scaled
+FROM x JOIN ex ON x.event_date = ex.event_date
+ORDER BY 1
+"""
+
+
+@register("hll_distinct_daily", _hll_oracle())
+def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-users-per-day, value-hash-
+    checked end to end (registers, scaled sums, estimate) — the fully
+    oracled analog of the rows-only ``approx_distinct_daily`` (Spark's
+    built-in HLL sketch hashes differently than any other engine's; this
+    one is a pure function of md5, so DuckDB replays it bit-for-bit).
+    Exact count_distinct rides along for the error comparison."""
+    from .functions import sketch
+
+    ev = read_events(spark, sf_dir).select("event_date", "user_id")
+    regs = sketch.hll_sketch(ev, ["event_date"], "user_id")
+    est = sketch.hll_estimate(regs, ["event_date"])
+    exact = ev.groupBy("event_date").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est, "event_date")
+        .select(
+            "event_date",
+            "exact_users",
+            F.col("estimate").alias("hll_users"),
+            "v_zero",
+            "sum_scaled",
+        )
+        .orderBy("event_date")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

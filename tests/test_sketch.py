@@ -113,3 +113,40 @@ def test_misra_gries_candidates_superset(spark):
         r["token"] for r in sketch.misra_gries_candidates(toks, k=5).collect()
     }
     assert "hot" in cands
+
+
+def test_hll_estimate_within_theory_error(spark):
+    """Relative error of the p=8 HLL should sit well inside ~3·1.04/√256
+    (≈20%) for cardinalities around and above the bucket count; registers
+    from split shards must merge (max per bucket) to the whole-set
+    sketch."""
+    from pyspark.sql import functions as F
+
+    n = 5000
+    vals = spark.range(n).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    regs = sketch.hll_sketch(vals, ["g"], "v")
+    est = sketch.hll_estimate(regs, ["g"]).collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.2, est
+
+    # mergeability: union of per-shard registers, max per bucket
+    a = sketch.hll_sketch(vals.where(F.col("v") % 2 == 0), ["g"], "v")
+    b = sketch.hll_sketch(vals.where(F.col("v") % 2 == 1), ["g"], "v")
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    whole = {(r["bucket"], r["m_rho"]) for r in regs.collect()}
+    got = {(r["bucket"], r["m_rho"]) for r in merged.collect()}
+    assert got == whole
+
+
+def test_hll_small_range_correction_exact_tiny_sets(spark):
+    """With very few distincts the linear-counting branch engages and the
+    estimate lands near truth (it cannot be wildly off at tiny n)."""
+    from pyspark.sql import functions as F
+
+    vals = spark.range(10).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    row = sketch.hll_estimate(sketch.hll_sketch(vals, ["g"], "v"), ["g"]).collect()[0]
+    assert row["v_zero"] >= 246  # ≤10 buckets touched
+    assert abs(row["estimate"] - 10) <= 2
