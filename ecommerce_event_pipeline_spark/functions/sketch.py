@@ -258,3 +258,90 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         sum_scaled.cast("long").alias("sum_scaled"),
         F.round(est, 2).alias("estimate"),
     )
+
+
+class Bloom(NamedTuple):
+    """A built Bloom filter as a DENSE word array (num_bits/64 longs) plus
+    the geometry that must travel with it — probing with different
+    num_bits/num_hashes/salt reads the wrong bits and silently loses the
+    no-false-negative guarantee."""
+
+    words: "list[int]"
+    num_bits: int
+    num_hashes: int
+    salt: str
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+    salt: str = "bf",
+) -> Bloom:
+    """Build an engine-portable Bloom filter over a (small) key set: k
+    md5-salted bit positions per key, words OR-merged by a (≤ num_bits/64)-
+    key aggregation. The driver collect is BOUNDED by geometry (128 longs
+    at defaults), never by key count — same justification as the k-means
+    centroid collect in functions/similarity.py.
+
+    Portability: positions are md5-prefix hashes (functions/hashing.py),
+    so an oracle — or another engine entirely — reproduces the exact same
+    bit pattern; no reliance on Spark's internal bloom_filter_agg."""
+    spark = keys.sparkSession
+    hs = spark.range(num_hashes).select(F.col("id").cast("int").alias("_h"))
+    pos = (
+        keys.select(F.col(key_col).alias("_k"))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            (
+                md5_prefix_long(
+                    F.concat(F.lit(salt), F.col("_h").cast("string")), F.col("_k")
+                )
+                % num_bits
+            ).alias("_pos")
+        )
+    )
+    rows = (
+        pos.select(
+            F.shiftright("_pos", 6).alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_mask)").alias("_word"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in rows:
+        dense[r["_w"]] = r["_word"]
+    return Bloom(dense, num_bits, num_hashes, salt)
+
+
+def bloom_prune(df: DataFrame, key_col: str, bloom: Bloom) -> DataFrame:
+    """Drop rows whose key is DEFINITELY absent from the filter — the
+    explicit, cross-engine-checkable form of a runtime join filter: the
+    probe is a pure scan-side expression (k md5 hashes + array index +
+    bitwise AND per row, no join, no shuffle), so at 100 TB the fact
+    table thins BEFORE the exchange feeding the real join. False
+    positives survive pruning and are removed by the join itself, which
+    is why a bloom-pruned join is oracled by the PLAIN join — any
+    false-negative bug would drop result rows and hash-mismatch."""
+    arr = F.array(*[F.lit(int(w)) for w in bloom.words])
+    out = df
+    cond = F.lit(True)
+    tmp: list[str] = []
+    for h in range(bloom.num_hashes):
+        p, m = f"_bfp{h}", f"_bfm{h}"
+        tmp += [p, m]
+        out = out.withColumn(
+            p,
+            md5_prefix_long(F.lit(f"{bloom.salt}{h}"), F.col(key_col))
+            % bloom.num_bits,
+        ).withColumn(
+            m, F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))")
+        )
+        word = F.element_at(arr, (F.shiftright(F.col(p), 6) + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(F.col(m)) != 0)
+    return out.where(cond).drop(*tmp)

@@ -4575,6 +4575,51 @@ def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_JOIN_ORACLE = """
+SELECT p_partkey, p_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS line_count
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#19'
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@register("bloom_pruned_brand_revenue", _BLOOM_JOIN_ORACLE)
+def bloom_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-filtered fact join with an EXPLICIT Bloom runtime filter:
+    the selected parts build a portable md5 Bloom filter; lineitem is
+    pruned scan-side before the broadcast join. The oracle is the PLAIN
+    join — false positives are removed by the join, and a false negative
+    (the bug class Bloom pruning can introduce) would drop rows and
+    hash-mismatch."""
+    from .functions import sketch
+
+    dim = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#19")
+        .select("p_partkey", "p_name")
+    )
+    bloom = sketch.bloom_build(dim.select("p_partkey"), "p_partkey")
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pruned = sketch.bloom_prune(fact, "l_partkey", bloom)
+    return (
+        pruned.join(F.broadcast(dim), pruned["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -150,3 +150,32 @@ def test_hll_small_range_correction_exact_tiny_sets(spark):
     row = sketch.hll_estimate(sketch.hll_sketch(vals, ["g"], "v"), ["g"]).collect()[0]
     assert row["v_zero"] >= 246  # ≤10 buckets touched
     assert abs(row["estimate"] - 10) <= 2
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    """Every row whose key IS in the build set must survive pruning
+    (completeness — the correctness-critical property); most foreign keys
+    must be dropped (the point of the filter)."""
+    from pyspark.sql import functions as F
+
+    keys = spark.range(100).select((F.col("id") * 7).alias("k"))
+    bloom = sketch.bloom_build(keys, "k", num_bits=4096, num_hashes=3)
+    probe = spark.range(10000).select(F.col("id").alias("k"))
+    kept = {r["k"] for r in sketch.bloom_prune(probe, "k", bloom).collect()}
+    member = {i * 7 for i in range(100)}
+    assert member <= kept                      # no false negatives, ever
+    fp = len(kept - member) / (10000 - len(member))
+    assert fp < 0.05, fp                       # sparse filter -> tiny fp rate
+
+
+def test_bloom_prune_composes_with_join_exactly(spark):
+    """bloom_prune -> join == plain join (false positives die in the
+    join), the invariant the registry oracle checks at fixture scale."""
+    from pyspark.sql import functions as F
+
+    dim = spark.range(50).select((F.col("id") * 3).alias("k"), F.col("id").alias("v"))
+    fact = spark.range(2000).select((F.col("id") % 120).alias("k"))
+    bloom = sketch.bloom_build(dim.select("k"), "k", num_bits=1024)
+    plain = fact.join(dim, "k").groupBy("k").count().collect()
+    pruned = sketch.bloom_prune(fact, "k", bloom).join(dim, "k").groupBy("k").count().collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, plain))
