@@ -85,3 +85,58 @@ def user_purchase_trend(events: DataFrame, min_purchases: int = 3) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         (half_up_cents.cast("double") / F.lit(100.0)).alias("intercept"),
     ).orderBy("user_id")
+
+
+def ewma_daily_counts(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-type EWMA of the daily event-count series — recursive smoothing
+    s₁ = x₁, sₜ = α·xₜ + (1−α)·sₜ₋₁ — computed as an explicit LEFT FOLD
+    over the date-sorted value array (``F.aggregate``), which is the form
+    a SQL oracle can replay with the IDENTICAL operation order
+    (DuckDB ``list_reduce`` is the same left fold, so every intermediate
+    double is bit-for-bit shared; a window-function formulation would
+    leave the accumulation structure to each engine).
+
+    Scale shape: one groupBy per (type, date) — tiny — then one array per
+    type (series length = days, bounded); the O(days²) prefix folds are
+    per-row array ops on that bounded array, no shuffle. For
+    million-point series switch to the log-space prefix trick or a
+    segment fold; for calendar marts, days/group is small by nature.
+    """
+    a = float(alpha)
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("event_type", "event_date")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    arrs = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("event_date", "c"))).alias("s")
+        )
+        .select(
+            "event_type",
+            F.transform("s", lambda r: r["event_date"]).alias("dates"),
+            F.transform("s", lambda r: r["c"]).alias("vals"),
+        )
+    )
+    d = F.col("d")
+    ewma = F.aggregate(
+        F.slice("vals", 2, d - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return (
+        arrs.select(
+            "event_type",
+            "dates",
+            "vals",
+            F.explode(F.sequence(F.lit(1), F.size("vals"))).alias("d"),
+        )
+        .select(
+            "event_type",
+            F.element_at("dates", d).alias("event_date"),
+            F.element_at("vals", d).cast("long").alias("event_count"),
+            F.round(ewma, 4).alias("ewma"),
+        )
+        .orderBy("event_type", "event_date")
+    )

@@ -4620,6 +4620,80 @@ def bloom_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type,
+         list(event_date ORDER BY event_date) AS dates,
+         list(c ORDER BY event_date) AS vals
+  FROM daily GROUP BY 1
+),
+e AS (
+  SELECT event_type, dates, vals,
+         unnest(range(1, len(vals) + 1)) AS d
+  FROM a
+)
+SELECT event_type,
+       dates[d] AS event_date,
+       CAST(vals[d] AS BIGINT) AS event_count,
+       ROUND(list_reduce(vals[1:d],
+             (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4) AS ewma
+FROM e
+ORDER BY event_type, event_date
+"""
+
+
+@register("ewma_daily_traffic", _EWMA_ORACLE)
+def ewma_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive exponential smoothing as an explicit left fold over the
+    date-sorted series — both engines run the IDENTICAL fold, so every
+    intermediate double matches bit-for-bit (a window formulation would
+    leave accumulation structure engine-defined)."""
+    from .functions import stats
+
+    return stats.ewma_daily_counts(read_events(spark, sf_dir), alpha=0.2)
+
+
+_SMALL_QTY_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_weekly_small_qty_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("small_quantity_revenue", _SMALL_QTY_ORACLE)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: CORRELATED scalar subquery (per-part average
+    quantity) filtering the outer join — exercises Catalyst's subquery
+    decorrelation into a per-key aggregate + join. Quantities are
+    integer-valued doubles, so the per-part AVG is exact in both engines
+    and the 0.2· boundary cannot diverge."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q17")
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("p_q17")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2)
+                 AS avg_weekly_small_qty_revenue
+        FROM l_q17
+        JOIN p_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM l_q17 l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -1,0 +1,46 @@
+"""Statistical operators: EWMA fold parity with pandas' recursive form."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark.functions import stats
+
+
+def test_ewma_matches_pandas_recursive(spark):
+    """The explicit left fold must equal pandas ewm(adjust=False) — the
+    canonical s_t = a*x_t + (1-a)*s_(t-1) — at every prefix point."""
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1, 12)
+    counts = [5, 9, 2, 7, 7, 1, 4]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "view", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn("event_date", F.to_date("ts"))
+    got = [
+        (r["event_date"], r["event_count"], r["ewma"])
+        for r in stats.ewma_daily_counts(ev, alpha=0.2).collect()
+    ]
+    expect = pd.Series([float(c) for c in counts]).ewm(alpha=0.2, adjust=False).mean()
+    for i, (d, c, e) in enumerate(got):
+        assert d == (base + dt.timedelta(days=i)).date()
+        assert c == counts[i]
+        assert abs(e - round(expect.iloc[i], 4)) < 1e-9, (i, e, expect.iloc[i])
+
+
+def test_ewma_single_day_is_identity(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 0.0, "{}")] * 3,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn("event_date", F.to_date("ts"))
+    out = stats.ewma_daily_counts(ev).collect()
+    assert len(out) == 1 and out[0]["ewma"] == 3.0
