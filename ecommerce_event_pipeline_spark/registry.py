@@ -4694,6 +4694,84 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_CHAIN_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
+),
+ex AS (
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  ) WHERE jaccard >= 0.2
+),
+reach(s, n, d) AS (
+  SELECT doc_id_1, doc_id_2, 1 FROM pairs
+  UNION ALL
+  SELECT r.s, p.doc_id_2, r.d + 1
+  FROM reach r JOIN pairs p ON r.n = p.doc_id_1
+)
+SELECT s AS doc_id,
+       CAST(COUNT(DISTINCT n) AS BIGINT) AS reachable,
+       CAST(MAX(d) AS BIGINT) AS max_depth
+FROM reach GROUP BY s ORDER BY s
+"""
+
+
+@register("dup_chain_stats", _DUP_CHAIN_ORACLE)
+def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 WITH RECURSIVE) walking the near-dup pair
+    graph: per chain head, how many docs it transitively reaches and the
+    longest hop count. Termination is by CONSTRUCTION, not fixpoint:
+    canonical pairs satisfy doc_id_1 < doc_id_2, so every recursive step
+    strictly increases the frontier id and path length is bounded by the
+    id chain (Spark's recursive CTE supports UNION ALL only — a cyclic
+    edge set would need the fixpoint UNION form DuckDB also offers)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.2,
+        max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    pairs.select("doc_id_1", "doc_id_2").createOrReplaceTempView("dup_pairs_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(s, n, d) AS (
+          SELECT doc_id_1, doc_id_2, 1 FROM dup_pairs_rcte
+          UNION ALL
+          SELECT r.s, p.doc_id_2, r.d + 1
+          FROM reach r JOIN dup_pairs_rcte p ON r.n = p.doc_id_1
+        )
+        SELECT s AS doc_id,
+               COUNT(DISTINCT n) AS reachable,
+               CAST(MAX(d) AS BIGINT) AS max_depth
+        FROM reach GROUP BY s ORDER BY s
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

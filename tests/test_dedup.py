@@ -152,3 +152,26 @@ def test_jaccard_prefix_boundary_thresholds(spark):
     out = dedup.jaccard_prefix_pairs(docs, k=3, threshold_num=1, threshold_den=3)
     pairs = {(r["doc_id_1"], r["doc_id_2"]): r["common"] for r in out.collect()}
     assert pairs == {(1, 2): 2}
+
+
+def test_recursive_dup_chain_walk(spark):
+    """WITH RECURSIVE over canonical (increasing) pairs: reachability and
+    depth follow the id-ordered chain; diamond paths dedup via COUNT
+    DISTINCT."""
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 9)], "doc_id_1 long, doc_id_2 long"
+    ).createOrReplaceTempView("dup_pairs_rcte")
+    out = spark.sql(
+        """
+        WITH RECURSIVE reach(s, n, d) AS (
+          SELECT doc_id_1, doc_id_2, 1 FROM dup_pairs_rcte
+          UNION ALL
+          SELECT r.s, p.doc_id_2, r.d + 1
+          FROM reach r JOIN dup_pairs_rcte p ON r.n = p.doc_id_1
+        )
+        SELECT s, COUNT(DISTINCT n) AS reachable, MAX(d) AS max_depth
+        FROM reach GROUP BY s ORDER BY s
+        """
+    ).collect()
+    rows = {r["s"]: (r["reachable"], r["max_depth"]) for r in out}
+    assert rows == {1: (2, 2), 2: (1, 1), 7: (1, 1)}
