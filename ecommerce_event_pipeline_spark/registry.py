@@ -4772,6 +4772,114 @@ def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: jobs.run_streaming_user_state_tws (Spark 4 transformWithState,
+# typed ValueState) is implemented and unit-tested behind an import gate,
+# but NOT registered: the TWS python driver worker requires the
+# `google.protobuf` package (its state-server protocol), which this
+# container does not ship and cannot install. tests/test_streaming.py
+# skips the test when protobuf is absent; on a normal cluster the same
+# _STREAM_STATE_ORACLE grades it.
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       ROUND(SUM(value), 2) AS v_sum,
+       CAST(MAX(user_id) AS BIGINT) AS id_max
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("variant_props_stats", _VARIANT_ORACLE)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: ``parse_json`` the props payload AND a
+    constructed nested document, extract typed values with
+    ``variant_get`` ($.k, $.u.v, $.u.id), aggregate. The oracle computes
+    the same values from the base columns — green means the
+    parse→variant→path-extract round trip loses nothing."""
+    ev = read_events(spark, sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("id"), F.col("value").alias("v")
+            ).alias("u"),
+            F.col("event_type").alias("t"),
+        )
+    )
+    extracted = ev.withColumn("_doc", doc).select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("_k"),
+        F.expr("variant_get(parse_json(_doc), '$.u.v', 'double')").alias("_v"),
+        F.expr("variant_get(parse_json(_doc), '$.u.id', 'long')").alias("_id"),
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("k_sum"),
+            F.round(F.sum("_v"), 2).alias("v_sum"),
+            F.max("_id").alias("id_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_UDF_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       ROUND(CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 0
+                  THEN NULL
+                  ELSE CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+             END, 4) AS view_to_purchase_rate
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sql_udf_funnel_rate", _SQL_UDF_ORACLE)
+def sql_udf_funnel_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF (CREATE FUNCTION … RETURN <expr>): the guard-
+    against-zero rate lives in an engine-registered SQL function, not a
+    copy-pasted CASE — Catalyst inlines the body, so the plan (and the
+    oracle, which inlines it manually) is identical to the raw
+    expression."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION safe_rate(num DOUBLE, den DOUBLE)
+        RETURNS DOUBLE
+        RETURN CASE WHEN den = 0 THEN NULL ELSE num / den END
+        """
+    )
+    read_events(spark, sf_dir).createOrReplaceTempView("ev_sqludf")
+    # ROUND sits in an OUTER projection: inlining the UDF body inside the
+    # aggregate rewrites round's scale literal into a non-foldable
+    # aggregate output reference (DATATYPE_MISMATCH.NON_FOLDABLE_INPUT)
+    return spark.sql(
+        """
+        SELECT event_date, views, purchases,
+               ROUND(rate_raw, 4) AS view_to_purchase_rate
+        FROM (
+          SELECT event_date,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+                 safe_rate(
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+                 ) AS rate_raw
+          FROM ev_sqludf
+          GROUP BY event_date
+        )
+        ORDER BY event_date
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -611,3 +611,93 @@ def run_streaming_sliding_traffic(
     )
     table = _run_to_memory(agg, "complete")
     return spark.table(table).orderBy("window_start")
+
+
+def run_streaming_user_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (events_seen, total_value) on the
+    ``transformWithStateInPandas`` API (Spark 4's successor to
+    applyInPandasWithState): typed composite state via
+    ``handle.getValueState`` instead of one opaque tuple, per-state TTL,
+    timers, and multiple state variables per processor — the same
+    per-entity counter as ``run_streaming_user_state``, so the same
+    batch-groupBy oracle grades both APIs.
+
+    State is one (cnt, total) ValueState row per user; emission in
+    update mode, final row per user reduced by max_by exactly as the
+    older API's job does.
+
+    Runtime dependency: the TWS python driver worker speaks a protobuf
+    state-server protocol — ``google.protobuf`` must be importable on
+    driver and workers, and the RocksDB state store provider is required
+    (pinned below). Callers in protobuf-less environments get an
+    ImportError up front instead of a mid-query worker crash.
+    """
+    try:  # find_spec("google.protobuf") raises if the parent pkg is absent
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(state-server protocol); not available in this environment"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "counts", "cnt long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, total = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((cnt, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events_seen": [cnt],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = streaming_events(spark, sf_dir).select("user_id", "value")
+    updated = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserCounter(),
+        outputStructType="user_id long, events_seen long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store provider (the
+    # default HDFS-backed store does not implement the new API); pin it
+    # for this run and restore after
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        table = _run_to_memory(updated, "update")
+    finally:
+        spark.conf.set(provider_key, old_provider)
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max("events_seen").alias("events_seen"),
+            F.round(F.max_by("total_value", "events_seen"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -240,3 +240,47 @@ def test_streaming_session_expiry_matches_batch_rule(spark, tmp_path):
         (1, base, 2),
         (1, base + dt.timedelta(minutes=120), 1),
     ]
+
+
+def test_streaming_user_state_tws_matches_batch(spark):
+    """Spark 4 transformWithState counter == batch groupBy. Skipped where
+    google.protobuf (the TWS state-server protocol dependency) is absent
+    — the import gate in the job raises up front."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available in this environment")
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    out = jobs.run_streaming_user_state_tws(spark, "/root/testdata/sf0.001")
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("events_seen"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in batch.collect()]
+
+
+def test_streaming_user_state_tws_gate_raises_without_protobuf():
+    """In protobuf-less environments the job must fail fast with a clear
+    ImportError, not a mid-query python worker crash."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    with pytest.raises(ImportError, match="google.protobuf"):
+        jobs.run_streaming_user_state_tws(None, "unused")
