@@ -4880,6 +4880,120 @@ def sql_udf_funnel_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(*) AS BIGINT) AS event_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, event_date, event_count,
+         median(event_count) OVER trail AS trail_median,
+         COUNT(*) OVER trail AS trail_n
+  FROM daily
+  WINDOW trail AS (PARTITION BY event_type ORDER BY event_date
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, event_date, event_count,
+       CAST(trail_median AS BIGINT) AS trail_median,
+       (event_count * 2 > trail_median * 3
+        OR event_count * 2 < trail_median) AS is_anomaly
+FROM w
+WHERE trail_n = 7
+ORDER BY event_type, event_date
+"""
+
+
+@register("daily_volume_anomalies", _ANOMALY_ORACLE)
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly flags against the TRAILING 7-day median (frame
+    excludes the current row, so a spike can't mask itself): a day is
+    anomalous when count > 1.5× or < 0.5× the median. Median of 7
+    integers is the exact middle value and the 1.5×/0.5× tests are
+    integer inequalities (2c > 3m / 2c < m) — no float boundary exists
+    anywhere, unlike a z-score formulation."""
+    from pyspark.sql import Window
+
+    daily = (
+        read_events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .groupBy("event_type", "event_date")
+        .agg(F.count("*").alias("event_count"))
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "event_date",
+        "event_count",
+        F.expr("percentile(event_count, 0.5)").over(trail).alias("_med"),
+        F.count("*").over(trail).alias("_n"),
+    )
+    return (
+        w.where(F.col("_n") == 7)
+        .select(
+            "event_type",
+            "event_date",
+            "event_count",
+            F.col("_med").cast("long").alias("trail_median"),
+            (
+                (F.col("event_count") * 2 > F.col("_med").cast("long") * 3)
+                | (F.col("event_count") * 2 < F.col("_med").cast("long"))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "event_date")
+    )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_uncastable,
+       CAST(SUM(CASE WHEN (CASE WHEN CAST(EXTRACT(hour FROM ts) AS BIGINT) = 0
+                                THEN NULL
+                                ELSE user_id / CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                           END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_by_zero_rows
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("try_arithmetic_stats", _TRY_ARITH_ORACLE)
+def try_arithmetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression surface: ``try_cast`` on a JSON-extracted
+    string and ``try_divide`` by a sometimes-zero denominator count their
+    NULL outcomes instead of failing the job — the ANSI-safe pattern for
+    dirty data. The oracle spells out the same semantics with
+    TRY_CAST + an explicit zero guard."""
+    ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+            ).alias("_k"),
+            F.expr("try_divide(user_id, event_hour)").alias("_d"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias(
+                "k_uncastable"
+            ),
+            F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0)).alias(
+                "div_by_zero_rows"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

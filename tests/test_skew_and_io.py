@@ -131,3 +131,21 @@ def test_sql_frontend_equals_dataframe_form(spark):
         )
     )
     assert sql_rows == df_rows
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read over files written at different schema versions:
+    old rows surface NULL for columns added later — the additive-evolution
+    contract a long-lived event log relies on."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("x"))
+    v2 = spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("x"), F.lit(1.5).alias("y")
+    )
+    v1.write.parquet(str(tmp_path / "t"), mode="append")
+    v2.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "x", "y"}
+    rows = {r["id"]: (r["x"], r["y"]) for r in merged.collect()}
+    assert rows[0] == ("a", None) and rows[5] == ("b", 1.5)

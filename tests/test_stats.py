@@ -44,3 +44,44 @@ def test_ewma_single_day_is_identity(spark):
     ).withColumn("event_date", F.to_date("ts"))
     out = stats.ewma_daily_counts(ev).collect()
     assert len(out) == 1 and out[0]["ewma"] == 3.0
+
+
+def test_daily_volume_anomaly_rule_integer_boundaries(spark):
+    """2c > 3m / 2c < m boundaries: exactly 1.5x median is NOT anomalous
+    (strict >), just above is; the trailing frame excludes today."""
+    import datetime as dt
+
+    from ecommerce_event_pipeline_spark import registry
+
+    base = dt.datetime(2024, 3, 1, 10)
+    counts = [10, 10, 10, 10, 10, 10, 10, 15, 16, 4]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "view", 0.0, "{}"))
+            eid += 1
+    import glob
+    import os
+    import shutil
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    # route through the registry entry via a fixture-shaped dir
+    src = os.path.join(str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", ""), "anom_stage")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
+    part = glob.glob(os.path.join(src, "part-*.parquet"))[0]
+    fixture = src + "_dir"
+    os.makedirs(fixture, exist_ok=True)
+    shutil.copy(part, os.path.join(fixture, "events.parquet"))
+
+    out = registry.queries()["daily_volume_anomalies"](spark, fixture).collect()
+    flags = {r["event_date"].day: (r["event_count"], r["trail_median"], r["is_anomaly"]) for r in out}
+    # day 8 (count 15, median 10): 30 > 30 is false -> NOT anomalous
+    assert flags[8] == (15, 10, False)
+    # day 9 (count 16, median 10): 32 > 30 -> anomalous
+    assert flags[9] == (16, 10, True)
+    # day 10 (count 4, median 10): 8 < 10 -> anomalous
+    assert flags[10] == (4, 10, True)
