@@ -5094,7 +5094,15 @@ _FRONT: tuple[str, ...] = (
 # orders_cdc_merge, customer_value_scd2, user_lifetime_incremental,
 # lineitem_stats_by_flag, zorder_box_stats, value_median_udaf,
 # daily_reconciliation_full_outer, semantic_dedup_static — all
-# oracle-backed) — round-5 rotation candidates.
+# oracle-backed) — round-5 rotation candidates, joined late in round 4 by
+# the sketch/engine-surface wave (jaccard_prefix_pairs,
+# token_heavy_hitters, weighted_doc_sample, streaming_session_expiry,
+# traffic_rollup, streaming_sliding_traffic, hll_distinct_daily,
+# bloom_pruned_brand_revenue, ewma_daily_traffic, small_quantity_revenue,
+# dup_chain_stats, variant_props_stats, sql_udf_funnel_rate,
+# daily_volume_anomalies, try_arithmetic_stats — all oracle-backed, all
+# locally green via tools/check_oracle.py; COVERAGE.md is the generated
+# per-round ledger).
 
 
 def _reorder_registry() -> None:
