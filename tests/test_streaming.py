@@ -284,3 +284,93 @@ def test_streaming_user_state_tws_gate_raises_without_protobuf():
 
     with pytest.raises(ImportError, match="google.protobuf"):
         jobs.run_streaming_user_state_tws(None, "unused")
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """A checkpointed streaming aggregate stopped mid-stream and restarted
+    from the same checkpoint reads each input file exactly once and
+    converges to the batch answer — the durability contract a production
+    restart relies on."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    total_rows = 0
+    for f in range(3):
+        rows = [
+            (f * 100 + i, base + dt.timedelta(hours=f, minutes=i), i % 5, 1.0)
+            for i in range(20)
+        ]
+        total_rows += len(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"_stage{f}"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / f"_stage{f}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file{f}.parquet"))
+        shutil.rmtree(str(src / f"_stage{f}"))
+
+    def build_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "file*.parquet")
+            .parquet(str(src))
+        )
+        agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count("*").alias("n")
+        ).select(F.col("w.start").alias("ws"), "n")
+
+        def write_batch(bdf, epoch):
+            bdf.write.mode("overwrite").parquet(out)
+
+        return (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_batch)
+        )
+
+    # phase 1: stop after the FIRST committed micro-batch
+    q = build_query().start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or [])):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    rows_phase1 = sum(p["numInputRows"] for p in (q.recentProgress or []))
+    assert 0 < rows_phase1 < total_rows  # genuinely mid-stream
+
+    # phase 2: restart from the same checkpoint, drain
+    q2 = build_query().start()
+    q2.processAllAvailable()
+    rows_phase2 = sum(p["numInputRows"] for p in (q2.recentProgress or []))
+    q2.stop()
+
+    # each input row read exactly once across the restart...
+    assert rows_phase1 + rows_phase2 == total_rows
+    # ...and the sink equals the batch answer
+    got = {
+        (r["ws"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["ws"], r["n"])
+        for r in spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == want
