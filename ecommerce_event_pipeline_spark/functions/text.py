@@ -303,3 +303,62 @@ def bm25_search(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(top_n)
     )
+
+
+def lang_distinctive_terms(
+    docs: DataFrame, min_global: int = 5, top_k: int = 5
+) -> DataFrame:
+    """Distinctive vocabulary per language via log-odds with a +0.5
+    (Haldane) prior and its z-score (the Monroe et al. 2008 'Fightin'
+    Words' statistic with an uninformative prior):
+
+        δ_t  = ln((a+½)/(A−a+½)) − ln((b+½)/(B−b+½))
+        z_t  = δ_t / sqrt(1/(a+½) + 1/(b+½))
+
+    where a = count of t in the language, b = elsewhere, A/B the token
+    totals. Every input is an exact integer aggregate, and both engines
+    evaluate the IDENTICAL closed-form expression — so the doubles agree
+    and the per-language top-k ranking is stable cross-engine.
+
+    Scale shape: two grouped aggregations (lang×token, token) + one
+    broadcast of per-lang totals; the z expression is scan-side; top-k
+    per lang is a bounded window. No all-pairs anything.
+    """
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    # Spark resolves names case-insensitively, so the classic a/A, b/B
+    # naming collides — spell the totals out
+    lt = toks.groupBy("lang", "token").agg(F.count("*").alias("a"))
+    t = toks.groupBy("token").agg(F.count("*").alias("c"))
+    lang_tot = toks.groupBy("lang").agg(F.count("*").alias("in_total"))
+    n_total = toks.agg(F.count("*").alias("corpus_total"))
+    j = (
+        lt.join(t, "token")
+        .where(F.col("c") >= min_global)
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("b", F.col("c") - F.col("a"))
+        .withColumn(
+            "out_total", F.col("corpus_total") - F.col("in_total")
+        )
+    )
+    af = F.col("a") + 0.5
+    bf = F.col("b") + 0.5
+    delta = F.log(af / (F.col("in_total") - F.col("a") + 0.5)) - F.log(
+        bf / (F.col("out_total") - F.col("b") + 0.5)
+    )
+    z = delta / F.sqrt(1.0 / af + 1.0 / bf)
+    from pyspark.sql import Window
+
+    ranked = j.withColumn("z", z).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("z"), "token")
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") <= top_k)
+        .select("lang", "token", "a", F.round("z", 4).alias("z_score"))
+        .orderBy("lang", F.desc("z_score"), "token")
+    )

@@ -88,3 +88,22 @@ def test_doc_fingerprint_portable_matches_duckdb(spark):
     )
     (other,) = text.doc_fingerprint_portable(df2).collect()
     assert other["rolling_hash"] != got[1][1]
+
+
+def test_lang_distinctive_terms_sign_and_ranking(spark):
+    """A token exclusive to one language gets a positive z there; a token
+    the language lacks entirely never appears in its top-k."""
+    from ecommerce_event_pipeline_spark.functions.text import lang_distinctive_terms
+
+    rows = []
+    did = 0
+    for _ in range(10):
+        rows.append((did, "aaa " * 20 + "shared", "xx", "s", 1)); did += 1
+        rows.append((did, "bbb " * 20 + "shared", "yy", "s", 1)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = lang_distinctive_terms(docs, min_global=5, top_k=2).collect()
+    top = {(r["lang"], r["token"]): r["z_score"] for r in out}
+    assert top[("xx", "aaa")] > 0 and top[("yy", "bbb")] > 0
+    assert ("xx", "bbb") not in top and ("yy", "aaa") not in top
