@@ -362,3 +362,61 @@ def lang_distinctive_terms(
         .select("lang", "token", "a", F.round("z", 4).alias("z_score"))
         .orderBy("lang", F.desc("z_score"), "token")
     )
+
+
+def doc_surprisal(docs: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-document mean unigram surprisal — the cheap perplexity proxy
+    for quality filtering (gibberish and boilerplate sit at the two
+    extremes): s(d) = −(1/n_d)·Σ ln(c_t/N) = ln(N) − (Σ k_dt·ln c_t)/n_d
+    over the corpus unigram distribution.
+
+    Cross-engine determinism: the per-document Σ k_dt·ln(c_t) is a left
+    fold over terms SORTED BY TOKEN (collect → sort_array → F.aggregate),
+    not a grouped float SUM — grouped sums accumulate in partition order,
+    which no oracle can replay; the ordered fold is bit-identical in
+    DuckDB's list_reduce.
+
+    Scale shape: one (doc, token) aggregation, one token aggregation,
+    a broadcast-sized scalar (N), and per-doc arrays bounded by distinct
+    tokens per document.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    dt_counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("k"))
+    t_counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = toks.agg(F.count("*").alias("corpus_n"))
+    terms = (
+        dt_counts.join(t_counts, "token")
+        .select(
+            "doc_id",
+            "k",
+            F.struct(F.col("token"), (F.col("k") * F.log(F.col("c"))).alias("term")).alias("tt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sort_array(F.collect_list("tt")).alias("tts"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.aggregate(
+                F.col("tts"),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("_sum_ln"),
+        )
+    )
+    surprisal = F.log(F.col("corpus_n").cast("double")) - F.col("_sum_ln") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return (
+        terms.crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(surprisal, round_to).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )

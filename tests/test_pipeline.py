@@ -164,3 +164,23 @@ def test_backfill_skips_completed_dates(spark, tmp_path):
     second = run_backfill(spark, ["2024-02-01", "2024-02-02"], out, n_users=40)
     assert second["2024-02-01"] == "SKIPPED"
     assert second["2024-02-02"] == "SUCCESS"
+
+
+def test_observe_metrics_ride_the_mart_action(spark):
+    """The Observation API collects per-action metrics (row counts, null
+    counts) WITHOUT a second scan — the zero-cost instrumentation hook a
+    pipeline wires into its run log."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    obs = Observation("mart_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("v").isNull().cast("int")).alias("null_v"),
+    )
+    assert observed.where(F.col("v").isNotNull()).count() == 90
+    assert obs.get == {"rows_seen": 100, "null_v": 10}

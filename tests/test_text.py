@@ -107,3 +107,19 @@ def test_lang_distinctive_terms_sign_and_ranking(spark):
     top = {(r["lang"], r["token"]): r["z_score"] for r in out}
     assert top[("xx", "aaa")] > 0 and top[("yy", "bbb")] > 0
     assert ("xx", "bbb") not in top and ("yy", "aaa") not in top
+
+
+def test_doc_surprisal_orders_rare_above_common(spark):
+    """A doc made of corpus-rare tokens scores higher surprisal than one
+    made of the corpus-dominant token; values match a NumPy replay."""
+    import math
+
+    from ecommerce_event_pipeline_spark.functions.text import doc_surprisal
+
+    rows = [(0, "common " * 50), (1, "common " * 47 + "rare1 rare2 rare3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["surprisal"]) for r in doc_surprisal(docs).collect()}
+    assert out[1][1] > out[0][1]
+    # doc 0: 50 tokens of 'common' (c=97), N=100
+    expect0 = round(math.log(100) - (50 * math.log(97)) / 50, 4)
+    assert abs(out[0][1] - expect0) < 1e-9
