@@ -5075,6 +5075,203 @@ def doc_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_surprisal(read_table(spark, sf_dir, "documents"))
 
 
+_INCR_DEDUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
+ex AS (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+cross_pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  )
+  WHERE jaccard >= 0.6 AND doc_id_1 < 400 AND doc_id_2 >= 400
+),
+incoming AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
+existing_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
+flags AS (
+  SELECT i.doc_id,
+         (i.h IN (SELECT h FROM existing_h)) AS is_exact,
+         (i.doc_id IN (SELECT doc_id_2 FROM cross_pairs)) AS is_near
+  FROM incoming i
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
+       CAST(SUM(CASE WHEN is_near AND NOT is_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS near_dups,
+       CAST(SUM(CASE WHEN NOT is_near AND NOT is_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel
+FROM flags
+"""
+
+
+@register("incremental_dedup_report", _INCR_DEDUP_ORACLE)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup shape: an incoming batch (doc_id ≥ 400)
+    checked against the existing corpus (doc_id < 400) — exact dups via a
+    content-hash semi-join against the existing hash index, near-dups via
+    shingle-blocked exact Jaccard restricted to CROSS pairs (canonical
+    ordering puts existing<incoming automatically). At 100 TB only the
+    incoming side is new work: the hash index and shingle postings are
+    incremental structures, not per-run rebuilds."""
+    docs = read_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    existing_h = (
+        docs.where(F.col("doc_id") < 400).select(F.md5("text").alias("_h")).distinct()
+    )
+    exact = incoming.join(existing_h, "_h", "left_semi").select("doc_id")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.6, max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    near = (
+        pairs.where((F.col("doc_id_1") < 400) & (F.col("doc_id_2") >= 400))
+        .select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+    )
+    flags = (
+        incoming.select("doc_id")
+        .join(exact.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .select(
+            F.coalesce("_e", F.lit(False)).alias("is_exact"),
+            F.coalesce("_n", F.lit(False)).alias("is_near"),
+        )
+    )
+    return flags.agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).alias("exact_dups"),
+        F.sum(
+            F.when(F.col("is_near") & ~F.col("is_exact"), 1).otherwise(0)
+        ).alias("near_dups"),
+        F.sum(
+            F.when(~F.col("is_near") & ~F.col("is_exact"), 1).otherwise(0)
+        ).alias("novel"),
+    )
+
+
+_CLUSTER_REPS_ORACLE = (
+    _DEDUP_CLUSTERS_ORACLE.replace(
+        """SELECT doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY 1
+ORDER BY 1
+""",
+        """, labels AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+),
+m AS (
+  SELECT l.cluster_id, d.doc_id, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS members FROM m GROUP BY 1),
+r2 AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM m
+)
+SELECT r2.cluster_id, sz.members,
+       r2.doc_id AS rep_doc_id, r2.n_chars AS rep_n_chars
+FROM r2 JOIN sz USING (cluster_id)
+WHERE rk = 1 AND sz.members > 1
+ORDER BY cluster_id
+""",
+    )
+)
+
+
+@register("cluster_representatives", _CLUSTER_REPS_ORACLE)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the LONGEST document (tie → lowest id) instead of the arbitrary
+    min-id — the rule real corpus curation uses (keep the best copy, not
+    the first seen). Composition: star-contraction CC → broadcast-sized
+    label join → per-cluster argmax window."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.2, max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    labels, _rounds = dedup.dedup_clusters_star(docs, pairs)
+    m = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    sz = m.groupBy("cluster_id").agg(F.count("*").alias("members"))
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    return (
+        m.withColumn("_rk", rk)
+        .where(F.col("_rk") == 1)
+        .join(sz, "cluster_id")
+        .where(F.col("members") > 1)
+        .select(
+            "cluster_id",
+            "members",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_SKEW_REPORT_ORACLE = """
+WITH k AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+),
+hist AS (
+  SELECT CAST(length(bin(cnt)) AS BIGINT) AS log2_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS rows_covered
+  FROM k GROUP BY 1
+)
+SELECT log2_bucket, n_keys, rows_covered
+FROM hist
+ORDER BY log2_bucket
+"""
+
+
+@register("join_key_skew_report", _SKEW_REPORT_ORACLE)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for a join key: per-key counts bucketed by bit
+    length (⌊log2⌋+1 — integer-exact in both engines via binary-string
+    length, like the HLL rho). The histogram is what decides salting /
+    AQE-skew-join settings BEFORE a 100 TB join is launched."""
+    k = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        k.select(F.length(F.conv(F.col("cnt"), 10, 2)).cast("long").alias("log2_bucket"), "cnt")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("rows_covered"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
