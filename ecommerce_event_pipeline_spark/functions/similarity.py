@@ -494,3 +494,79 @@ def ivf_topk_static(
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(k)
     )
+
+
+def pq_encode_static(embeddings: DataFrame) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) against the OFFLINE-trained
+    static codebooks (``functions/pq_codebooks.py``): the 64-dim vector
+    splits into M=8 contiguous 8-dim subvectors, each encoded as the
+    argmax of ⟨sub, c⟩ − ‖c‖²/2 over its K=8 codebook entries (argmin
+    squared-L2 in expanded form — the per-subvector ‖sub‖² is constant
+    and drops out). Emits per vector the code string and the exact
+    reconstruction error.
+
+    Determinism contract: every dot/error is a SEQUENTIAL left fold over
+    dims (``F.aggregate`` with 0.0 init), half-norms are Python-computed
+    literals shared with the SQL oracle verbatim, and argmax ties break
+    on code id — so a DuckDB replay is bit-for-bit.
+
+    Scale shape: one broadcast of 64 codebook rows, scan-side scoring
+    (64 score rows per vector), one window argmax per (vec, subvector),
+    one per-vec aggregation. At 100 TB codes are 8 small ints per vector
+    — the 64× compression that makes billion-vector ANN RAM-resident;
+    IVF partitioning (``ivf_topk_static``) composes in front of it.
+    """
+    from pyspark.sql import Window
+
+    from .pq_codebooks import CODEBOOKS, M, SUB_DIM
+
+    spark = embeddings.sparkSession
+    rows = []
+    for m in range(M):
+        for k, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:  # sequential Python fold → one shared literal
+                hn += v * v
+            rows.append((m, k, list(cvec), hn / 2.0))
+    cb = spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>, hn double"
+    )
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sub = F.slice(F.col("emb"), F.col("m") * SUB_DIM + 1, SUB_DIM)
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "m",
+        "code",
+        (dot - F.col("hn")).alias("_score"),
+        se.alias("_se"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("_score"), "code")
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    per_vec = best.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("m", "code"))).alias("_codes"),
+        F.sort_array(F.collect_list(F.struct("m", "_se"))).alias("_ses"),
+    )
+    recon_err = F.aggregate(
+        F.transform(F.col("_ses"), lambda s: s["_se"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_vec.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("_codes"), lambda s: s["code"].cast("string")), ","
+        ).alias("pq_codes"),
+        F.round(recon_err, 6).alias("recon_err"),
+    ).orderBy("vec_id")

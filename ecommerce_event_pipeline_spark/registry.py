@@ -5272,6 +5272,72 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    """Full PQ replay: codebook VALUES, expanded-form argmax per
+    (vec, subvector), code-string + reconstruction error with the same
+    sequential folds (`list_reduce` with a 0.0 prepend == F.aggregate
+    with 0.0 init)."""
+    from .functions.pq_codebooks import CODEBOOKS, M, SUB_DIM
+
+    rows = []
+    for m in range(M):
+        for k, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append(
+                "({}, {}, [{}], {!r})".format(
+                    m, k, ", ".join(repr(v) for v in cvec), hn / 2.0
+                )
+            )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cb(m, code, cvec, hn) AS (
+  VALUES
+    {values}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, m, code,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(emb[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}], cvec),
+                          x -> x[1] * x[2])),
+           (a, b) -> a + b) - hn AS score,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(emb[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}], cvec),
+                          x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (a, b) -> a + b) AS se
+  FROM e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, m, code, se,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                            ORDER BY score DESC, code) AS rn
+  FROM s
+),
+agg AS (
+  SELECT vec_id,
+         array_to_string(list(code ORDER BY m), ',') AS pq_codes,
+         list(se ORDER BY m) AS ses
+  FROM best WHERE rn = 1 GROUP BY 1
+)
+SELECT vec_id, pq_codes,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, ses), (a, b) -> a + b), 6)
+         AS recon_err
+FROM agg
+ORDER BY vec_id
+"""
+
+
+@register("pq_encode_static", _pq_oracle())
+def pq_encode_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization against the offline-trained static codebooks
+    — codes AND reconstruction errors value-hash-checked end to end (the
+    quantizer family's fourth member: int8 scalar, IVF coarse, SemDeDup
+    cells, PQ codes)."""
+    return similarity.pq_encode_static(read_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -221,3 +221,28 @@ def test_ivf_static_recall_floor(spark):
         ).collect()
     }
     assert len(approx & exact) >= 6  # probing 4/16 cells keeps most of top-10
+
+
+def test_pq_encode_static_perfect_reconstruction_on_codebook_points(spark):
+    """A vector assembled FROM codebook entries must encode to exactly
+    those codes with zero reconstruction error; real vectors get a
+    strictly positive error."""
+    from ecommerce_event_pipeline_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        M,
+    )
+    from ecommerce_event_pipeline_spark.functions.similarity import (
+        pq_encode_static,
+    )
+
+    synth = []
+    for m in range(M):
+        synth.extend(CODEBOOKS[m][(m * 3) % 8])  # code (m*3)%8 per subvector
+    perturbed = [v + 0.01 for v in synth]
+    df = spark.createDataFrame(
+        [(0, synth), (1, perturbed)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: (r["pq_codes"], r["recon_err"]) for r in pq_encode_static(df).collect()}
+    assert out[0][0] == ",".join(str((m * 3) % 8) for m in range(M))
+    assert out[0][1] == 0.0
+    assert out[1][1] > 0.0
