@@ -570,3 +570,88 @@ def pq_encode_static(embeddings: DataFrame) -> DataFrame:
         ).alias("pq_codes"),
         F.round(recon_err, 6).alias("recon_err"),
     ).orderBy("vec_id")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, query: DataFrame, k: int = 10
+) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation: the query stays
+    UN-quantized — its squared distance to every (subvector, code)
+    codebook entry forms a 64-entry lookup table, and each database
+    vector's approximate distance is just the sum of its 8 code lookups.
+    That sum never touches the vectors: at 100 TB the scan reads 8 small
+    ints per row against a broadcast 64-row table — the read-volume win
+    that makes PQ the billion-scale ANN workhorse (IVF composes in front
+    to prune which rows are scanned at all).
+
+    Same determinism contract as ``pq_encode_static``: sequential folds,
+    shared literals, id tie-breaks — the oracle replays table build,
+    encoding, and ranking exactly.
+    """
+    from pyspark.sql import Window
+
+    from .pq_codebooks import CODEBOOKS, M, SUB_DIM
+
+    spark = embeddings.sparkSession
+    rows = []
+    for m in range(M):
+        for kk, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append((m, kk, list(cvec), hn / 2.0))
+    cb = spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>, hn double"
+    )
+    sub = F.slice(F.col("emb"), F.col("m") * SUB_DIM + 1, SUB_DIM)
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "code", (dot - F.col("hn")).alias("_score")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("_score"), "code")
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    q = query.select(F.col("embedding").cast("array<double>").alias("emb"))
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select("m", "code", se.alias("qse"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "qse"))).alias("_t"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform(F.col("_t"), lambda s: s["qse"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_adc"),
+        )
+    )
+    # rank on the RAW distance (both engines share its exact bits); round
+    # only the emitted column — ranking on a rounded value could reorder
+    # round-boundary ties differently than the oracle
+    return (
+        adc.join(e.select("vec_id", "label"), "vec_id")
+        .orderBy("_adc", "vec_id")
+        .limit(k)
+        .select("vec_id", "label", F.round("_adc", 6).alias("adc_dist"))
+    )

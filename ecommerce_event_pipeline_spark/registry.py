@@ -5338,6 +5338,78 @@ def pq_encode_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode_static(read_table(spark, sf_dir, "embeddings"))
 
 
+def _pq_adc_oracle(k: int = 10) -> str:
+    """ADC replay: LUT from the un-quantized query (vec_id 0), code
+    assignment as in the encode oracle, rank on the RAW summed distance
+    with vec_id tie-break, round only the emitted column."""
+    from .functions.pq_codebooks import CODEBOOKS, M, SUB_DIM
+
+    rows = []
+    for m in range(M):
+        for kk, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append(
+                "({}, {}, [{}], {!r})".format(
+                    m, kk, ", ".join(repr(v) for v in cvec), hn / 2.0
+                )
+            )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cb(m, code, cvec, hn) AS (
+  VALUES
+    {values}
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, m, code,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(emb[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}], cvec),
+                          x -> x[1] * x[2])),
+           (a, b) -> a + b) - hn AS score
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY score DESC, code) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT cb.m, cb.code,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_zip(q.emb[cb.m*{SUB_DIM}+1 : cb.m*{SUB_DIM}+{SUB_DIM}], cb.cvec),
+             x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (a, b) -> a + b) AS qse
+  FROM cb CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q
+),
+adc AS (
+  SELECT c.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.qse ORDER BY c.m)),
+                     (a, b) -> a + b) AS adc_raw
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  GROUP BY c.vec_id
+)
+SELECT adc.vec_id, e.label, ROUND(adc_raw, 6) AS adc_dist
+FROM adc JOIN e ON adc.vec_id = e.vec_id
+ORDER BY adc_raw, adc.vec_id
+LIMIT {k}
+"""
+
+
+@register("pq_adc_topk", _pq_adc_oracle())
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance: a 64-entry query lookup table
+    scores every encoded vector from its 8 code ids alone — the scan
+    never re-reads the vectors. Fully oracle-checked ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -246,3 +246,29 @@ def test_pq_encode_static_perfect_reconstruction_on_codebook_points(spark):
     assert out[0][0] == ",".join(str((m * 3) % 8) for m in range(M))
     assert out[0][1] == 0.0
     assert out[1][1] > 0.0
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC ranking over the fixture must recover most of the exact
+    squared-L2 top-10 (PQ is approximate; with 8x8 codebooks on 64 dims
+    recall@10 is data-dependent — the synthetic fixture embeddings are
+    near-random, PQ's worst case, so the floor here is signal-vs-chance:
+    random 10-of-500 would overlap 0.2 items in expectation) and always
+    rank the query itself first."""
+    from ecommerce_event_pipeline_spark.functions.similarity import pq_adc_topk
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    approx = [r["vec_id"] for r in pq_adc_topk(emb, q, k=10).collect()]
+    assert approx[0] == 0
+
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    qv = X[ids == 0][0]
+    d = ((X - qv) ** 2).sum(axis=1)
+    exact = set(ids[np.argsort(d, kind="stable")][:10])
+    assert len(set(approx) & exact) >= 3, (approx, sorted(exact))
