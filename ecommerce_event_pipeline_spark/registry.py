@@ -5410,6 +5410,187 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
 
 
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+actives AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+offsets(day_offset) AS (VALUES (0), (1), (3), (7)),
+cohort_sizes AS (
+  SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY 1
+),
+ret AS (
+  SELECT f.cohort_date, o.day_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM firsts f
+  CROSS JOIN offsets o
+  JOIN actives a
+    ON a.user_id = f.user_id
+   AND a.d = f.cohort_date + CAST(o.day_offset AS INTEGER)
+  GROUP BY 1, 2
+)
+SELECT s.cohort_date, r.day_offset, s.cohort_users, r.active_users,
+       ROUND(r.active_users * 100.0 / CAST(s.cohort_users AS DOUBLE), 2)
+         AS retention_pct
+FROM ret r JOIN cohort_sizes s USING (cohort_date)
+ORDER BY s.cohort_date, r.day_offset
+"""
+
+
+@register("retention_cohorts", _RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen date, the
+    share still active at day +0/+1/+3/+7 — two aggregations (firsts,
+    actives) + a broadcast-sized offsets table; no window over the raw
+    log, so the plan is shuffle-light at any scale."""
+    ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
+    firsts = ev.groupBy("user_id").agg(F.min("event_date").alias("cohort_date"))
+    actives = ev.select("user_id", F.col("event_date").alias("d")).distinct()
+    offsets = spark.createDataFrame([(0,), (1,), (3,), (7,)], "day_offset int")
+    sizes = firsts.groupBy("cohort_date").agg(
+        F.count("*").alias("cohort_users")
+    )
+    ret = (
+        firsts.crossJoin(F.broadcast(offsets))
+        .join(
+            actives,
+            (actives["user_id"] == firsts["user_id"])
+            & (
+                actives["d"]
+                == F.date_add(F.col("cohort_date"), F.col("day_offset"))
+            ),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct(firsts["user_id"]).alias("active_users"))
+    )
+    return (
+        ret.join(sizes, "cohort_date")
+        .select(
+            "cohort_date",
+            "day_offset",
+            "cohort_users",
+            "active_users",
+            F.round(
+                F.col("active_users") * 100.0
+                / F.col("cohort_users").cast("double"),
+                2,
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+_FIRST_TOUCH_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.purchase_ts, p.value, v.view_ts
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, purchase_ts,
+       MIN(view_ts) AS first_view_ts,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(date_diff('second', MIN(view_ts), purchase_ts) // 60 AS BIGINT)
+         AS lag_minutes,
+       ROUND(value, 2) AS purchase_value
+FROM j
+GROUP BY user_id, purchase_ts, value
+ORDER BY user_id, purchase_ts
+"""
+
+
+@register("first_touch_attribution", _FIRST_TOUCH_ORACLE)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution: each purchase credits the
+    EARLIEST view inside its 30-minute lookback (vs the interval join's
+    all-pairs credit) — an interval join collapsed by per-purchase
+    argmin, still one shuffle keyed by user."""
+    ev = read_events(spark, sf_dir)
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    j = p.join(
+        v,
+        (p["user_id"] == v["user_id"])
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).drop(v["user_id"])
+    return (
+        j.groupBy("user_id", "purchase_ts", "value")
+        .agg(
+            F.min("view_ts").alias("first_view_ts"),
+            F.count("*").alias("touches"),
+        )
+        .select(
+            "user_id",
+            "purchase_ts",
+            "first_view_ts",
+            "touches",
+            F.expr(
+                "(unix_timestamp(purchase_ts) - unix_timestamp(first_view_ts))"
+                " div 60"
+            ).alias("lag_minutes"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .orderBy("user_id", "purchase_ts")
+    )
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat#' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 10
+ORDER BY lang, doc_id
+"""
+
+
+@register("stratified_sample_per_lang", _STRATIFIED_ORACLE)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-allocation stratified sampling: exactly 10 docs per language
+    ranked by a salted md5 — deterministic (re-runs and the oracle pick
+    the identical rows) where TABLESAMPLE or rand() never could be.
+    Per-stratum top-n is a bounded window, no global pass."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        docs.withColumn("_rk", rk)
+        .where(F.col("_rk") <= 10)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
