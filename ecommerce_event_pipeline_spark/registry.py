@@ -5591,6 +5591,95 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_weekly_oracle() -> str:
+    """Weekly HLL by MERGING the daily register tables (max per bucket)
+    — never re-hashing the events — vs the exact weekly distinct."""
+    from .functions.sketch import _HLL_W_MOD, HLL_EST_NUMERATOR, HLL_M
+
+    scale = _HLL_W_MOD * 2
+    return f"""
+WITH h AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         CAST(ts AS DATE) AS event_date,
+         user_id,
+         CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+daily_regs AS (
+  SELECT week_start, event_date,
+         hv // {_HLL_W_MOD} AS bucket,
+         MAX(CASE WHEN hv % {_HLL_W_MOD} = 0 THEN 53
+                  ELSE 53 - length(bin(hv % {_HLL_W_MOD})) END) AS m_rho
+  FROM h GROUP BY 1, 2, 3
+),
+weekly_regs AS (
+  SELECT week_start, bucket, MAX(m_rho) AS m_rho
+  FROM daily_regs GROUP BY 1, 2
+),
+d AS (
+  SELECT week_start,
+         {HLL_M} - COUNT(*) AS v_zero,
+         SUM(CAST(1 AS BIGINT) << (53 - m_rho))
+           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS sum_scaled
+  FROM weekly_regs GROUP BY 1
+),
+x AS (
+  SELECT week_start, v_zero, sum_scaled,
+         {HLL_EST_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE) AS raw_e
+  FROM d
+),
+ex AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT x.week_start, exact_users,
+       ROUND(CASE WHEN raw_e <= {2.5 * HLL_M!r} AND v_zero > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+                  ELSE raw_e END, 2) AS hll_users,
+       v_zero, sum_scaled
+FROM x JOIN ex ON x.week_start = ex.week_start
+ORDER BY 1
+"""
+
+
+@register("hll_weekly_rollup", _hll_weekly_oracle())
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-aggregation property that justifies carrying sketches at
+    all: weekly distinct-user estimates computed by MERGING the daily HLL
+    register tables (max per bucket) — the events are hashed once at
+    daily grain, and any coarser rollup (week, month, all-time) is a
+    256-row-per-group aggregate, never a re-scan. Exact weekly distinct
+    rides along; both the merge and the estimate are value-hash-checked."""
+    from .functions import sketch
+
+    ev = read_events(spark, sf_dir).select(
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        "event_date",
+        "user_id",
+    )
+    daily = sketch.hll_sketch(ev, ["week_start", "event_date"], "user_id")
+    weekly = daily.groupBy("week_start", "bucket").agg(
+        F.max("m_rho").alias("m_rho")
+    )
+    est = sketch.hll_estimate(weekly, ["week_start"])
+    exact = ev.groupBy("week_start").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est, "week_start")
+        .select(
+            "week_start",
+            "exact_users",
+            F.col("estimate").alias("hll_users"),
+            "v_zero",
+            "sum_scaled",
+        )
+        .orderBy("week_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
