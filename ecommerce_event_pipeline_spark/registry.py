@@ -5680,6 +5680,90 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_orders AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord FROM items GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT p.part_1, p.part_2, p.support,
+       ROUND(CAST(p.support AS DOUBLE) * t.n
+             / (CAST(o1.n_ord AS DOUBLE) * o2.n_ord), 4) AS lift
+FROM pairs p
+JOIN part_orders o1 ON o1.l_partkey = p.part_1
+JOIN part_orders o2 ON o2.l_partkey = p.part_2
+CROSS JOIN tot t
+ORDER BY p.support DESC, p.part_1, p.part_2
+"""
+
+
+@register("basket_pairs", _BASKET_ORACLE)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    with support ≥ 3 and their lift (support·N / (n₁·n₂), exact integer
+    inputs to one double expression). The self-join is keyed by order —
+    pair volume is Σ(items-per-order choose 2), bounded by basket size,
+    never parts²."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    tot = items.agg(F.count_distinct("l_orderkey").alias("n"))
+    a = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "_o")
+        .where(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    return (
+        pairs.join(
+            part_orders.select(
+                F.col("l_partkey").alias("part_1"), F.col("n_ord").alias("_n1")
+            ),
+            "part_1",
+        )
+        .join(
+            part_orders.select(
+                F.col("l_partkey").alias("part_2"), F.col("n_ord").alias("_n2")
+            ),
+            "part_2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_1",
+            "part_2",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n")
+                / (F.col("_n1").cast("double") * F.col("_n2")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_1", "part_2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
