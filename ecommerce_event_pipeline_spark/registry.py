@@ -4747,7 +4747,14 @@ def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical pairs satisfy doc_id_1 < doc_id_2, so every recursive step
     strictly increases the frontier id and path length is bounded by the
     id chain (Spark's recursive CTE supports UNION ALL only — a cyclic
-    edge set would need the fixpoint UNION form DuckDB also offers)."""
+    edge set would need the fixpoint UNION form DuckDB also offers).
+
+    Scale hazard, stated honestly: UNION ALL enumerates PATHS, so a dense
+    diamond lattice multiplies rows combinatorially even though the
+    fixture's dup graph is sparse (256 pairs at sf0.1 → no growth). On a
+    dense 100 TB dup graph use `dedup_clusters` (star contraction) for
+    connectivity and keep the recursive walk for chain diagnostics on
+    the PRUNED graph (e.g. cluster-internal edges only)."""
     pairs = dedup.ngram_jaccard_pairs(
         read_table(spark, sf_dir, "documents"),
         k=3,
