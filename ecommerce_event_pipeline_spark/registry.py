@@ -5771,6 +5771,88 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
+p AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)), m.as_of) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events, maxd m
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, m.as_of
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+  FROM p
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM scored
+ORDER BY user_id
+"""
+
+
+@register("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last purchase as of
+    the log's max date), frequency, monetary in EXACT integer cents, each
+    scored into quintiles with a user_id tie-break (an un-tiebroken NTILE
+    over equal keys is engine-nondeterministic — the classic silent
+    mismatch), concatenated into the familiar '555'-style segment."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    maxd = ev.agg(F.max("event_date").alias("as_of"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(maxd))
+        .groupBy("user_id", "as_of")
+        .agg(
+            F.datediff(F.first("as_of"), F.max("event_date")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    scored = (
+        p.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "user_id")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"), "user_id")),
+        )
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
