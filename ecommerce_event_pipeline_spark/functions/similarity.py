@@ -655,3 +655,115 @@ def pq_adc_topk(
         .limit(k)
         .select("vec_id", "label", F.round("_adc", 6).alias("adc_dist"))
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The full production ANN serving stack in one plan (the FAISS
+    IVFPQ shape): static IVF probe prunes the scan to n_probe/16 of the
+    corpus → PQ asymmetric distance ranks the probed cells from code ids
+    alone → exact cosine reranks only the `shortlist` survivors. Each
+    tier trades recall for a scan-volume order of magnitude; each tier
+    is individually oracled elsewhere (`ivf_topk_static`,
+    `pq_adc_topk`, `embedding_topk`) and the composition is oracled
+    end-to-end here.
+
+    Determinism: the same sequential folds, shared literals and id
+    tie-breaks as the component operators; shortlist membership ranks on
+    RAW ADC, the final order on RAW cosine; only emitted columns round.
+    """
+    from pyspark.sql import Window
+
+    from .ivf_centroids import CENTROIDS
+    from .pq_codebooks import CODEBOOKS, M, SUB_DIM
+
+    spark = embeddings.sparkSession
+
+    # ---- tier 1: coarse probe --------------------------------------
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(CENTROIDS)],
+        "centroid_id int, cvec array<double>",
+    )
+    qcos = _dot(F.col("emb"), F.col("cvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("cvec"))
+    )
+    probes = [
+        r["centroid_id"]
+        for r in query.select(_as_double("embedding").alias("emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("centroid_id", qcos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "centroid_id")
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = static_centroid_assign(embeddings).where(
+        F.col("centroid_id").isin(probes)
+    )
+
+    # ---- tier 2: ADC over the probed cells -------------------------
+    rows = []
+    for m in range(M):
+        for kk, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append((m, kk, list(cvec), hn / 2.0))
+    cb = spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>, hn double"
+    )
+    sub = F.slice(F.col("emb"), F.col("m") * SUB_DIM + 1, SUB_DIM)
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "code", (dot - F.col("hn")).alias("_score")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("_score"), "code")
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q = query.select(_as_double("embedding").alias("emb"))
+    lut = q.crossJoin(F.broadcast(cb)).select("m", "code", se.alias("qse"))
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "qse"))).alias("_t"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform(F.col("_t"), lambda s: s["qse"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_adc"),
+        )
+        .orderBy("_adc", "vec_id")
+        .limit(shortlist)
+    )
+
+    # ---- tier 3: exact rerank of the shortlist ---------------------
+    qr = query.select(_as_double("embedding").alias("qemb"))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        _norm(F.col("emb")) * _norm(F.col("qemb"))
+    )
+    return (
+        adc.join(cand.select("vec_id", "label", "emb"), "vec_id")
+        .crossJoin(F.broadcast(qr))
+        .select("vec_id", "label", sim.alias("_sim"))
+        .orderBy(F.desc("_sim"), "vec_id")
+        .limit(k)
+        .select("vec_id", "label", F.round("_sim", 6).alias("cosine_sim"))
+    )

@@ -5853,6 +5853,101 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _ivf_pq_oracle(k: int = 10, n_probe: int = 4, shortlist: int = 50) -> str:
+    """End-to-end IVFPQ replay: coarse probe (shared assignment CTE) →
+    ADC shortlist on raw distances → exact-cosine rerank; each stage
+    reuses the component oracles' exact idioms."""
+    from .functions.pq_codebooks import CODEBOOKS, M, SUB_DIM
+
+    rows = []
+    for m in range(M):
+        for kk, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append(
+                "({}, {}, [{}], {!r})".format(
+                    m, kk, ", ".join(repr(v) for v in cvec), hn / 2.0
+                )
+            )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH {_static_assign_cte()},
+probes AS (
+  SELECT centroid_id FROM ac WHERE vec_id = 0
+  ORDER BY cos DESC, centroid_id LIMIT {n_probe}
+),
+cand AS (
+  SELECT e.vec_id, e.label, e.emb
+  FROM e JOIN assign USING (vec_id)
+  WHERE assign.centroid_id IN (SELECT centroid_id FROM probes)
+),
+cb(m, code, cvec, hn) AS (
+  VALUES
+    {values}
+),
+s AS (
+  SELECT cand.vec_id, cb.m, cb.code,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_zip(cand.emb[cb.m*{SUB_DIM}+1 : cb.m*{SUB_DIM}+{SUB_DIM}], cb.cvec),
+             x -> x[1] * x[2])),
+           (a, b) -> a + b) - cb.hn AS score
+  FROM cand CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY score DESC, code) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT cb.m, cb.code,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_zip(q.emb[cb.m*{SUB_DIM}+1 : cb.m*{SUB_DIM}+{SUB_DIM}], cb.cvec),
+             x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (a, b) -> a + b) AS qse
+  FROM cb CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q
+),
+adc AS (
+  SELECT c.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.qse ORDER BY c.m)),
+                     (a, b) -> a + b) AS adc_raw
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  GROUP BY c.vec_id
+  ORDER BY adc_raw, c.vec_id
+  LIMIT {shortlist}
+),
+rer AS (
+  SELECT cand.vec_id, cand.label,
+         list_sum(list_transform(list_zip(cand.emb, q.qemb), x -> x[1] * x[2]))
+         / (SQRT(list_sum(list_transform(cand.emb, x -> x * x)))
+            * SQRT(list_sum(list_transform(q.qemb, x -> x * x)))) AS sim_raw
+  FROM adc JOIN cand USING (vec_id)
+  CROSS JOIN (SELECT emb AS qemb FROM e WHERE vec_id = 0) q
+)
+SELECT vec_id, label, ROUND(sim_raw, 6) AS cosine_sim
+FROM rer
+ORDER BY sim_raw DESC, vec_id
+LIMIT {k}
+"""
+
+
+@register("ivf_pq_topk", _ivf_pq_oracle())
+def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN serving stack (FAISS IVFPQ shape): coarse probe →
+    ADC shortlist → exact rerank, end-to-end oracle-checked — each tier
+    cuts scan volume an order of magnitude and each is individually
+    oracled by its component query."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4, shortlist=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -272,3 +272,29 @@ def test_pq_adc_recall_against_exact(spark):
     d = ((X - qv) ** 2).sum(axis=1)
     exact = set(ids[np.argsort(d, kind="stable")][:10])
     assert len(set(approx) & exact) >= 3, (approx, sorted(exact))
+
+
+def test_ivf_pq_topk_recall_and_self_rank(spark):
+    """The three-tier stack must rank the query itself first (its cell is
+    always probed, its ADC distance is minimal among reconstructions, the
+    exact rerank seals it) and overlap the exact cosine top-10 well above
+    chance; tiers can only lose candidates, so every returned id must
+    also appear in the probed-cells exact ranking."""
+    from ecommerce_event_pipeline_spark.functions.similarity import (
+        ivf_pq_topk,
+        ivf_topk_static,
+    )
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    got = [r["vec_id"] for r in ivf_pq_topk(emb, q, k=10, shortlist=50).collect()]
+    assert got[0] == 0
+    # upper bound: the exact rerank of ALL probed candidates (shortcut:
+    # ivf_topk_static with a huge k) — IVFPQ must be a subset of it
+    full = {
+        r["vec_id"] for r in ivf_topk_static(emb, q, k=10_000, n_probe=4).collect()
+    }
+    assert set(got) <= full
+    exact10 = {r["vec_id"] for r in ivf_topk_static(emb, q, k=10, n_probe=4).collect()}
+    assert len(set(got) & exact10) >= 3, (got, sorted(exact10))
