@@ -502,6 +502,7 @@ def weighted_sample(
     m: int = 100,
     weight_col: str = "n_chars",
     salt: str = "ws",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis 2006, A-ES): each row draws a reproducible uniform
@@ -536,7 +537,11 @@ def weighted_sample(
     # the float key stays internal: emitted columns are hash-stable
     # integers/strings only (a last-ulp libm difference could flip a
     # hash-compare on the key itself, but not the ORDER of well-spread
-    # keys — and never the sample membership this returns)
+    # keys — and never the sample membership this returns). Carried
+    # columns are caller-chosen: the sampler itself needs only
+    # (doc_id, weight), so it works on any id+weight frame.
     return ranked.select(
-        "doc_id", "lang", "source", F.col(weight_col).alias("weight")
+        "doc_id",
+        *carry_cols,
+        F.col(weight_col).alias("weight"),
     ).orderBy("doc_id")

@@ -47,6 +47,27 @@ def cosine_sim(a: F.Column, b: F.Column, decimals: int | None = 6) -> F.Column:
     return F.round(cos, decimals) if decimals is not None else cos
 
 
+def _require_single_query(query: DataFrame) -> DataFrame:
+    """Enforce the single-query-row contract loudly.
+
+    The ADC operators key their lookup table by (subvector, code) alone:
+    with two query rows the LUT holds duplicate keys and the per-vector
+    join/sum silently mixes distances across queries — garbage, not an
+    error. The ``limit(2)`` stops the scan at the second row (no full
+    pass); the returned 1-row literal frame keeps every downstream
+    crossJoin/broadcast trivially correct.
+    """
+    rows = query.select(_as_double("embedding").alias("emb")).limit(2).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            "expected exactly one query row, got "
+            + (">=2" if len(rows) > 1 else "0")
+        )
+    return query.sparkSession.createDataFrame(
+        [(rows[0]["emb"],)], "embedding array<double>"
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame, query: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -359,6 +380,7 @@ def ivf_topk(
     precomputed and the probe is a partition-pruned read of
     ~n_probe/n_centroids of the data instead of a full scan."""
     assigned, cents = ivf_assign(embeddings, n_centroids, kmeans_iters=kmeans_iters)
+    query = _require_single_query(query)
     q = np.asarray(
         query.select("embedding").collect()[0]["embedding"], dtype=np.float64
     )
@@ -593,6 +615,7 @@ def pq_adc_topk(
     from .pq_codebooks import CODEBOOKS, M, SUB_DIM
 
     spark = embeddings.sparkSession
+    query = _require_single_query(query)
     rows = []
     for m in range(M):
         for kk, cvec in enumerate(CODEBOOKS[m]):
@@ -683,6 +706,7 @@ def ivf_pq_topk(
     from .pq_codebooks import CODEBOOKS, M, SUB_DIM
 
     spark = embeddings.sparkSession
+    query = _require_single_query(query)
 
     # ---- tier 1: coarse probe --------------------------------------
     cents = spark.createDataFrame(

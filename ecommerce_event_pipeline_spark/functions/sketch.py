@@ -103,10 +103,16 @@ def misra_gries_candidates(tokens: DataFrame, k: int = 200) -> DataFrame:
     why callers must re-count candidates exactly (``heavy_hitters``)
     before claiming frequencies.
 
-    mapInPandas (Arrow-batched, no per-row Python) holds exactly k
-    counters per partition: increment a tracked token, adopt into a free
-    slot, else decrement ALL counters by the untracked batch-remainder —
-    the classic O(k)-space stream summary (Misra & Gries 1982).
+    mapInPandas (Arrow-batched): each Arrow batch is collapsed to exact
+    counts with ``value_counts`` (vectorized — no per-token Python), then
+    MERGED into the running k-counter summary the mergeable-summaries
+    way (Agarwal et al., PODS'12): add counts, and when more than k
+    tokens are tracked subtract the (k+1)-th largest counter from all and
+    drop the non-positive. Each subtraction of δ retires δ·(k+1)
+    arrivals, so the total decrement within a partition is ≤ n_p/(k+1) —
+    strictly under the n_p/k survival bound above, which is why the
+    batch-merge variant keeps the exact same superset guarantee as
+    token-at-a-time Misra–Gries (1982) while staying vectorized.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -120,20 +126,21 @@ def misra_gries_candidates(tokens: DataFrame, k: int = 200) -> DataFrame:
     def _mg(batches):
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < k:
-                    counters[tok] = 1
-                else:
-                    # decrement-all; drop zeros (dict comp, no per-token
-                    # Python beyond this k-sized pass)
-                    counters = {t: c - 1 for t, c in counters.items() if c > 1}
-        if counters:
+            counters = counters.add(pdf["token"].value_counts(), fill_value=0)
+            if len(counters) > k:
+                # mergeable-MG compaction: subtract the (k+1)-th largest
+                # count from everything; ties with it go to zero, so at
+                # most k strictly-larger survivors remain
+                kth = int(counters.nlargest(k + 1).iloc[-1])
+                counters = counters[counters > kth] - kth
+        if len(counters):
             yield pd.DataFrame(
-                {"token": list(counters), "lower_bound": list(counters.values())}
+                {
+                    "token": counters.index.astype(str),
+                    "lower_bound": counters.astype("int64").to_numpy(),
+                }
             )
 
     return tokens.select("token").mapInPandas(_mg, out_schema)

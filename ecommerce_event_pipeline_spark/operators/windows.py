@@ -116,3 +116,127 @@ def running_user_spend(events: DataFrame, amount_type: str = "purchase") -> Data
         .over(Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id")))
         .alias("purchase_seq"),
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "global_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a TOTAL order WITHOUT the
+    single-partition window (``Window.orderBy`` with no partitionBy moves
+    the whole table to one task — the classic scale-killer Spark itself
+    warns about).
+
+    The distributed equivalent is the range-partition + offset pattern:
+
+    1. ``repartitionByRange`` on the order keys — Spark's RangePartitioner
+       samples split points, so partition i holds a contiguous key range
+       strictly below partition i+1's;
+    2. a PARTITIONED window computes each row's local row_number;
+    3. per-partition counts (one tiny P-row aggregate) prefix-sum into
+       offsets — the only unpartitioned window runs over those P rows,
+       not the data — and broadcast-join back;
+    4. global rank = partition offset + local row number.
+
+    Exactness needs a total order: callers must include a tie-break
+    column (ranking with duplicate keys across a range boundary would
+    otherwise be partitioner-dependent). Catalyst's ReuseExchange dedupes
+    the shared range-shuffle between the counts branch and the data
+    branch, so the input is effectively scanned once.
+
+    ``order_cols`` may mix column names and sort expressions
+    (``F.desc("x")``) — both ``repartitionByRange`` and the window accept
+    SortOrder expressions.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    # The prefix sum runs over ≤ num_partitions rows (the groupBy("_pid")
+    # output), so it is computed as a broadcast non-equi self-join — a
+    # bounded O(P²) on ~32 rows — rather than an unpartitioned window,
+    # keeping the plan free of single-partition WindowExec nodes entirely
+    # (a constant partitionBy would just be folded away by Catalyst).
+    cnts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    prior = cnts.select(
+        F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
+    )
+    offs = (
+        cnts.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n)`` over a total order without a single-partition
+    sort: global rank via :func:`global_row_number`, then the closed-form
+    NTILE bucket arithmetic (with N rows and B buckets, the first N % B
+    buckets hold ⌊N/B⌋+1 rows, the rest ⌊N/B⌋) — bit-identical to the SQL
+    window function whenever the order is total, at any scale.
+
+    The total row count rides along as one more column of the tiny
+    broadcast offsets frame, so no extra pass over the data is needed.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    # prefix sum + total over ≤ P rows via broadcast self-join, not a
+    # window — see the note in global_row_number
+    cnts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    prior = cnts.select(
+        F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
+    )
+    tot = cnts.agg(F.sum("_cnt").alias("_n"))
+    offs = (
+        cnts.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_off"))
+        .crossJoin(F.broadcast(tot))
+    )
+    b = int(n_buckets)
+    # all-integer NTILE arithmetic (base = ⌊N/B⌋, rem = N % B): the first
+    # rem buckets take base+1 rows, the rest base. The greatest() guards
+    # the dead else-branch when base = 0 (N < B ⇒ every rank lands in the
+    # first branch), which ANSI mode would otherwise reject as div-by-0.
+    bucket = F.expr(
+        f"CASE WHEN _grk <= (_n % {b}) * (_n div {b} + 1) "
+        f"THEN (_grk - 1) div (_n div {b} + 1) + 1 "
+        f"ELSE (_n % {b}) "
+        f"  + (_grk - (_n % {b}) * (_n div {b} + 1) - 1) "
+        f"    div greatest(_n div {b}, 1) + 1 END"
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("_grk", F.col("_off") + F.col("_lrn"))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_lrn", "_off", "_n", "_grk")
+    )

@@ -4398,7 +4398,10 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays the identical draw. Global top-m is a
     TakeOrderedAndProject: no corpus shuffle."""
     return curation.weighted_sample(
-        read_table(spark, sf_dir, "documents"), m=100, weight_col="n_chars"
+        read_table(spark, sf_dir, "documents"),
+        m=100,
+        weight_col="n_chars",
+        carry_cols=("lang", "source"),
     )
 
 
@@ -5175,13 +5178,20 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTER_REPS_ORACLE = (
-    _DEDUP_CLUSTERS_ORACLE.replace(
-        """SELECT doc_id, MIN(r) AS cluster_id
+# anchor text rewritten below; if the base oracle's tail ever drifts the
+# replace would silently no-op and this oracle would degrade to the base
+# cluster-label query — assert the anchor so drift fails loudly instead
+_CLUSTER_REPS_ANCHOR = """SELECT doc_id, MIN(r) AS cluster_id
 FROM reach
 GROUP BY 1
 ORDER BY 1
-""",
+"""
+assert _CLUSTER_REPS_ANCHOR in _DEDUP_CLUSTERS_ORACLE, (
+    "_DEDUP_CLUSTERS_ORACLE tail drifted; update _CLUSTER_REPS_ANCHOR"
+)
+_CLUSTER_REPS_ORACLE = (
+    _DEDUP_CLUSTERS_ORACLE.replace(
+        _CLUSTER_REPS_ANCHOR,
         """, labels AS (
   SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
 ),
@@ -5804,8 +5814,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log's max date), frequency, monetary in EXACT integer cents, each
     scored into quintiles with a user_id tie-break (an un-tiebroken NTILE
     over equal keys is engine-nondeterministic — the classic silent
-    mismatch), concatenated into the familiar '555'-style segment."""
-    from pyspark.sql import Window
+    mismatch), concatenated into the familiar '555'-style segment.
+
+    The quintiles come from :func:`operators.windows.global_ntile` — the
+    range-partition + offset form of NTILE — NOT a global ``Window.orderBy``
+    (which would sort every customer ever on ONE task at 100 TB; Spark
+    emits its "Moving all data to a single partition" warning for exactly
+    that plan). The oracle keeps the plain SQL NTILE: with a total order
+    the two are bit-identical, which is the point of the rewrite."""
+    from .operators.windows import global_ntile
 
     ev = read_events(spark, sf_dir)
     maxd = ev.agg(F.max("event_date").alias("as_of"))
@@ -5823,19 +5840,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = (
-        p.withColumn(
-            "r_score",
-            F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "user_id")),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"), "user_id")),
-        )
+    scored = global_ntile(
+        p, 5, [F.asc("recency_days"), F.asc("user_id")], out_col="r_score"
+    )
+    scored = global_ntile(
+        scored, 5, [F.desc("frequency"), F.asc("user_id")], out_col="f_score"
+    )
+    scored = global_ntile(
+        scored, 5, [F.desc("monetary_cents"), F.asc("user_id")], out_col="m_score"
     )
     return scored.select(
         "user_id",

@@ -552,7 +552,14 @@ def run_streaming_session_expiry(
             yield _emit(key[0], [tuple(state.get)])
             state.remove()
             return
-        parts = [pdf for pdf in pdfs]
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            # defensive: current Spark only invokes with data or a
+            # timeout, but an empty non-timed-out group must not crash
+            # the worker — re-arm the timeout if a session is open
+            if state.exists:
+                state.setTimeoutTimestamp(state.get[1] // 1000 + gap_ms)
+            return
         rows = pd.concat(parts) if len(parts) > 1 else parts[0]
         # datetime64[ns] → µs; stable ts sort (equal-ts order is
         # irrelevant to gap splits: a 0 gap never breaks a session)

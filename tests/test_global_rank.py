@@ -1,0 +1,82 @@
+"""Distributed exact global ranking (operators/windows.py).
+
+``global_row_number`` / ``global_ntile`` must be BIT-IDENTICAL to the SQL
+window functions over a total order — they exist purely to replace the
+single-partition ``Window.orderBy`` plan with range-partition + offset,
+so any divergence is a correctness bug, not an approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark.operators.windows import (
+    global_ntile,
+    global_row_number,
+)
+
+
+def _frame(spark, n: int):
+    # 7919 is prime vs 1000 → keys collide but are well spread; uid is
+    # the total-order tiebreak
+    return spark.range(n).select(
+        (F.col("id") * 7919 % 1000).alias("k"), F.col("id").alias("uid")
+    )
+
+
+def test_global_row_number_matches_window(spark):
+    df = _frame(spark, 257)
+    got = {
+        (r["uid"], r["global_rn"])
+        for r in global_row_number(df, ["k", "uid"]).collect()
+    }
+    exp = {
+        (r["uid"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_ntile_matches_sql_ntile_all_shapes(spark):
+    # shapes: remainder buckets, N < B, N % B == 0, tiny N, descending
+    for n, b, desc in [(103, 5, False), (4, 5, False), (100, 5, True),
+                       (17, 3, True), (1, 5, False)]:
+        df = _frame(spark, n)
+        order = (
+            [F.desc("k"), F.asc("uid")] if desc else [F.asc("k"), F.asc("uid")]
+        )
+        got = {
+            (r["uid"], r["nt"])
+            for r in global_ntile(df, b, order, out_col="nt").collect()
+        }
+        exp = {
+            (r["uid"], r["nt"])
+            for r in df.withColumn(
+                "nt", F.ntile(b).over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == exp, (n, b, desc)
+
+
+def test_global_ntile_empty_input(spark):
+    df = _frame(spark, 0)
+    assert global_ntile(df, 5, ["k", "uid"], out_col="nt").count() == 0
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark):
+    """The reason these helpers exist: the physical plan must contain no
+    single-partition WindowExec (every Window node keys on _pid), so the
+    sort parallelizes at any scale."""
+    df = _frame(spark, 100)
+    plan = (
+        global_ntile(df, 5, ["k", "uid"], out_col="nt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
