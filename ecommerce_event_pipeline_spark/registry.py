@@ -4324,21 +4324,25 @@ pairs AS (
 SELECT doc_id_1, doc_id_2, common,
        ROUND(CAST(common AS DOUBLE) / CAST(un AS DOUBLE), 6) AS jaccard
 FROM pairs
-WHERE common * 2 >= un
+WHERE common * 5 >= un * 4
 ORDER BY doc_id_1, doc_id_2
 """
 
 
 @register("jaccard_prefix_pairs", _JACCARD_PREFIX_ORACLE)
 def jaccard_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 1/2 via lossless AllPairs prefix filtering — the
-    oracle runs the BRUTE-FORCE all-pairs join, so a green row proves the
-    prefix pruning dropped nothing (the scale claim, verified)."""
+    """Exact Jaccard ≥ 4/5 via lossless AllPairs prefix + PPJoin
+    positional filtering — the oracle runs the BRUTE-FORCE all-pairs
+    join, so a green row proves the pruning dropped nothing (the scale
+    claim, verified). 4/5 is a production near-dup threshold: the
+    indexed prefix is ~n/5 of each document (vs n/2 at t=1/2, where the
+    candidate self-join re-approaches all-pairs — that regime stays as a
+    pytest stress case, tests/test_dedup.py)."""
     return dedup.jaccard_prefix_pairs(
         read_table(spark, sf_dir, "documents"),
         k=3,
-        threshold_num=1,
-        threshold_den=2,
+        threshold_num=4,
+        threshold_den=5,
         sets_df=_shingle_sets_shared(spark, sf_dir, 3),
     )
 
@@ -4752,12 +4756,20 @@ def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     id chain (Spark's recursive CTE supports UNION ALL only — a cyclic
     edge set would need the fixpoint UNION form DuckDB also offers).
 
-    Scale hazard, stated honestly: UNION ALL enumerates PATHS, so a dense
-    diamond lattice multiplies rows combinatorially even though the
-    fixture's dup graph is sparse (256 pairs at sf0.1 → no growth). On a
-    dense 100 TB dup graph use `dedup_clusters` (star contraction) for
-    connectivity and keep the recursive walk for chain diagnostics on
-    the PRUNED graph (e.g. cluster-internal edges only)."""
+    Path-multiplicity hazard, HANDLED: a bare UNION ALL walk enumerates
+    PATHS, so a dense diamond lattice multiplies rows combinatorially.
+    The recursive step therefore emits SELECT DISTINCT — per-step
+    frontier dedup. That is exact, not an approximation: every row of
+    iteration i carries d = i, so no (s, n, d) tuple can recur across
+    iterations, and within an iteration the duplicates are precisely the
+    multiple same-length paths to the same node; the final aggregate
+    (COUNT(DISTINCT n), MAX(d)) depends only on the SET of (s, n, d)
+    tuples, which DISTINCT preserves bit-for-bit. Frontier size is thus
+    bounded by pairs² · diameter (polynomial), not path count
+    (exponential). Note cluster-pruning would NOT fix this: every edge
+    of the pair graph is cluster-internal by definition (clusters ARE
+    its connected components), so a semi-join against `dedup_clusters`
+    labels is a no-op — the dedup has to happen inside the walk."""
     pairs = dedup.ngram_jaccard_pairs(
         read_table(spark, sf_dir, "documents"),
         k=3,
@@ -4771,7 +4783,7 @@ def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE reach(s, n, d) AS (
           SELECT doc_id_1, doc_id_2, 1 FROM dup_pairs_rcte
           UNION ALL
-          SELECT r.s, p.doc_id_2, r.d + 1
+          SELECT DISTINCT r.s, p.doc_id_2, r.d + 1
           FROM reach r JOIN dup_pairs_rcte p ON r.n = p.doc_id_1
         )
         SELECT s AS doc_id,

@@ -175,3 +175,44 @@ def test_recursive_dup_chain_walk(spark):
     ).collect()
     rows = {r["s"]: (r["reachable"], r["max_depth"]) for r in out}
     assert rows == {1: (2, 2), 2: (1, 1), 7: (1, 1)}
+
+
+def test_recursive_walk_distinct_survives_dense_lattice(spark):
+    """The registered walk's SELECT DISTINCT step must keep a dense
+    diamond lattice polynomial AND bit-identical to path semantics.
+
+    A 6-layer complete bipartite chain of width 5 has 5⁵ = 3125 distinct
+    paths source→sink per endpoint pair (the UNION ALL blowup regime);
+    with per-step dedup each iteration holds ≤ |V|²·1 rows. Correctness:
+    from a layer-i node every node in layers i+1..5 is reachable and the
+    deepest hop count is 5 − i."""
+    width, layers = 5, 6
+    node = lambda layer, j: layer * width + j  # noqa: E731 — tiny local
+    edges = [
+        (node(l, a), node(l + 1, b))
+        for l in range(layers - 1)
+        for a in range(width)
+        for b in range(width)
+    ]
+    spark.createDataFrame(
+        edges, "doc_id_1 long, doc_id_2 long"
+    ).createOrReplaceTempView("dup_pairs_rcte")
+    out = spark.sql(
+        """
+        WITH RECURSIVE reach(s, n, d) AS (
+          SELECT doc_id_1, doc_id_2, 1 FROM dup_pairs_rcte
+          UNION ALL
+          SELECT DISTINCT r.s, p.doc_id_2, r.d + 1
+          FROM reach r JOIN dup_pairs_rcte p ON r.n = p.doc_id_1
+        )
+        SELECT s, COUNT(DISTINCT n) AS reachable, MAX(d) AS max_depth
+        FROM reach GROUP BY s ORDER BY s
+        """
+    ).collect()
+    rows = {r["s"]: (r["reachable"], r["max_depth"]) for r in out}
+    for l in range(layers - 1):
+        for a in range(width):
+            assert rows[node(l, a)] == (
+                width * (layers - 1 - l),
+                layers - 1 - l,
+            )
