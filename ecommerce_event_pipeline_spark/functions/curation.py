@@ -133,9 +133,10 @@ def pack_sequences(
 
     1. within-shard cumsum: window partitioned by ``doc_id div shard_size``
        (each shard is one bounded task);
-    2. shard offsets: per-shard totals (one row per shard) get a tiny
-       single-partition cumsum — thousands of rows, not corpus rows — and
-       broadcast-join back.
+    2. shard offsets: per-shard totals (one row per shard) run through
+       :func:`operators.windows.distributed_prefix_sum` — itself the
+       range-partition + offset pattern, so even 1e8 shards never meet a
+       single-partition sort — and broadcast-join back.
 
     At 100 TB with sparse/unknown doc_id ranges, phase 0 is a range
     partitioner (sample quantiles) instead of the div; the two cumsum
@@ -158,12 +159,18 @@ def pack_sequences(
     shard_totals = counted.groupBy("_shard").agg(
         F.sum("n_tokens").alias("_shard_tokens")
     )
-    shard_prefix = Window.orderBy("_shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = shard_totals.withColumn(
-        "_shard_offset",
-        F.coalesce(F.sum("_shard_tokens").over(shard_prefix), F.lit(0)),
+    # phase 2 is itself a distributed prefix sum (range-partition +
+    # offset), NOT a bare Window.orderBy: the shard-totals table has one
+    # row per shard, which at corpus scale (1e11 docs / 1e3 per shard =
+    # 1e8 shards) is far too large for a single-partition cumsum
+    from ..operators.windows import distributed_prefix_sum
+
+    offsets = distributed_prefix_sum(
+        shard_totals,
+        ["_shard"],
+        "_shard_tokens",
+        out_col="_shard_offset",
+        exclusive=True,
     ).select("_shard", "_shard_offset")
 
     start = F.col("_shard_offset") + F.col("_cum_in_shard")

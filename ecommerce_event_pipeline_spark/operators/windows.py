@@ -240,3 +240,53 @@ def global_ntile(
         .withColumn(out_col, bucket.cast("int"))
         .drop("_pid", "_lrn", "_off", "_n", "_grk")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum over a total order without a single-partition
+    window — the same range-partition + offset pattern as
+    :func:`global_row_number`, generalized from counts to an arbitrary
+    value column: within-partition cumsum (partitioned window) plus each
+    partition's total summed over all strictly-lower partitions (a ≤ P-row
+    broadcast self-join). ``exclusive=True`` gives the sum of strictly
+    preceding rows (the sequence-packing/offset convention); ``False``
+    includes the current row (SQL's default running-sum frame).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    frame_end = -1 if exclusive else 0
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    local = part.withColumn(
+        "_lcum", F.coalesce(F.sum(value_col).over(lw), F.lit(0))
+    )
+    ptots = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    prior = ptots.select(
+        F.col("_pid").alias("_pid2"), F.col("_ptot").alias("_ptot2")
+    )
+    offs = (
+        ptots.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_ptot2"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
+    )

@@ -80,3 +80,28 @@ def test_global_rank_plan_has_no_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, line
+
+
+def test_distributed_prefix_sum_matches_window(spark):
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    df = _frame(spark, 143).withColumn("v", (F.col("uid") % 13) + 1)
+    for exclusive in (True, False):
+        got = {
+            (r["uid"], r["ps"])
+            for r in distributed_prefix_sum(
+                df, ["k", "uid"], "v", out_col="ps", exclusive=exclusive
+            ).collect()
+        }
+        w = Window.orderBy("k", "uid").rowsBetween(
+            Window.unboundedPreceding, -1 if exclusive else 0
+        )
+        exp = {
+            (r["uid"], r["ps"])
+            for r in df.withColumn(
+                "ps", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == exp, exclusive
