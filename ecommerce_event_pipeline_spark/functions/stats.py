@@ -1,29 +1,153 @@
 """Statistical operators: exact percentiles and closed-form trend fitting.
 
-Everything here is JVM-side: ``percentile`` is exact (sort-based within
-the aggregate) and the per-user trend is closed-form least squares over
-plain ``F.sum`` aggregates — a 1-degree polyfit has an algebraic solution,
-so grouped-map ``applyInPandas`` (Arrow transfer + per-group Python) would
-be pure overhead. Reserve grouped-map for models without closed forms.
+Everything here is JVM-side: percentiles are exact (distributed
+rank-selection, see :func:`grouped_exact_percentiles`) and the per-user
+trend is closed-form least squares over plain ``F.sum`` aggregates — a
+1-degree polyfit has an algebraic solution, so grouped-map
+``applyInPandas`` (Arrow transfer + per-group Python) would be pure
+overhead. Reserve grouped-map for models without closed forms.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: dict[str, float],
+    group_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact PERCENTILE_CONT per group WITHOUT buffering any group's
+    values in one task.
+
+    Spark's exact ``percentile`` aggregate collects every value of a
+    group into a single aggregation buffer — at 100 TB a hot group is
+    billions of rows on one reducer. This is the distributed
+    order-statistic form instead:
+
+    1. range-partition on (group, value): a big group SPANS partitions,
+       each holding a contiguous value range;
+    2. local row_number per (partition, group) — bounded tasks;
+    3. per-(group, partition) counts → per-group running offsets (P rows
+       per group, a partitioned window) → global per-group rank;
+    4. per group and percentile p, the CONT target sits at position
+       1 + (N−1)·p: join out the rank-⌊pos⌋ and rank-⌈pos⌉ rows and
+       interpolate ``v_lo·(1−frac) + v_hi·frac`` — the exact two-sided
+       lerp Spark's `percentile` and DuckDB's `quantile_cont` share, so
+       the result is bit-identical to both.
+
+    Every intermediate is group-partitioned; nothing is ever globally
+    sorted or single-task. ``percentiles`` maps output column name → p.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(
+        num_partitions, *group_cols, value_col
+    ).withColumn("_pid", F.spark_partition_id())
+    local = part.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid", *group_cols).orderBy(value_col)
+        ),
+    )
+    cnts = part.groupBy(*group_cols, "_pid").agg(F.count("*").alias("_cnt"))
+    # ≤ P rows per group: the running sum is a PARTITIONED window
+    pw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
+    ).select(*group_cols, "_pid", "_off")
+    ranked = local.join(offs, [*group_cols, "_pid"]).withColumn(
+        "_rank", F.col("_off") + F.col("_lrn")
+    )
+    totals = cnts.groupBy(*group_cols).agg(F.sum("_cnt").alias("_n"))
+    # one row per (group, percentile): target position, bracketing ranks
+    targets = totals.select(
+        *group_cols,
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("_pname"), F.lit(p).alias("_p")
+                    )
+                    for name, p in percentiles.items()
+                ]
+            )
+        ).alias("_t"),
+    ).select(
+        *group_cols,
+        "_n",
+        F.col("_t._pname").alias("_pname"),
+        ((F.col("_n") - 1).cast("double") * F.col("_t._p")).alias("_pos"),
+    )
+    targets = targets.select(
+        *group_cols,
+        "_n",
+        "_pname",
+        (F.floor("_pos") + 1).cast("long").alias("_lo"),
+        (F.ceil("_pos") + 1).cast("long").alias("_hi"),
+        (F.col("_pos") - F.floor("_pos")).alias("_frac"),
+    )
+    hits = ranked.join(
+        targets,
+        [
+            *group_cols,
+        ],
+    ).where((F.col("_rank") == F.col("_lo")) | (F.col("_rank") == F.col("_hi")))
+    vals = hits.groupBy(*group_cols, "_pname", "_frac", "_n").agg(
+        F.min(F.when(F.col("_rank") == F.col("_lo"), F.col(value_col))).alias(
+            "_vlo"
+        ),
+        F.min(F.when(F.col("_rank") == F.col("_hi"), F.col(value_col))).alias(
+            "_vhi"
+        ),
+    )
+    # two-sided lerp, NOT v_lo + (v_hi − v_lo)·frac: both Spark's
+    # Percentile and DuckDB's quantile_cont compute
+    # v_lo·(1−frac) + v_hi·frac, and the two associations differ by a few
+    # ulps — enough to fail a bit-exact hash compare
+    interp = vals.withColumn(
+        "_val",
+        F.col("_vlo") * (F.lit(1.0) - F.col("_frac"))
+        + F.col("_vhi") * F.col("_frac"),
+    )
+    return interp.groupBy(*group_cols, "_n").pivot(
+        "_pname", list(percentiles)
+    ).agg(F.first("_val"))
 
 
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact p50/p90/p99 of value per event type (linear interpolation —
-    matches ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
+    matches ANSI PERCENTILE_CONT / DuckDB quantile_cont), computed by
+    distributed rank-selection (:func:`grouped_exact_percentiles`) so no
+    group's values ever funnel through one aggregation buffer.
+
+    NULL semantics match the SQL aggregates: percentiles rank only
+    non-null values (so the selection runs on the filtered frame), while
+    ``event_count`` counts every row; all-null groups keep NULL
+    percentiles via the left join."""
+    pct = grouped_exact_percentiles(
+        events.where(F.col("value").isNotNull()),
+        "value",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        ["event_type"],
+    )
+    totals = events.groupBy("event_type").agg(
+        F.count("*").alias("event_count")
+    )
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.count("*").alias("event_count"),
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.9)).alias("p90"),
-            F.percentile("value", F.lit(0.99)).alias("p99"),
-        )
+        totals.join(pct.drop("_n"), "event_type", "left")
+        .select("event_type", "event_count", "p50", "p90", "p99")
         .orderBy("event_type")
     )
 

@@ -1357,7 +1357,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (`text.doc_fingerprint_portable`) so DuckDB recomputes every
     bit: content = md5-prefix of the lowered text, rolling = bit_xor over
     md5(token#index) prefixes. The xxhash64 production twin
-    (`text.doc_fingerprint`) keeps its own pytest coverage."""
+    (`text.doc_fingerprint`) keeps its own pytest coverage.
+
+    Recorded trade (r04→r05 standalone warm re-measure): the md5 form
+    costs ~1.15 s at sf0.1 vs ~0.40 s for xxhash64 — md5 is a Java
+    MessageDigest call per token while xxhash64 is codegen'd. Accepted:
+    the registered entry's job is cross-engine verifiability; production
+    pipelines should call `text.doc_fingerprint`."""
     return text.doc_fingerprint_portable(read_table(spark, sf_dir, "documents"))
 
 
@@ -4860,7 +4866,17 @@ def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=50,
         sets_df=_shingle_sets_shared(spark, sf_dir, 3),
     )
-    pairs.select("doc_id_1", "doc_id_2").createOrReplaceTempView("dup_pairs_rcte")
+    # MATERIALIZE the edge list before the walk: a recursive CTE
+    # re-evaluates its base view's plan on every iteration, so a lazy
+    # view here re-runs the whole shingle-scan + pair join per hop
+    # (measured 5×6 s at sf0.1). The edge list is tiny relative to the
+    # corpus (|E| ≈ dup pairs, 256 at sf0.1); one eager localCheckpoint
+    # turns O(iters × corpus-scan) into O(corpus-scan + iters × |E|).
+    # On a real cluster with dynamic allocation, checkpoint to reliable
+    # storage (or write the edge list to a table) instead — localCheckpoint
+    # blocks live in executor memory.
+    edges = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("dup_pairs_rcte")
     return spark.sql(
         """
         WITH RECURSIVE reach(s, n, d) AS (
@@ -5916,7 +5932,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which would sort every customer ever on ONE task at 100 TB; Spark
     emits its "Moving all data to a single partition" warning for exactly
     that plan). The oracle keeps the plain SQL NTILE: with a total order
-    the two are bit-identical, which is the point of the rewrite."""
+    the two are bit-identical, which is the point of the rewrite.
+
+    Plan shape: the per-user table is MATERIALIZED once (localCheckpoint;
+    on a cluster, persist or write it — RFM is inherently multi-pass) and
+    the three metrics are scored INDEPENDENTLY from it, then joined back
+    on user_id. Chaining the three global_ntile calls instead would
+    double the lineage at every level (each call references its input in
+    two branches), re-planning the events aggregation up to 8× — measured
+    5× slower at sf0.1."""
     from .operators.windows import global_ntile
 
     ev = read_events(spark, sf_dir)
@@ -5934,16 +5958,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "monetary_cents"
             ),
         )
+        .localCheckpoint(eager=True)
     )
-    scored = global_ntile(
-        p, 5, [F.asc("recency_days"), F.asc("user_id")], out_col="r_score"
-    )
-    scored = global_ntile(
-        scored, 5, [F.desc("frequency"), F.asc("user_id")], out_col="f_score"
-    )
-    scored = global_ntile(
-        scored, 5, [F.desc("monetary_cents"), F.asc("user_id")], out_col="m_score"
-    )
+    scores = {
+        "r_score": [F.asc("recency_days"), F.asc("user_id")],
+        "f_score": [F.desc("frequency"), F.asc("user_id")],
+        "m_score": [F.desc("monetary_cents"), F.asc("user_id")],
+    }
+    scored = p
+    for out_col, order in scores.items():
+        s = global_ntile(p, 5, order, out_col=out_col).select(
+            "user_id", out_col
+        )
+        scored = scored.join(s, "user_id")
     return scored.select(
         "user_id",
         "recency_days",

@@ -85,3 +85,62 @@ def test_daily_volume_anomaly_rule_integer_boundaries(spark):
     assert flags[9] == (16, 10, True)
     # day 10 (count 4, median 10): 8 < 10 -> anomalous
     assert flags[10] == (4, 10, True)
+
+
+def test_grouped_exact_percentiles_matches_builtin(spark):
+    """Distributed rank-selection must be BIT-identical to Spark's exact
+    `percentile` aggregate (which is itself oracle-matched to DuckDB's
+    quantile_cont) — including interpolated positions, a group smaller
+    than the partition count, and a skewed big group."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.functions.stats import (
+        grouped_exact_percentiles,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append(("big", (i * 7919 % 4001) / 7.0))
+    for i in range(3):
+        rows.append(("tiny", float(i)))
+    for i in range(137):
+        rows.append(("mid", (i * 31 % 97) * 1.5))
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in grouped_exact_percentiles(df, "v", ps, ["g"]).collect()
+    }
+    exp = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.9)).alias("p90"),
+            F.percentile("v", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert got == exp  # exact equality, not approx — bit parity is the point
+
+
+def test_value_percentiles_null_and_all_null_groups(spark):
+    """Percentiles rank only non-null values; event_count counts all
+    rows; an all-null group keeps NULL percentiles."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.functions.stats import (
+        value_percentiles,
+    )
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("a", None),
+        ("nulls", None),
+        ("nulls", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in value_percentiles(df).collect()}
+    assert out["a"]["event_count"] == 11
+    assert out["a"]["p50"] == 4.5  # median of 0..9, nulls excluded
+    assert out["nulls"]["event_count"] == 2
+    assert out["nulls"]["p50"] is None
