@@ -6082,6 +6082,44 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_DEDUP_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS span
+  FROM t
+),
+sd AS (SELECT span FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_spans FROM g GROUP BY 1),
+sh AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_spans
+  FROM g JOIN sd USING (span) GROUP BY 1
+)
+SELECT doc_id, total_spans,
+       COALESCE(sh.shared_spans, 0) AS shared_spans,
+       ROUND(COALESCE(sh.shared_spans, 0) * 1.0 / total_spans, 6)
+         AS shared_fraction
+FROM tot LEFT JOIN sh USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("span_dedup_stats", _SPAN_DEDUP_ORACLE)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-level duplication (fixed-window exact-substring
+    dedup, Lee et al. 2022): per document, the fraction of its 8-token
+    sliding windows that appear verbatim in >=2 documents. The third
+    dedup axis alongside whole-doc similarity (Jaccard/MinHash/SimHash)
+    and intra-doc repetition (`doc_repetition`): catches boilerplate,
+    quotations and syndicated passages that neither of those sees. Scan-
+    side window explode + two hash aggregations + a LEFT SEMI join
+    against the shared-span set - no pairwise term at any corpus size."""
+    return dedup.cross_doc_span_stats(
+        read_table(spark, sf_dir, "documents"), span=8, min_docs=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -216,3 +216,26 @@ def test_recursive_walk_distinct_survives_dense_lattice(spark):
                 width * (layers - 1 - l),
                 layers - 1 - l,
             )
+
+
+def test_cross_doc_span_stats(spark):
+    """Shared 8-token windows across docs are counted positionally; a
+    short doc contributes one truncated window, and two identical short
+    docs are fully shared."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, base + " iota kappa"),        # 3 windows, first = base
+        (2, "x y " + base),               # 3 windows, last = base
+        (3, "totally different words here not matching anything at all"),
+        (4, "tiny doc"),                  # < span -> one truncated window
+        (5, "tiny doc"),                  # identical -> shared with 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["total_spans"], r["shared_spans"], r["shared_fraction"])
+        for r in dedup.cross_doc_span_stats(docs, span=8).collect()
+    }
+    assert out[1][0] == 3 and out[1][1] == 1      # only the base window shared
+    assert out[2][0] == 3 and out[2][1] == 1
+    assert out[3] == (2, 0, 0.0)  # 9 tokens -> 2 windows, none shared
+    assert out[4] == (1, 1, 1.0) and out[5] == (1, 1, 1.0)
