@@ -137,3 +137,27 @@ def test_pii_scrub_is_row_local(spark):
     plan = plan_of("pii_scrub_stats", spark)
     assert "hashpartitioning" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_k_per_group_pushes_group_limit_map_side(spark):
+    """Spark's rank-based filter pushdown must kick in for the row_number
+    <= k idiom: a Partial WindowGroupLimit runs BEFORE the shuffle, so at
+    most k rows per group per input partition ever cross the wire — the
+    property that makes per-group top-k safe on a skewed 100 TB key."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    plan = (
+        top_k_per_group(df, ["g"], "v", 3, tiebreak_col="v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan and "Final" in plan, plan[:2000]
