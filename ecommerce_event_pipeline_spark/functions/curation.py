@@ -345,18 +345,35 @@ def dataset_split(
     projection, no shuffle; the md5 idiom keeps it oracle-checkable
     (see functions/hashing.py).
     """
+    bucket, split = split_exprs(F.col("doc_id"), fractions, seed)
+    return docs.select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+def split_exprs(
+    id_col: F.Column,
+    fractions: tuple[int, int] = (90, 5),
+    seed: int = 11,
+) -> tuple[F.Column, F.Column]:
+    """The (bucket, split) COLUMN EXPRESSIONS behind :func:`dataset_split`.
+
+    Split membership is a pure row-local function of the id, so any table
+    carrying a doc id can compute it in place — no join against a
+    membership table. That is the point of hash-bucket splits at scale:
+    e.g. the leakage report applies this to both sides of a near-dup
+    pair without ever shuffling the corpus-sized split table.
+    """
     from .hashing import md5_prefix_long
 
     train_lt, val_lt = fractions[0], fractions[0] + fractions[1]
-    bucket = md5_prefix_long(str(seed), F.col("doc_id")) % 100
+    bucket = md5_prefix_long(str(seed), id_col) % 100
     split = (
         F.when(bucket < train_lt, F.lit("train"))
         .when(bucket < val_lt, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return docs.select(
-        "doc_id", "lang", bucket.cast("int").alias("bucket"), split.alias("split")
-    ).orderBy("doc_id")
+    return bucket, split
 
 
 def language_mix_weights(

@@ -87,3 +87,67 @@ def make_bigram_udtf():
                 yield doc_id, i, toks[i] + " " + toks[i + 1]
 
     return BigramUDTF
+
+
+#: Deterministic "model" weights for the batch-inference demo: a fixed
+#: linear probe over the 64-dim embedding (w_i in [-0.5, 0.5) from a
+#: Knuth-multiplicative index hash, bias 0.1). Committed literals — the
+#: serving shape for a trained head — shared verbatim with the SQL oracle.
+INFERENCE_DIM = 64
+INFERENCE_BIAS = 0.1
+INFERENCE_WEIGHTS = tuple(
+    ((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(INFERENCE_DIM)
+)
+
+
+def _score_udf():
+    @pandas_udf("double")
+    def score(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (rows, 64)
+        # DIMENSION-MAJOR accumulation: acc += m[:, j] * w_j, left to
+        # right — per row this is exactly the sequential left fold the
+        # SQL oracle's list_sum performs, so every double matches BIT
+        # FOR BIT, while across rows each step is one vectorized numpy
+        # op. np.dot would be faster but uses pairwise/SIMD summation —
+        # same math, different rounding order, hash mismatch.
+        # fold from 0 and add the bias to the TOTAL — the oracle computes
+        # bias + list_sum(...), and bias-first vs bias-last associate
+        # differently in the last ulp
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j] * INFERENCE_WEIGHTS[j]
+        return pd.Series(INFERENCE_BIAS + acc)
+
+    return score
+
+
+def embedding_inference(embeddings: DataFrame) -> DataFrame:
+    """Batch model inference over an embedding column — the
+    score-every-document shape of quality-classifier / reward-model
+    passes in a training-data pipeline, demonstrated with a fixed linear
+    probe so the whole pass is oracle-checkable.
+
+    The UDF is a SCALAR pandas UDF: Arrow ships each partition as
+    columnar batches, the probe runs as 64 vectorized numpy ops per
+    batch (dimension-major — see `_score_udf` for why not np.dot), and
+    nothing shuffles: score + threshold are a pure projection, so this
+    composes with any downstream filter at scan speed. A real model
+    swaps the closure body (ONNX/torch session per executor); the
+    Spark-side shape — Arrow batching, no per-row Python, row-local
+    plan — is exactly what this operator pins.
+    """
+    scored = embeddings.select(
+        "vec_id",
+        "label",
+        _score_udf()(F.col("embedding").cast("array<double>")).alias("_raw"),
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round("_raw", 6).alias("score"),
+        # thresholded on the RAW score: rounding first could flip a
+        # boundary case differently than the oracle
+        (F.col("_raw") > 0.0).alias("positive"),
+    ).orderBy("vec_id")

@@ -6141,6 +6141,129 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_LEAKAGE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
+),
+ex AS (
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  ) WHERE jaccard >= 0.5
+),
+sp AS (
+  SELECT doc_id_1, doc_id_2,
+         CASE WHEN b1 < 90 THEN 'train' WHEN b1 < 95 THEN 'val' ELSE 'test' END AS s1,
+         CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val' ELSE 'test' END AS s2
+  FROM (
+    SELECT doc_id_1, doc_id_2,
+           CAST(CAST(('0x' || substr(md5('11#' || doc_id_1), 1, 8)) AS BIGINT) % 100 AS INT) AS b1,
+           CAST(CAST(('0x' || substr(md5('11#' || doc_id_2), 1, 8)) AS BIGINT) % 100 AS INT) AS b2
+    FROM pairs
+  )
+)
+SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+       least(s1, s2) <> greatest(s1, s2) AS is_leakage
+FROM sp
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("split_leakage_report", _SPLIT_LEAKAGE_ORACLE)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: near-dup pairs (Jaccard >= 1/2 over
+    df-capped 3-shingles) whose members fall in DIFFERENT hash-bucket
+    splits — the contamination mode dataset_split alone cannot see (the
+    split is clean by construction, but near-duplicate CONTENT still
+    crosses the boundary and inflates eval scores).
+
+    Scale shape: split membership is a pure hash of doc_id
+    (curation.split_exprs), so both pair sides compute it ROW-LOCALLY on
+    the tiny pair table — the corpus-sized split table is never joined,
+    never shuffled."""
+    from .functions.curation import split_exprs
+
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    _, s1 = split_exprs(F.col("doc_id_1"))
+    _, s2 = split_exprs(F.col("doc_id_2"))
+    tagged = pairs.select(s1.alias("s1"), s2.alias("s2"))
+    return (
+        tagged.groupBy(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+        )
+        .agg(F.count("*").alias("dup_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "dup_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _inference_oracle() -> str:
+    """Replays the linear probe with the committed weight literals and a
+    sequential list_sum fold — bit-identical to the UDF's dimension-major
+    accumulation (see functions/udx.py)."""
+    from .functions.udx import INFERENCE_BIAS, INFERENCE_WEIGHTS
+
+    w = ", ".join(repr(v) for v in INFERENCE_WEIGHTS)
+    return f"""
+WITH w(wv) AS (SELECT [{w}]),
+s AS (
+  SELECT e.vec_id, e.label,
+         {INFERENCE_BIAS!r} + list_sum(
+           list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), w.wv),
+                          x -> x[1] * x[2])) AS raw
+  FROM embeddings e, w
+)
+SELECT vec_id, label, ROUND(raw, 6) AS score, raw > 0.0 AS positive
+FROM s ORDER BY vec_id
+"""
+
+
+@register("embedding_inference", _inference_oracle())
+def embedding_inference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference over embeddings (scalar pandas UDF, Arrow batches,
+    dimension-major accumulation for bit parity with the SQL fold) — the
+    quality-classifier / reward-model scoring pass of a training-data
+    pipeline, with the linear-probe weights committed as literals so the
+    entire pass is oracle-checked end to end."""
+    from .functions import udx
+
+    return udx.embedding_inference(read_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -39,3 +39,27 @@ def test_bigram_udtf_equals_native_posexplode(spark):
     ]
     assert native == via_udtf
     assert (1, 0, "the quick") in native
+
+
+def test_embedding_inference_plan_is_arrow_and_shuffle_free(spark):
+    """The inference pass must be a pure Arrow-batched projection: scalar
+    pandas UDF (ArrowEvalPython), no exchange anywhere — it composes with
+    downstream filters at scan speed."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.functions import udx
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.lit("x").alias("label"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float") / 7.0
+                  for i in range(udx.INFERENCE_DIM)]).alias("embedding"),
+    )
+    out = udx.embedding_inference(emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    rows = out.collect()
+    assert len(rows) == 50
+    # deterministic: second run bit-identical
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in rows]
