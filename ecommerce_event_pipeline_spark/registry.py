@@ -6264,6 +6264,70 @@ def embedding_inference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udx.embedding_inference(read_table(spark, sf_dir, "embeddings"))
 
 
+_TRIANGLE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
+ex AS (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  ) WHERE jaccard >= 0.2
+),
+tri AS (
+  SELECT p1.doc_id_1 AS a, p1.doc_id_2 AS b, p2.doc_id_2 AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_id_1 = p1.doc_id_2
+  JOIN pairs p3 ON p3.doc_id_1 = p1.doc_id_1 AND p3.doc_id_2 = p2.doc_id_2
+),
+member AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM member GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dup_triangles", _TRIANGLE_ORACLE)
+def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts on the near-dup graph — the classic
+    distributed graph-analytics join (a dense triangle neighborhood
+    means template/boilerplate families rather than chance pairs).
+
+    Canonical-ordered edges (doc_id_1 < doc_id_2) make each triangle
+    a < b < c appear EXACTLY once in the 3-way join — no /6 correction,
+    no direction dedup. Scale shape: two shuffle joins keyed on node ids
+    over the (tiny vs corpus) edge list; the edge list is materialized
+    once (same localCheckpoint rationale as `dup_chain_stats` — it feeds
+    three join branches)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.2,
+        max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    e = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
+    return dedup.triangle_counts(e)
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

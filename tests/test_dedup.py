@@ -239,3 +239,15 @@ def test_cross_doc_span_stats(spark):
     assert out[2][0] == 3 and out[2][1] == 1
     assert out[3] == (2, 0, 0.0)  # 9 tokens -> 2 windows, none shared
     assert out[4] == (1, 1, 1.0) and out[5] == (1, 1, 1.0)
+
+
+def test_triangle_counts_canonical_edges(spark):
+    """Two triangles sharing edge (1,2): node 1 and 2 participate twice,
+    3 and 4 once; the chain edge (4,5) forms no triangle."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (4, 5)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    out = {r["doc_id"]: r["triangles"]
+           for r in dedup.triangle_counts(pairs).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
