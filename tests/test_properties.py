@@ -263,3 +263,32 @@ def test_heavy_hitters_exact_for_any_stream(spark, stream, k, parts):
         for r in sketch.heavy_hitters(toks, k=k).collect()
     )
     assert got == brute
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    n_buckets=st.integers(min_value=1, max_value=7),
+)
+@SETTINGS
+def test_global_ntile_always_matches_sql_ntile(spark, keys, n_buckets):
+    """For ANY key multiset (heavy ties included) and bucket count, the
+    range-partition + offset NTILE is bit-identical to the SQL window
+    function over the tiebroken total order."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, uid long"
+    )
+    got = {
+        (r["uid"], r["nt"])
+        for r in windows.global_ntile(
+            df, n_buckets, ["k", "uid"], out_col="nt"
+        ).collect()
+    }
+    exp = {
+        (r["uid"], r["nt"])
+        for r in df.withColumn(
+            "nt", F.ntile(n_buckets).over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert got == exp

@@ -92,3 +92,32 @@ def test_orc_round_trip_partitioned(spark, tmp_path):
     assert {
         str(v) for v in back.select("event_date").toPandas()["event_date"]
     } == {"2024-01-01", "2024-01-02"}
+
+
+def test_write_observed_parquet_metrics_without_second_scan(spark, tmp_path):
+    """observe() metrics must come back from the write action itself:
+    correct row count, caller-supplied aggregates, and the written data
+    readable and partitioned as usual."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.sources.writers import (
+        write_observed_parquet,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("event_date"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    m = write_observed_parquet(
+        df,
+        out,
+        partition_col="event_date",
+        metrics={"v_sum": F.sum("v"), "v_nulls": F.count(F.when(F.col("v").isNull(), 1))},
+    )
+    assert m["rows_written"] == 100
+    assert m["v_sum"] == sum(range(100))
+    assert m["v_nulls"] == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert set(back.columns) == {"event_date", "v"}
