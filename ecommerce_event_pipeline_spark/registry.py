@@ -6328,6 +6328,121 @@ def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.triangle_counts(e)
 
 
+_LINEAR_ATTR_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'add_to_cart')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.t_ts, t.t_id, t.event_type AS channel
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+r AS (
+  SELECT p_id, cents, t_id, channel,
+         CASE WHEN t_id IS NULL THEN NULL
+              ELSE ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
+         END AS rk,
+         COUNT(t_id) OVER (PARTITION BY p_id) AS n
+  FROM j
+),
+s AS (
+  SELECT COALESCE(channel, '(none)') AS channel, p_id,
+         CASE WHEN t_id IS NULL THEN cents
+              ELSE cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+         END AS share_cents,
+         CASE WHEN t_id IS NULL THEN 0 ELSE 1 END AS is_touch
+  FROM r
+)
+SELECT channel,
+       ROUND(SUM(share_cents) / 100.0, 2) AS attributed_revenue,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS conversions,
+       CAST(SUM(is_touch) AS BIGINT) AS touches
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("linear_attribution", _LINEAR_ATTR_ORACLE)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over a 7-day lookback: each
+    purchase's revenue splits EQUALLY across the user's preceding
+    view/click/add_to_cart touches; purchases with no touch in the
+    window report under '(none)'. The equal split is EXACT integer-cents
+    arithmetic with largest-remainder allocation (cents div n, the first
+    cents % n touches by time get the extra cent) — revenue is conserved
+    to the cent, and both engines replay the identical division, so the
+    whole operator hash-matches (a float split would drift in the sum).
+
+    Scale shape: the purchase×touch expansion is an equi-join on user_id
+    with the time-range predicate as a join filter — per-user bounded,
+    no global term; the per-purchase rank windows key on p_id (bounded
+    by one user's 7-day activity). Complements `first_touch_attribution`
+    (100 %-to-first) with the spread-credit model."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.where(
+        F.col("event_type").isin("view", "click", "add_to_cart")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    r = j.select(
+        "p_id",
+        "cents",
+        "t_id",
+        "channel",
+        F.when(
+            F.col("t_id").isNotNull(), F.row_number().over(w)
+        ).alias("rk"),
+        F.count("t_id").over(Window.partitionBy("p_id")).alias("n"),
+    )
+    share = F.when(F.col("t_id").isNull(), F.col("cents")).otherwise(
+        F.expr("cents div n")
+        + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+    )
+    s_df = r.select(
+        F.coalesce("channel", F.lit("(none)")).alias("channel"),
+        "p_id",
+        share.alias("share_cents"),
+        F.when(F.col("t_id").isNull(), 0).otherwise(1).alias("is_touch"),
+    )
+    return (
+        s_df.groupBy("channel")
+        .agg(
+            F.round(F.sum("share_cents") / 100.0, 2).alias(
+                "attributed_revenue"
+            ),
+            F.count_distinct("p_id").alias("conversions"),
+            F.sum("is_touch").alias("touches"),
+        )
+        .orderBy("channel")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

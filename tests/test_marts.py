@@ -178,3 +178,24 @@ def test_traffic_rollup_gid_disambiguates_null_keys(spark):
     assert rows[(d, None, 0)] == 1         # genuine NULL key, gid=0
     assert rows[(d, None, 1)] == 3         # per-date subtotal, gid=1
     assert rows[(None, None, 3)] == 3      # grand total, gid=3
+
+
+def test_linear_attribution_conserves_revenue(spark):
+    """Largest-remainder cent allocation must conserve total purchase
+    revenue exactly: sum of attributed_revenue across channels (incl.
+    '(none)') == total purchase value, to the cent."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["linear_attribution"](spark, sf).collect()
+    attributed_cents = sum(round(r["attributed_revenue"] * 100) for r in out)
+    total = (
+        read_events(spark, sf)
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert attributed_cents == total
