@@ -106,21 +106,75 @@ def unpartitioned_window_lines(plan: str) -> list[str]:
     return bad
 
 
-def audit_windows(spark, qs) -> list[str]:
-    """Build every non-streaming registered query's physical plan and
-    collect single-partition window offenders (name → plan line)."""
+# Plan features worth pinning per query: shuffle count and join strategy
+# are the two knobs that silently regress (a dim outgrowing the broadcast
+# threshold turns a map-side join into a full shuffle; a lost bucketing
+# spec adds an Exchange). Counted as substring hits on the physical plan.
+PLAN_FEATURES = (
+    "Exchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "windowspecdefinition",
+)
+
+
+def audit_windows(spark, qs) -> tuple[list[str], dict[str, dict[str, int]]]:
+    """Build every non-streaming registered query's physical plan; collect
+    single-partition window offenders AND per-query plan-feature counts
+    (the shape snapshot diffed across rounds)."""
     offenders = []
+    snapshots: dict[str, dict[str, int]] = {}
     for name, fn in qs.items():
         if name.startswith("streaming_"):
             continue  # building these executes a stream; their windows
             # are per-key stateful operators, not WindowExec
         df = fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
+        snapshots[name] = {
+            f: plan.count(f) for f in PLAN_FEATURES if plan.count(f)
+        }
         for line in unpartitioned_window_lines(plan):
             if name in GLOBAL_WINDOW_ALLOWLIST:
                 continue
             offenders.append(f"{name}: {line[:140]}")
-    return offenders
+    return offenders, snapshots
+
+
+def diff_snapshots(snapshots: dict[str, dict[str, int]]) -> list[str]:
+    """Compare fresh plan features against the committed
+    PLAN_SNAPSHOTS.json; return human-readable change lines. Informative,
+    not failing — a diff here belongs in the commit message explaining
+    the plan change (or points at an unintended regression)."""
+    import os
+
+    path = "/root/repo/PLAN_SNAPSHOTS.json"
+    if not os.path.exists(path):
+        return []
+    import json as _json
+
+    with open(path) as fh:
+        old = _json.load(fh)
+    changes = []
+    for name, feats in snapshots.items():
+        prev = old.get(name)
+        if prev is None:
+            changes.append(f"NEW {name}: {feats}")
+        elif prev != feats:
+            keys = sorted(set(prev) | set(feats))
+            delta = {
+                k: (prev.get(k, 0), feats.get(k, 0))
+                for k in keys
+                if prev.get(k, 0) != feats.get(k, 0)
+            }
+            changes.append(f"CHANGED {name}: {delta}")
+    for name in old:
+        if name not in snapshots:
+            changes.append(f"REMOVED {name}")
+    return changes
 
 
 def main() -> None:
@@ -145,8 +199,17 @@ def main() -> None:
         )
         out += [f"## {name}", "", "```", plan.strip(), "```", ""]
 
-    offenders = audit_windows(spark, qs)
+    offenders, snapshots = audit_windows(spark, qs)
     n_audited = sum(1 for n in qs if not n.startswith("streaming_"))
+    changes = diff_snapshots(snapshots)
+    import json as _json
+
+    with open("/root/repo/PLAN_SNAPSHOTS.json", "w") as fh:
+        _json.dump(snapshots, fh, indent=1, sort_keys=True)
+    if changes:
+        print(f"plan-shape changes vs committed snapshot ({len(changes)}):")
+        for c in changes:
+            print(" ", c)
     out += [
         "## Single-partition window audit",
         "",
