@@ -290,3 +290,68 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("_off") + F.col("_lcum"))
         .drop("_pid", "_lcum", "_off")
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    group_cols,
+    order_cols,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY group ORDER BY ...)`` without
+    funneling any group through one task.
+
+    The classic partitioned window is fine for many small groups, but a
+    HOT group (one event type, one language) still lands on a single
+    reducer — the grouped twin of the global-window problem. Same cure:
+    range-partition on (group, order) so a big group spans partitions in
+    contiguous order ranges, take per-(partition, group) local row
+    numbers, prefix-sum the per-(group, partition) counts into offsets
+    (≤ P rows per group — a bounded partitioned window), and apply the
+    closed-form NTILE bucket arithmetic against the per-group total.
+    Bit-identical to the SQL window over a total per-group order
+    (include a tie-break in ``order_cols``).
+    """
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    gnames = [c if isinstance(c, str) else str(c) for c in group_cols]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *gcols, *ocols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid", *gnames).orderBy(*ocols)
+        ),
+    )
+    cnts = part.groupBy(*gnames, "_pid").agg(F.count("*").alias("_cnt"))
+    pw = (
+        Window.partitionBy(*gnames)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
+    )
+    totals = cnts.groupBy(*gnames).agg(F.sum("_cnt").alias("_n"))
+    b = int(n_buckets)
+    bucket = F.expr(
+        f"CASE WHEN _grk <= (_n % {b}) * (_n div {b} + 1) "
+        f"THEN (_grk - 1) div (_n div {b} + 1) + 1 "
+        f"ELSE (_n % {b}) "
+        f"  + (_grk - (_n % {b}) * (_n div {b} + 1) - 1) "
+        f"    div greatest(_n div {b}, 1) + 1 END"
+    )
+    return (
+        local.join(offs.select(*gnames, "_pid", "_off"), [*gnames, "_pid"])
+        .join(totals, gnames)
+        .withColumn("_grk", F.col("_off") + F.col("_lrn"))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_lrn", "_off", "_n", "_grk")
+    )

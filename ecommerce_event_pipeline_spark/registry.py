@@ -6443,6 +6443,52 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VALUE_QUARTILES_ORACLE = """
+WITH q AS (
+  SELECT event_type, value,
+         NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM q GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("value_quartiles_per_type", _VALUE_QUARTILES_ORACLE)
+def value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (feature binning) of value within each
+    event type — quartile label per event, rolled up to (type, quartile)
+    count + bounds.
+
+    Buckets come from :func:`operators.windows.grouped_ntile`: the
+    partitioned-window NTILE idiom still funnels each GROUP through one
+    reducer (a hot event type at 100 TB = billions of rows on one task);
+    the grouped range-partition + offset form splits big groups across
+    contiguous order ranges and stays bit-identical to the SQL window,
+    which the oracle runs."""
+    from .operators.windows import grouped_ntile
+
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    binned = grouped_ntile(
+        ev.select("event_type", "value", "event_id"),
+        4,
+        ["event_type"],
+        ["value", "event_id"],
+        out_col="quartile",
+    )
+    return (
+        binned.groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

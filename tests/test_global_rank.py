@@ -105,3 +105,31 @@ def test_distributed_prefix_sum_matches_window(spark):
             ).collect()
         }
         assert got == exp, exclusive
+
+
+def test_grouped_ntile_matches_partitioned_sql_ntile(spark):
+    """The grouped range-partition NTILE must be bit-identical to
+    NTILE(b) OVER (PARTITION BY g ORDER BY ...) — including groups
+    smaller than the bucket count and heavy in-group ties."""
+    from ecommerce_event_pipeline_spark.operators.windows import grouped_ntile
+
+    for n, b in [(211, 4), (9, 4), (40, 7)]:
+        df = spark.range(n).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 7919 % 11).alias("k"),  # heavy ties
+            F.col("id").alias("uid"),
+        )
+        got = {
+            (r["g"], r["uid"], r["nt"])
+            for r in grouped_ntile(
+                df, b, ["g"], ["k", "uid"], out_col="nt"
+            ).collect()
+        }
+        exp = {
+            (r["g"], r["uid"], r["nt"])
+            for r in df.withColumn(
+                "nt",
+                F.ntile(b).over(Window.partitionBy("g").orderBy("k", "uid")),
+            ).collect()
+        }
+        assert got == exp, (n, b)
