@@ -6489,6 +6489,78 @@ def value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLING_ACTIVE_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+win AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS window_end
+  FROM d, (SELECT unnest(range(0, 7)) AS i)
+),
+wau AS (
+  SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM win, bounds b
+  WHERE window_end <= b.hi
+  GROUP BY 1
+),
+dau AS (
+  SELECT day AS window_end, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1
+)
+SELECT w.window_end, dau.dau, w.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4) AS stickiness
+FROM wau w JOIN dau USING (window_end)
+ORDER BY window_end
+"""
+
+
+@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day active users (WAU) per day plus the DAU/WAU
+    stickiness ratio — the engagement mart every product dashboard runs.
+
+    Exact sliding COUNT DISTINCT cannot use a window frame (distinct
+    does not decompose over frames); the scalable exact form is BOUNDED
+    EXPANSION: each distinct (user, day) row replicates into the ≤ 7
+    windows it belongs to, then one distinct-count per window — a 7×
+    row expansion of the already-collapsed daily-user table, shuffled
+    once on the window key, at any scale. (The approximate tier for
+    wider windows is the mergeable-HLL rollup, `hll_weekly_rollup`.)"""
+    ev = read_events(spark, sf_dir)
+    d = ev.select("user_id", "event_date").distinct()
+    hi = d.agg(F.max("event_date").alias("hi"))
+    win = (
+        d.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "event_date",
+        )
+        .select(
+            "user_id", F.date_add("event_date", F.col("i")).alias("window_end")
+        )
+        .crossJoin(F.broadcast(hi))
+        .where(F.col("window_end") <= F.col("hi"))
+    )
+    wau = win.groupBy("window_end").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = d.groupBy(F.col("event_date").alias("window_end")).agg(
+        F.count("*").alias("dau")
+    )
+    return (
+        wau.join(dau, "window_end")
+        .select(
+            "window_end",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("window_end")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
