@@ -29,6 +29,7 @@ Parity rules baked in here (hard-won, see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -54,6 +55,7 @@ _REGISTRY: dict[str, Entry] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)  # keep name/docstring for tools/make_catalog
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
             return fn(spark, sf_dir)
