@@ -6563,6 +6563,83 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_DIST_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
+ex AS (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  ) WHERE jaccard >= 0.5
+)
+SELECT p.doc_id_1, p.doc_id_2,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_distance,
+       CAST(length(d1.text) AS BIGINT) AS len_1,
+       CAST(length(d2.text) AS BIGINT) AS len_2
+FROM pairs p
+JOIN documents d1 ON d1.doc_id = p.doc_id_1
+JOIN documents d2 ON d2.doc_id = p.doc_id_2
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("near_dup_edit_distances", _EDIT_DIST_ORACLE)
+def near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification tier for near-dup candidates: exact
+    Levenshtein distance on each Jaccard ≥ 1/2 candidate pair (both
+    engines implement the same integer DP, so the distances hash-match).
+
+    Edit distance is O(len²) per pair — NEVER a first pass. Its place in
+    the stack is exactly this shape: a shingle/LSH tier prunes the
+    corpus² space to candidate pairs, then the quadratic verifier runs
+    on those few (with texts joined in per pair). Spark 3.5+'s
+    ``levenshtein(l, r, threshold)`` bounds the DP when only a cutoff is
+    needed; the unbounded form here keeps the exact distances the oracle
+    recomputes."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    ).select("doc_id_1", "doc_id_2")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d1 = docs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("text").alias("_t1")
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("text").alias("_t2")
+    )
+    return (
+        pairs.join(d1, "doc_id_1")
+        .join(d2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.levenshtein("_t1", "_t2").cast("long").alias("edit_distance"),
+            F.length("_t1").cast("long").alias("len_1"),
+            F.length("_t2").cast("long").alias("len_2"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
