@@ -367,6 +367,10 @@ def split_exprs(
     from .hashing import md5_prefix_long
 
     train_lt, val_lt = fractions[0], fractions[0] + fractions[1]
+    if not (0 < train_lt and 0 <= fractions[1] and val_lt <= 100):
+        raise ValueError(
+            f"fractions {fractions} must be positive percents summing <= 100"
+        )
     bucket = md5_prefix_long(str(seed), id_col) % 100
     split = (
         F.when(bucket < train_lt, F.lit("train"))

@@ -314,9 +314,13 @@ def grouped_ntile(
     Bit-identical to the SQL window over a total per-group order
     (include a tie-break in ``order_cols``).
     """
-    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    if not all(isinstance(c, str) for c in group_cols):
+        # group columns are reused as join keys by NAME; a Column object
+        # has no reliable name to rebind on the counts/offsets frames
+        raise TypeError("grouped_ntile group_cols must be column names")
+    gnames = list(group_cols)
+    gcols = [F.col(c) for c in gnames]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    gnames = [c if isinstance(c, str) else str(c) for c in group_cols]
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

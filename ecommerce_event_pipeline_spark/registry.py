@@ -6727,11 +6727,15 @@ _FRONT: tuple[str, ...] = (
 # SQL / an exact-scan recall floor), plus 4 reference-core mart re-checks
 # (funnel_daily, quality_report, product_daily, orders_mart). After this
 # window every entry that was oracle-backed at rotation time has sat in
-# a driver window at least once. Later in round 5 the final two gained
-# oracles as well — approx_distinct_daily (weak-form: exact count +
-# pinned 2×rsd bound on the deterministic HLL++ estimate) and the new
-# span_dedup_stats — leaving ZERO rows-only entries; those two sit
-# off-window as the r06 rotation candidates.
+# a driver window at least once. Later in round 5, approx_distinct_daily
+# gained a weak-form oracle (exact count + pinned 2×rsd bound on the
+# deterministic HLL++ estimate) — leaving ZERO rows-only entries — and
+# eight new oracle-backed operators were added (span_dedup_stats,
+# split_leakage_report, embedding_inference, dup_triangles,
+# linear_attribution, value_quartiles_per_type, rolling_active_users,
+# near_dup_edit_distances). Those nine never-graded entries sit
+# off-window (still mirror-checked at both fixture scales) as the r06
+# rotation candidates.
 
 
 def _reorder_registry() -> None:
