@@ -105,6 +105,10 @@ def _score_udf():
     def score(emb: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(emb) == 0:
+            # empty Arrow batch (empty partition): np.stack of nothing
+            # raises — return the empty series the engine expects
+            return pd.Series([], dtype="float64")
         m = np.stack(emb.to_numpy()).astype(np.float64)  # (rows, 64)
         # DIMENSION-MAJOR accumulation: acc += m[:, j] * w_j, left to
         # right — per row this is exactly the sequential left fold the

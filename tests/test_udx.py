@@ -63,3 +63,34 @@ def test_embedding_inference_plan_is_arrow_and_shuffle_free(spark):
     assert len(rows) == 50
     # deterministic: second run bit-identical
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in rows]
+
+
+def test_embedding_inference_survives_empty_partitions(spark):
+    """Empty Arrow batches (empty partitions, or an empty frame) must not
+    crash the scorer — np.stack on zero arrays raises without the guard."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_event_pipeline_spark.functions import udx
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert udx.embedding_inference(empty).count() == 0
+    # one row spread over many partitions -> most batches empty
+    one = spark.createDataFrame(
+        [(1, "x", [0.1] * udx.INFERENCE_DIM)], schema
+    ).repartition(8)
+    assert udx.embedding_inference(one).count() == 1
