@@ -127,6 +127,8 @@ def lsh_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def signatures(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch: vstack of nothing raises
+            return pd.Series([], dtype="object")
         mat = np.vstack(emb.to_numpy())  # (n, dim) float32 → float64 matmul
         signs = (mat.astype(np.float64) @ planes.T) > 0  # (n, T·B)
         per_table = signs.reshape(len(mat), tables, bits)  # (n, T, B)
@@ -285,6 +287,8 @@ def _nearest_udf(cents: np.ndarray):
 
     @F.pandas_udf(IntegerType())
     def nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch: vstack of nothing raises
+            return pd.Series([], dtype="int32")
         mat = np.vstack(emb.to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
         return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
