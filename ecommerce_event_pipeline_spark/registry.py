@@ -6640,6 +6640,132 @@ def near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_ORACLE = """
+WITH v AS (
+  SELECT CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 'a' ELSE 'b' END AS half,
+         CAST(least(floor(value / 25), 9) AS INTEGER) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+grid AS (
+  SELECT h.half, b.bin
+  FROM (SELECT unnest(['a', 'b']) AS half) h,
+       (SELECT unnest(range(0, 10)) AS bin) b
+),
+c AS (
+  SELECT g.half, g.bin,
+         COALESCE(n.cnt, 0) AS raw_cnt,
+         COALESCE(n.cnt, 0) + 1 AS cnt
+  FROM grid g LEFT JOIN (
+    SELECT half, bin, COUNT(*) AS cnt FROM v GROUP BY 1, 2
+  ) n ON n.half = g.half AND n.bin = g.bin
+),
+t AS (SELECT half, SUM(cnt) AS tot, SUM(raw_cnt) AS raw_tot FROM c GROUP BY 1),
+pq AS (
+  SELECT a.bin,
+         a.cnt / ta.tot AS p,
+         b.cnt / tb.tot AS q
+  FROM c a JOIN c b ON b.bin = a.bin AND a.half = 'a' AND b.half = 'b'
+  JOIN t ta ON ta.half = 'a' JOIN t tb ON tb.half = 'b'
+),
+terms AS (
+  SELECT list_transform(
+           list_sort(list(ROW(bin, (p - q) * ln(p / q)))),
+           x -> x[2]) AS xs
+  FROM pq
+)
+SELECT (SELECT CAST(raw_tot AS BIGINT) FROM t WHERE half = 'a') AS n_first,
+       (SELECT CAST(raw_tot AS BIGINT) FROM t WHERE half = 'b') AS n_last,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, xs), (acc, x) -> acc + x), 4)
+         AS psi
+FROM terms
+"""
+
+
+@register("value_drift_psi", _PSI_ORACLE)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the log's first and second half
+    — the standard production drift monitor for a feature/score
+    distribution (PSI < 0.1 stable, > 0.25 shifted).
+
+    Built for exact cross-engine replay: FIXED equal-width bins (value
+    div 25, capped at bin 9 — data-derived quantile bins would make the
+    binning itself float-sensitive), exact integer counts over a
+    completed half × bin grid, add-one smoothing so empty bins stay
+    finite, and the PSI sum folded SEQUENTIALLY over bins ascending (the
+    same fold trick as EWMA/doc_surprisal) with one ROUND(4) at the end
+    riding over any last-ulp ln() difference. Two tiny aggregations over
+    the event scan; the 20-cell grid is the only joined state."""
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    v = ev.select(
+        F.when(F.col("event_date") <= F.lit("2024-01-15"), "a")
+        .otherwise("b")
+        .alias("half"),
+        F.least(F.floor(F.col("value") / 25), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = v.groupBy("half", "bin").agg(F.count("*").alias("cnt"))
+    grid = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(
+            spark.createDataFrame([("a",), ("b",)], "half string")
+        )
+    )
+    c = (
+        grid.join(counts, ["half", "bin"], "left")
+        .select(
+            "half",
+            "bin",
+            F.coalesce("cnt", F.lit(0)).alias("raw_cnt"),
+            (F.coalesce("cnt", F.lit(0)) + 1).alias("cnt"),
+        )
+    )
+    t = c.groupBy("half").agg(
+        F.sum("cnt").alias("tot"), F.sum("raw_cnt").alias("raw_tot")
+    )
+    a = c.where(F.col("half") == "a").select(
+        "bin", F.col("cnt").alias("cnt_a")
+    )
+    b = c.where(F.col("half") == "b").select(
+        "bin", F.col("cnt").alias("cnt_b")
+    )
+    ta = t.where(F.col("half") == "a").select(
+        F.col("tot").alias("tot_a"), F.col("raw_tot").alias("n_first")
+    )
+    tb = t.where(F.col("half") == "b").select(
+        F.col("tot").alias("tot_b"), F.col("raw_tot").alias("n_last")
+    )
+    pq = (
+        a.join(b, "bin")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "bin",
+            (F.col("cnt_a") / F.col("tot_a")).alias("p"),
+            (F.col("cnt_b") / F.col("tot_b")).alias("q"),
+            "n_first",
+            "n_last",
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    folded = pq.groupBy("n_first", "n_last").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), term.alias("term")))
+        ).alias("_t")
+    )
+    psi = F.aggregate(
+        F.transform(F.col("_t"), lambda s: s["term"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return folded.select(
+        F.col("n_first").cast("long").alias("n_first"),
+        F.col("n_last").cast("long").alias("n_last"),
+        F.round(psi, 4).alias("psi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
