@@ -6766,6 +6766,219 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPN_CHURN_ORACLE = """
+WITH rev AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT day, l_partkey FROM (
+    SELECT day, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY day
+                              ORDER BY cents DESC, l_partkey) AS rk
+    FROM rev
+  ) WHERE rk <= 5
+),
+days AS (SELECT DISTINCT day FROM m),
+entered AS (
+  SELECT t.day, COUNT(*) AS entered
+  FROM m t LEFT JOIN m y
+    ON y.l_partkey = t.l_partkey AND y.day + 1 = t.day
+  WHERE y.l_partkey IS NULL GROUP BY 1
+),
+exited AS (
+  SELECT y.day + 1 AS day, COUNT(*) AS exited
+  FROM m y
+  JOIN days d ON d.day = y.day + 1
+  LEFT JOIN m t ON t.l_partkey = y.l_partkey AND t.day = y.day + 1
+  WHERE t.l_partkey IS NULL GROUP BY 1
+)
+SELECT d.day,
+       CAST(COALESCE(e.entered, 0) AS BIGINT) AS entered,
+       CAST(COALESCE(x.exited, 0) AS BIGINT) AS exited,
+       CAST(5 - COALESCE(e.entered, 0) AS BIGINT) AS stayed
+FROM days d
+LEFT JOIN entered e ON e.day = d.day
+LEFT JOIN exited x ON x.day = d.day
+ORDER BY d.day
+"""
+
+
+@register("daily_topn_churn", _TOPN_CHURN_ORACLE)
+def daily_topn_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard churn: each ship-day's top-5 parts by exact-cents
+    revenue, and how many entered / exited / stayed vs the previous
+    day's board — the day-over-day ranking-stability mart.
+
+    The per-day top-5 is the ``row_number <= k`` idiom, which Spark
+    compiles to Partial+Final WindowGroupLimit: at most 5 rows per day
+    per input partition ever reach the shuffle, so a day with a hundred
+    million active parts costs the same as one with fifty (the plan
+    snapshot pins the node). Membership diffs are two anti-joins on the
+    tiny (days × 5) board table. Sparse calendars work unchanged: a day
+    with no prior-day board simply enters all five seats."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            F.to_date("l_shipdate").alias("day"),
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("day", "l_partkey")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cents"), "l_partkey")
+    m = (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("day", "l_partkey")
+    )
+    days = m.select("day").distinct()
+    y = m.select(
+        F.date_add("day", 1).alias("day"),
+        F.col("l_partkey").alias("_prev_pk"),
+    )
+    entered = (
+        m.join(
+            y,
+            (y["day"] == m["day"]) & (y["_prev_pk"] == m["l_partkey"]),
+            "left_anti",
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("entered"))
+    )
+    exited = (
+        y.join(days, "day", "left_semi")
+        .join(
+            m,
+            (m["day"] == y["day"]) & (m["l_partkey"] == y["_prev_pk"]),
+            "left_anti",
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("exited"))
+    )
+    return (
+        days.join(entered, "day", "left")
+        .join(exited, "day", "left")
+        .select(
+            "day",
+            F.coalesce("entered", F.lit(0)).alias("entered"),
+            F.coalesce("exited", F.lit(0)).alias("exited"),
+            (F.lit(5) - F.coalesce("entered", F.lit(0))).alias("stayed"),
+        )
+        .orderBy("day")
+    )
+
+
+_AB_ZTEST_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST(CAST(('0x' || substr(md5('ab1#' || user_id), 1, 8))
+                            AS BIGINT) % 2 AS INT) = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+         a.conv / CAST(a.n AS DOUBLE) AS p_a,
+         b.conv / CAST(b.n AS DOUBLE) AS p_b,
+         (a.conv + b.conv) / CAST(a.n + b.n AS DOUBLE) AS p_pool
+  FROM (SELECT * FROM g WHERE variant = 'A') a,
+       (SELECT * FROM g WHERE variant = 'B') b
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
+       ROUND((p_a - p_b)
+             / SQRT(p_pool * (1 - p_pool)
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
+             4) AS z_score,
+       ABS((p_a - p_b)
+           / SQRT(p_pool * (1 - p_pool)
+                  * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))))
+         >= 1.96 AS significant
+FROM w
+"""
+
+
+@register("ab_conversion_ztest", _AB_ZTEST_ORACLE)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion between experiment arms —
+    the A/B readout mart. Arm assignment is the PRODUCTION idiom: a
+    salted md5 hash of user_id mod 2 (deterministic, stable under
+    re-runs and partitioning — the same property dataset_split relies
+    on), conversion = the user purchased at least once.
+
+    Float discipline: counts and the pooled/arm rates are exact integer
+    divisions (identical bits in both engines) and the only
+    transcendental is SQRT — which IEEE 754 requires correctly rounded,
+    so unlike ln/exp the z-score matches BIT-FOR-BIT before its display
+    rounding; `significant` thresholds the raw statistic."""
+    from .functions.hashing import md5_prefix_long
+
+    ev = read_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    u = u.select(
+        F.when(md5_prefix_long("ab1", F.col("user_id")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    g = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    a = g.where(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = g.where(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    w = a.crossJoin(b).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.col("conv_a") / F.col("n_a").cast("double")).alias("p_a"),
+        (F.col("conv_b") / F.col("n_b").cast("double")).alias("p_b"),
+        (
+            (F.col("conv_a") + F.col("conv_b"))
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("p_pool"),
+    )
+    z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
+        F.col("p_pool")
+        * (1 - F.col("p_pool"))
+        * (
+            1 / F.col("n_a").cast("double")
+            + 1 / F.col("n_b").cast("double")
+        )
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round("p_a", 6).alias("rate_a"),
+        F.round("p_b", 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
