@@ -6979,6 +6979,135 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ITEM_SIM_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_orders AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT part_1 AS part_id, part_2 AS partner_id, support FROM pairs
+  UNION ALL
+  SELECT part_2 AS part_id, part_1 AS partner_id, support FROM pairs
+),
+scored AS (
+  SELECT s.part_id, s.partner_id, s.support,
+         CAST(s.support AS DOUBLE)
+           / SQRT(CAST(o1.n_ord * o2.n_ord AS DOUBLE)) AS cos_raw
+  FROM sym s
+  JOIN part_orders o1 ON o1.l_partkey = s.part_id
+  JOIN part_orders o2 ON o2.l_partkey = s.partner_id
+),
+ranked AS (
+  SELECT part_id, partner_id, support,
+         ROUND(cos_raw, 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY part_id
+                            ORDER BY support DESC, partner_id) AS rk
+  FROM scored
+)
+SELECT part_id, partner_id, support, cosine, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY part_id, rk
+"""
+
+
+@register("item_similarity_topk", _ITEM_SIM_ORACLE)
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: for every part, its
+    top-3 most-similar parts by basket co-occurrence cosine
+    (support / √(n₁·n₂)) — the classic "customers also bought" mart.
+
+    Scale shape: the pair space is keyed by order (Σ basket-choose-2,
+    never parts²) like basket_pairs; the support ≥ 2 floor drops the
+    singleton-pair long tail BEFORE the symmetrize/union doubles it; the
+    per-item top-3 is the row_number ≤ k idiom Spark compiles to
+    Partial+Final WindowGroupLimit, so at most 3 rows per part per input
+    partition reach the final shuffle. Float discipline: ordering uses
+    only integers (support desc, partner asc); the cosine is one
+    DOUBLE division by an IEEE-correctly-rounded SQRT of an exact
+    integer product, so it hash-matches the oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "_o")
+        .where(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    sym = pairs.select(
+        F.col("part_1").alias("part_id"),
+        F.col("part_2").alias("partner_id"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_2").alias("part_id"),
+            F.col("part_1").alias("partner_id"),
+            "support",
+        )
+    )
+    scored = (
+        sym.join(
+            part_orders.select(
+                F.col("l_partkey").alias("part_id"),
+                F.col("n_ord").alias("_n1"),
+            ),
+            "part_id",
+        )
+        .join(
+            part_orders.select(
+                F.col("l_partkey").alias("partner_id"),
+                F.col("n_ord").alias("_n2"),
+            ),
+            "partner_id",
+        )
+        .select(
+            "part_id",
+            "partner_id",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.sqrt((F.col("_n1") * F.col("_n2")).cast("double"))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(F.desc("support"), "partner_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "part_id",
+            "partner_id",
+            "support",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("part_id", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
