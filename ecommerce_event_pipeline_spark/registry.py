@@ -7108,6 +7108,121 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REV_CONC_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn
+  FROM pc
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS total
+  FROM pc
+),
+a AS (
+  SELECT s.n, s.total,
+         SUM(CASE WHEN rn <= (s.n * 1 + 99) // 100
+                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t1,
+         SUM(CASE WHEN rn <= (s.n * 5 + 99) // 100
+                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t5,
+         SUM(CASE WHEN rn <= (s.n * 10 + 99) // 100
+                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t10,
+         SUM(CASE WHEN rn <= (s.n * 25 + 99) // 100
+                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t25,
+         SUM(CASE WHEN rn <= (s.n * 50 + 99) // 100
+                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t50,
+         SUM(CAST(s.n - rn + 1 AS HUGEINT) * cents) AS s1
+  FROM r, s GROUP BY s.n, s.total
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(total AS BIGINT) AS total_cents,
+       CAST((t1 * 1000000) // total AS BIGINT) AS top1_ppm,
+       CAST((t5 * 1000000) // total AS BIGINT) AS top5_ppm,
+       CAST((t10 * 1000000) // total AS BIGINT) AS top10_ppm,
+       CAST((t25 * 1000000) // total AS BIGINT) AS top25_ppm,
+       CAST((t50 * 1000000) // total AS BIGINT) AS top50_ppm,
+       CAST(((2 * s1 - (n + 1) * total) * 1000000) // (n * total)
+            AS BIGINT) AS gini_ppm
+FROM a
+"""
+
+
+@register("revenue_concentration", _REV_CONC_ORACLE)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: the share of total order revenue
+    captured by the top 1 / 5 / 10 / 25 / 50 % of customers, plus the
+    exact Gini coefficient — the whale-dependence / inequality mart.
+
+    All-integer discipline: revenue is exact cents, shares and Gini are
+    reported in parts-per-million via integer floor division, and the
+    Gini uses the closed-form rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on ascending index
+    i = n − rn + 1 — no float ever enters, so the oracle matches exactly
+    at any scale. Accumulators are DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB): Σ(i·xᵢ) exceeds BIGINT around n ≈ 10⁹ customers.
+
+    Scale shape: the global descending rank comes from
+    global_row_number's range-partition + broadcast-offset pattern —
+    per-customer rows are range-shuffled once and never concentrated on
+    a single task (the unpartitioned-ROW_NUMBER shape this mart would
+    naively use is the classic scale-killer; the plan audit pins its
+    absence)."""
+    from .operators.windows import global_row_number
+
+    pc = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    ranked = global_row_number(pc, [F.desc("cents"), "o_custkey"], "rn")
+    stats = pc.agg(
+        F.count("*").alias("_n"),
+        F.sum("cents").cast("decimal(38,0)").alias("_total"),
+    )
+    j = ranked.crossJoin(F.broadcast(stats))
+    dec = "decimal(38,0)"
+
+    def _top(p: int) -> F.Column:
+        k = F.expr(f"(_n * {p} + 99) div 100")
+        return F.sum(
+            F.when(F.col("rn") <= k, F.col("cents").cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias(f"_t{p}")
+
+    a = j.groupBy("_n", "_total").agg(
+        _top(1),
+        _top(5),
+        _top(10),
+        _top(25),
+        _top(50),
+        F.sum(
+            (F.col("_n") - F.col("rn") + 1).cast(dec) * F.col("cents")
+        ).alias("_s1"),
+    )
+    ppm = [
+        F.expr(f"(_t{p} * 1000000) div _total").alias(f"top{p}_ppm")
+        for p in (1, 5, 10, 25, 50)
+    ]
+    return a.select(
+        F.col("_n").alias("n_customers"),
+        F.col("_total").cast("long").alias("total_cents"),
+        *ppm,
+        F.expr(
+            "((2 * _s1 - (_n + 1) * _total) * 1000000) div (_n * _total)"
+        ).alias("gini_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
