@@ -7223,6 +7223,102 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1
+),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM d),
+e(digit, exp_ppm) AS (
+  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+)
+SELECT e.digit,
+       COALESCE(d.cnt, 0) AS cnt,
+       CAST(COALESCE(d.cnt, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(COALESCE(d.cnt, 0) * 1000000 // t.total - e.exp_ppm
+            AS BIGINT) AS dev_ppm,
+       CAST(((COALESCE(d.cnt, 0) * 1000000 // t.total - e.exp_ppm)
+             * (COALESCE(d.cnt, 0) * 1000000 // t.total - e.exp_ppm))
+            // e.exp_ppm AS BIGINT) AS chi_ppm
+FROM e LEFT JOIN d ON d.digit = e.digit CROSS JOIN t
+ORDER BY e.digit
+"""
+
+
+@register("benford_screen", _BENFORD_ORACLE)
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening of order totals — the classic fraud /
+    data-fabrication smoke test: observed leading-digit frequencies
+    against the Benford expectation log₁₀(1+1/d), with per-digit
+    deviation and a χ²-style score.
+
+    The nine expected probabilities are pinned as integer ppm LITERALS
+    (301030 … 45757), so no transcendental is ever evaluated in either
+    engine and every output column is exact integer arithmetic
+    (floor-division ppm) — hash-stable at any scale. The leading digit
+    comes from the exact-cents integer's decimal string, not the float.
+    One narrow scan → 9-group aggregate → broadcast against a 9-row
+    literal grid; nothing here grows with data volume except the scan."""
+    grid = spark.createDataFrame(
+        [
+            (1, 301030),
+            (2, 176091),
+            (3, 124939),
+            (4, 96910),
+            (5, 79181),
+            (6, 66947),
+            (7, 57992),
+            (8, 51153),
+            (9, 45757),
+        ],
+        "digit int, exp_ppm int",
+    )
+    d = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = d.agg(F.sum("cnt").alias("_total"))
+    obs = F.expr("coalesce(cnt, 0) * 1000000 div _total")
+    dev = obs - F.col("exp_ppm")
+    return (
+        grid.join(d, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            obs.alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            dev.alias("dev_ppm"),
+            F.expr(
+                "((coalesce(cnt, 0) * 1000000 div _total - exp_ppm)"
+                " * (coalesce(cnt, 0) * 1000000 div _total - exp_ppm))"
+                " div exp_ppm"
+            ).alias("chi_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
