@@ -7319,6 +7319,108 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ABC_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l_partkey, cents,
+         SUM(CAST(cents AS HUGEINT))
+           OVER (ORDER BY cents DESC, l_partkey) AS cum,
+         (SELECT CAST(SUM(cents) AS HUGEINT) FROM pr) AS total
+  FROM pr
+),
+k AS (
+  SELECT l_partkey, cents,
+         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+              WHEN cum * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM c
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       SUM(cents) AS class_cents,
+       CAST((SUM(CAST(cents AS HUGEINT)) * 1000000)
+            // (SELECT CAST(SUM(cents) AS HUGEINT) FROM pr)
+            AS BIGINT) AS share_ppm,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("abc_inventory_classes", _ABC_ORACLE)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by discounted
+    revenue, class A = parts inside the first 80 % of cumulative revenue,
+    B = next 15 %, C = the tail — the classic stock-priority mart,
+    reported as per-class part counts, revenue, and ppm share.
+
+    The running total comes from distributed_prefix_sum's
+    range-partition + broadcast-offset pattern (inclusive frame), so the
+    descending revenue order is never concentrated on one task — the
+    naive `SUM() OVER (ORDER BY …)` with no partition is exactly the
+    single-task shape the plan audit forbids. Class boundaries are exact
+    integer cross-multiplications (cum·100 ≤ total·80), never float
+    percentages; HUGEINT/DECIMAL(38) guards the cum·100 product at
+    catalog scale."""
+    from .operators.windows import distributed_prefix_sum
+
+    pr = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    cum = distributed_prefix_sum(
+        pr.select(
+            "l_partkey", "cents", F.col("cents").cast("decimal(38,0)").alias("_v")
+        ),
+        [F.desc("cents"), "l_partkey"],
+        "_v",
+        out_col="cum",
+        exclusive=False,
+    )
+    total = pr.agg(F.sum("cents").cast("decimal(38,0)").alias("_total"))
+    k = cum.crossJoin(F.broadcast(total)).select(
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("_total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("_total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "_total",
+    )
+    return (
+        k.groupBy("abc_class", "_total")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("_cc"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_cents",
+            F.expr("(_cc * 1000000) div _total").alias("share_ppm"),
+            "min_cents",
+            "max_cents",
+        )
+        .orderBy("abc_class")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
