@@ -7421,6 +7421,139 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_QUANTILE_ORACLE = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+daily AS (
+  SELECT day, week_start,
+         LEAST(cents // 1000, 63) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2, 3
+),
+weekly AS (
+  SELECT week_start, bin, SUM(cnt) AS cnt
+  FROM daily GROUP BY 1, 2
+),
+cum AS (
+  SELECT week_start, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY week_start ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY week_start) AS total
+  FROM weekly
+),
+est AS (
+  SELECT week_start, CAST(MAX(total) AS BIGINT) AS n_events,
+         CAST(MIN(CASE WHEN cum * 100 >= total * 50
+                       THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p50_cents,
+         CAST(MIN(CASE WHEN cum * 100 >= total * 95
+                       THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p95_cents,
+         CAST(MIN(CASE WHEN cum * 100 >= total * 99
+                       THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p99_cents
+  FROM cum GROUP BY 1
+),
+exact AS (
+  SELECT week_start,
+         quantile_cont(cents, 0.5) AS exact_p50_cents,
+         quantile_cont(cents, 0.95) AS exact_p95_cents,
+         quantile_cont(cents, 0.99) AS exact_p99_cents
+  FROM c GROUP BY 1
+)
+SELECT e.week_start, e.n_events,
+       e.est_p50_cents, e.est_p95_cents, e.est_p99_cents,
+       x.exact_p50_cents, x.exact_p95_cents, x.exact_p99_cents
+FROM est e JOIN exact x ON x.week_start = e.week_start
+ORDER BY e.week_start
+"""
+
+
+@register("histogram_quantile_rollup", _HIST_QUANTILE_ORACLE)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles: daily 64-bin fixed-edge
+    histograms of event value (exact cents, $10 bins) are rolled up into
+    weekly sketches by plain register addition — the same
+    merge-by-addition property hll_weekly_rollup demonstrates for
+    distinct counts, here for quantiles (the production shape of
+    approx-quantile serving: sketch once at ingest grain, re-aggregate
+    to any coarser grain without rescanning raw data). The weekly p50 /
+    p95 / p99 are read off the merged histogram's cumulative counts with
+    exact integer cross-multiplication (cum·100 ≥ q·total), reported as
+    the bin's inclusive upper edge; exact per-week percentiles ride
+    along for the error audit (Spark `percentile` ↔ DuckDB
+    `quantile_cont` interpolate identically).
+
+    Scale shape: the sketch state is ≤ 64 rows per day regardless of
+    event volume; the rollup and the bin cumsum shuffle only
+    (weeks × 64) rows, and the only windows are partitioned by week.
+    The exact-percentile audit column is the one full-data pass — at
+    true 100 TB scale it would be sampled or dropped, while the sketch
+    path's cost is unchanged."""
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    c = ev.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = (
+        c.select(
+            "day",
+            "week_start",
+            F.least(F.expr("cents div 1000"), F.lit(63)).alias("bin"),
+        )
+        .groupBy("day", "week_start", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weekly = daily.groupBy("week_start", "bin").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("week_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("week_start")
+    cum = weekly.select(
+        "week_start",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+
+    def _est(q: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("total") * q,
+                (F.col("bin") + 1) * 1000,
+            )
+        ).alias(f"est_p{q}_cents")
+
+    est = cum.groupBy("week_start").agg(
+        F.max("total").alias("n_events"), _est(50), _est(95), _est(99)
+    )
+    exact = c.groupBy("week_start").agg(
+        F.expr("percentile(cents, 0.5D)").alias("exact_p50_cents"),
+        F.expr("percentile(cents, 0.95D)").alias("exact_p95_cents"),
+        F.expr("percentile(cents, 0.99D)").alias("exact_p99_cents"),
+    )
+    return (
+        est.join(exact, "week_start")
+        .select(
+            "week_start",
+            "n_events",
+            "est_p50_cents",
+            "est_p95_cents",
+            "est_p99_cents",
+            "exact_p50_cents",
+            "exact_p95_cents",
+            "exact_p99_cents",
+        )
+        .orderBy("week_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
