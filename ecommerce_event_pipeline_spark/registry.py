@@ -7554,6 +7554,124 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+arr AS (
+  SELECT list_sort(list(struct_pack(day := day, cents := cents))) AS sp FROM d
+),
+ex AS (
+  SELECT sp, unnest(range(1, len(sp)+1)) AS i FROM arr
+),
+folds AS (
+  SELECT sp, i,
+    list_reduce(
+      list_prepend(
+        [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+        list_transform(list_slice(sp, 1, i-1),
+                       p -> [CAST(p.cents AS DOUBLE), 0.0::DOUBLE,
+                             0.0::DOUBLE])),
+      (acc, x) -> [
+        CASE WHEN acc[3] = 0.0::DOUBLE THEN x[1]
+             ELSE 0.5::DOUBLE * x[1]
+                  + 0.5::DOUBLE * (acc[1] + acc[2]) END,
+        CASE WHEN acc[3] = 0.0::DOUBLE THEN 0.0::DOUBLE
+             ELSE 0.3::DOUBLE * ((0.5::DOUBLE * x[1]
+                                  + 0.5::DOUBLE * (acc[1] + acc[2]))
+                                 - acc[1])
+                  + 0.7::DOUBLE * acc[2] END,
+        acc[3] + 1.0::DOUBLE]) AS acc
+  FROM ex
+),
+f AS (
+  SELECT sp[i].day AS day, sp[i].cents AS actual_cents,
+         CASE WHEN i = 1 THEN CAST(sp[1].cents AS DOUBLE)
+              ELSE acc[1] + acc[2] END AS fc
+  FROM folds
+)
+SELECT day, actual_cents, ROUND(fc, 4) AS forecast_cents,
+       ROUND(ABS(CAST(actual_cents AS DOUBLE) - fc), 4) AS abs_err_cents
+FROM f ORDER BY day
+"""
+
+
+@register("holt_revenue_backtest", _HOLT_ORACLE)
+def holt_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing backtest of daily purchase
+    revenue: for every day, the one-step-ahead forecast from the level +
+    trend recurrence (α = 0.5, β = 0.3) fit on all PRIOR days, and its
+    absolute error — the walk-forward forecast-quality mart.
+
+    Scale shape: the only data-scale pass is the per-day exact-cents
+    aggregation; the smoothing folds run over the per-day ARRAY, whose
+    length is calendar-bounded (days, never rows), so the O(days²)
+    prefix refits cost microseconds at any data volume. Float
+    discipline: each forecast is a strictly sequential left-to-right
+    fold with identical literal coefficients and operand order in both
+    engines (the list_prepend-sentinel trick on the DuckDB side), so
+    every double matches bit-for-bit. Two DuckDB list_reduce hazards
+    found empirically force the shape here: (1) a list nested in a
+    struct accumulator silently resets each step, hence the per-prefix
+    refit instead of one forecast-accumulating fold; (2) struct_pack
+    accumulator fields are evaluated SEQUENTIALLY with in-place
+    mutation — a later field reading acc.l sees the value just written
+    by the earlier field — so the oracle's accumulator is a plain
+    [l, b, j] DOUBLE list, which is rebuilt atomically."""
+    d = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    fold = """
+      aggregate(
+        slice(s, 1, i - 1),
+        named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+                     'j', 0),
+        (acc, x) -> named_struct(
+          'l', CASE WHEN acc.j = 0 THEN CAST(x.cents AS DOUBLE)
+                    ELSE 0.5D * CAST(x.cents AS DOUBLE)
+                         + 0.5D * (acc.l + acc.b) END,
+          'b', CASE WHEN acc.j = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE 0.3D * ((0.5D * CAST(x.cents AS DOUBLE)
+                                  + 0.5D * (acc.l + acc.b))
+                                 - acc.l)
+                         + 0.7D * acc.b END,
+          'j', acc.j + 1),
+        acc -> acc.l + acc.b)
+    """
+    rows = arr.select(
+        F.expr(
+            f"""
+            inline(transform(sequence(1, size(s)), i -> struct(
+              element_at(s, i).day AS day,
+              element_at(s, i).cents AS actual_cents,
+              CASE WHEN i = 1 THEN CAST(element_at(s, 1).cents AS DOUBLE)
+                   ELSE {fold} END AS fc)))
+            """
+        )
+    )
+    return rows.select(
+        "day",
+        "actual_cents",
+        F.round("fc", 4).alias("forecast_cents"),
+        F.round(
+            F.abs(F.col("actual_cents").cast("double") - F.col("fc")), 4
+        ).alias("abs_err_cents"),
+    ).orderBy("day")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
