@@ -7672,6 +7672,79 @@ def holt_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+_WEEKDAY_ANOM_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+w AS (
+  SELECT day, cents, CAST(isodow(day) - 1 AS INT) AS weekday FROM d
+),
+base AS (
+  SELECT weekday, quantile_cont(cents, 0.5) AS wd_median
+  FROM w GROUP BY 1
+)
+SELECT w.day, w.weekday, w.cents,
+       b.wd_median,
+       ROUND((CAST(w.cents AS DOUBLE) - b.wd_median) * 1000000.0
+             / b.wd_median, 2) AS dev_ppm,
+       ABS((CAST(w.cents AS DOUBLE) - b.wd_median) * 1000000.0
+           / b.wd_median) >= 150000.0 AS is_anomaly
+FROM w JOIN base b ON b.weekday = w.weekday
+ORDER BY w.day
+"""
+
+
+@register("weekday_seasonal_anomalies", _WEEKDAY_ANOM_ORACLE)
+def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware revenue anomaly screen: each day's purchase
+    revenue against the exact MEDIAN of its own weekday (Mondays vs the
+    Monday baseline, …), flagging days deviating ≥ 15 % — the
+    day-of-week-adjusted complement to daily_volume_anomalies' global
+    z-score (a quiet Sunday is normal; a Sunday-sized Tuesday is not).
+
+    Weekday parity trap: Spark's `weekday()` is 0 = Monday while
+    DuckDB's `dayofweek()` is 0 = Sunday — the oracle uses
+    `isodow() - 1` to match. The per-weekday median is the 7-group
+    exact percentile (Spark `percentile` ↔ DuckDB `quantile_cont`
+    interpolate identically); the broadcast of 7 baseline rows back
+    onto days is free at any scale, and the daily aggregation is the
+    only data-volume pass."""
+    d = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("cents"))
+        .withColumn("weekday", F.weekday("day").cast("int"))
+    )
+    base = d.groupBy("weekday").agg(
+        F.expr("percentile(cents, 0.5D)").alias("wd_median")
+    )
+    dev = (
+        (F.col("cents").cast("double") - F.col("wd_median"))
+        * 1000000.0
+        / F.col("wd_median")
+    )
+    return (
+        d.join(F.broadcast(base), "weekday")
+        .select(
+            "day",
+            "weekday",
+            "cents",
+            "wd_median",
+            F.round(dev, 2).alias("dev_ppm"),
+            (F.abs(dev) >= 150000.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
