@@ -1,0 +1,251 @@
+"""Independent recomputation tests for the round-5 analytics marts.
+
+Unlike the DuckDB oracles (which mirror the same SQL formula), these
+re-derive expected values in pure Python from the raw sf0.001 parquet —
+an arithmetic path that shares nothing with either engine, so a formula
+transcribed wrong in BOTH the Spark query and its oracle still fails
+here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def _query(spark, name):
+    import __spark_entry__ as e
+
+    return e.queries()[name](spark, SF)
+
+
+class TestRevenueConcentration:
+    def test_matches_pure_python_gini(self, spark):
+        rows = _duck(
+            "SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+            " FROM orders GROUP BY 1"
+        )
+        cents = sorted((c for _, c in rows), reverse=True)
+        n, total = len(cents), sum(cents)
+        got = _query(spark, "revenue_concentration").collect()[0].asDict()
+        assert got["n_customers"] == n
+        assert got["total_cents"] == total
+        for p in (1, 5, 10, 25, 50):
+            k = (n * p + 99) // 100
+            assert got[f"top{p}_ppm"] == sum(cents[:k]) * 1_000_000 // total
+        # Gini on ascending order with integer arithmetic throughout
+        asc = cents[::-1]
+        s1 = sum((i + 1) * x for i, x in enumerate(asc))
+        gini_ppm = (2 * s1 - (n + 1) * total) * 1_000_000 // (n * total)
+        assert got["gini_ppm"] == gini_ppm
+
+    def test_share_monotonicity(self, spark):
+        got = _query(spark, "revenue_concentration").collect()[0].asDict()
+        shares = [got[f"top{p}_ppm"] for p in (1, 5, 10, 25, 50)]
+        assert shares == sorted(shares)
+        assert 0 <= got["gini_ppm"] < 1_000_000
+
+
+class TestHoltBacktest:
+    def test_matches_pure_python_fold(self, spark):
+        rows = _duck(
+            "SELECT CAST(ts AS DATE) AS day,"
+            " SUM(CAST(ROUND(value * 100) AS BIGINT))"
+            " FROM events WHERE event_type = 'purchase'"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        ys = [float(c) for _, c in rows]
+        # identical operand order as both engines' folds
+        expected = []
+        for i in range(len(ys)):
+            if i == 0:
+                expected.append(ys[0])
+                continue
+            level, trend = 0.0, 0.0
+            for j, y in enumerate(ys[:i]):
+                if j == 0:
+                    level, trend = y, 0.0
+                else:
+                    new_l = 0.5 * y + 0.5 * (level + trend)
+                    trend = 0.3 * ((0.5 * y + 0.5 * (level + trend)) - level) + 0.7 * trend
+                    level = new_l
+            expected.append(level + trend)
+        got = _query(spark, "holt_revenue_backtest").collect()
+        assert len(got) == len(ys)
+        for r, (day, cents), exp in zip(got, rows, expected):
+            assert r["day"] == day
+            assert r["actual_cents"] == cents
+            assert r["forecast_cents"] == pytest.approx(round(exp, 4), abs=0)
+            assert r["abs_err_cents"] == pytest.approx(
+                round(abs(float(cents) - exp), 4), abs=0
+            )
+
+
+class TestItemSimilarity:
+    def test_matches_pure_python_topk(self, spark):
+        rows = _duck("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+        baskets: dict[int, set[int]] = {}
+        for o, p in rows:
+            baskets.setdefault(o, set()).add(p)
+        n_ord: dict[int, int] = {}
+        support: dict[tuple[int, int], int] = {}
+        for parts in baskets.values():
+            for p in parts:
+                n_ord[p] = n_ord.get(p, 0) + 1
+            sp = sorted(parts)
+            for i, a in enumerate(sp):
+                for b in sp[i + 1 :]:
+                    support[(a, b)] = support.get((a, b), 0) + 1
+        neigh: dict[int, list[tuple[int, int]]] = {}
+        for (a, b), s in support.items():
+            if s >= 2:
+                neigh.setdefault(a, []).append((s, b))
+                neigh.setdefault(b, []).append((s, a))
+        expected = {}
+        for pid, lst in neigh.items():
+            lst.sort(key=lambda t: (-t[0], t[1]))
+            for rk, (s, partner) in enumerate(lst[:3], start=1):
+                cos = s / math.sqrt(float(n_ord[pid] * n_ord[partner]))
+                expected[(pid, rk)] = (partner, s, round(cos, 6))
+        got = _query(spark, "item_similarity_topk").collect()
+        assert len(got) == len(expected)
+        for r in got:
+            partner, s, cos = expected[(r["part_id"], r["rk"])]
+            assert (r["partner_id"], r["support"]) == (partner, s)
+            assert r["cosine"] == pytest.approx(cos, abs=0)
+
+
+class TestHistogramQuantileRollup:
+    def test_estimates_match_pure_python_sketch(self, spark):
+        rows = _duck(
+            "SELECT CAST(date_trunc('week', ts) AS DATE) AS w,"
+            " CAST(ROUND(value * 100) AS BIGINT)"
+            " FROM events WHERE value IS NOT NULL"
+        )
+        weeks: dict[object, list[int]] = {}
+        for w, c in rows:
+            weeks.setdefault(w, []).append(min(c // 1000, 63))
+        got = _query(spark, "histogram_quantile_rollup").collect()
+        assert len(got) == len(weeks)
+        for r in got:
+            bins = sorted(weeks[r["week_start"]])
+            n = len(bins)
+            assert r["n_events"] == n
+            from collections import Counter
+
+            cnt = Counter(bins)
+            for q in (50, 95, 99):
+                # smallest bin whose cumulative count reaches q% — the
+                # type-1 quantile read off the merged histogram
+                cum, est = 0, None
+                for b in sorted(cnt):
+                    cum += cnt[b]
+                    if cum * 100 >= q * n:
+                        est = (b + 1) * 1000
+                        break
+                assert r[f"est_p{q}_cents"] == est
+
+    def test_weekly_counts_partition_events(self, spark):
+        got = _query(spark, "histogram_quantile_rollup").collect()
+        (n,) = _duck(
+            "SELECT COUNT(*) FROM events WHERE value IS NOT NULL"
+        )[0]
+        assert sum(r["n_events"] for r in got) == n
+
+
+class TestBenfordScreen:
+    def test_matches_pure_python_counts(self, spark):
+        rows = _duck(
+            "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM orders"
+            " WHERE o_totalprice > 0"
+        )
+        counts = {d: 0 for d in range(1, 10)}
+        for (c,) in rows:
+            counts[int(str(c)[0])] += 1
+        total = sum(counts.values())
+        exp_ppm = {
+            1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+            6: 66947, 7: 57992, 8: 51153, 9: 45757,
+        }
+        got = _query(spark, "benford_screen").collect()
+        assert [r["digit"] for r in got] == list(range(1, 10))
+        for r in got:
+            d = r["digit"]
+            obs = counts[d] * 1_000_000 // total
+            assert r["cnt"] == counts[d]
+            assert r["obs_ppm"] == obs
+            assert r["dev_ppm"] == obs - exp_ppm[d]
+            assert r["chi_ppm"] == (obs - exp_ppm[d]) ** 2 // exp_ppm[d]
+
+
+class TestAbcClasses:
+    def test_matches_pure_python_pareto(self, spark):
+        rows = _duck(
+            "SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice *"
+            " (1 - l_discount) * 100) AS BIGINT)) FROM lineitem GROUP BY 1"
+        )
+        ranked = sorted(rows, key=lambda t: (-t[1], t[0]))
+        total = sum(c for _, c in ranked)
+        cum, by_class = 0, {"A": [], "B": [], "C": []}
+        for _, c in ranked:
+            cum += c
+            cls = "A" if cum * 100 <= total * 80 else (
+                "B" if cum * 100 <= total * 95 else "C"
+            )
+            by_class[cls].append(c)
+        got = {r["abc_class"]: r for r in _query(spark, "abc_inventory_classes").collect()}
+        for cls, vals in by_class.items():
+            if not vals:
+                assert cls not in got
+                continue
+            r = got[cls]
+            assert r["n_parts"] == len(vals)
+            assert r["class_cents"] == sum(vals)
+            assert r["share_ppm"] == sum(vals) * 1_000_000 // total
+            assert r["min_cents"] == min(vals)
+            assert r["max_cents"] == max(vals)
+
+
+class TestWeekdaySeasonalAnomalies:
+    def test_matches_pure_python_medians(self, spark):
+        rows = _duck(
+            "SELECT CAST(ts AS DATE) AS day,"
+            " SUM(CAST(ROUND(value * 100) AS BIGINT))"
+            " FROM events WHERE event_type = 'purchase'"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        by_wd: dict[int, list[int]] = {}
+        for day, c in rows:
+            by_wd.setdefault(day.weekday(), []).append(c)
+
+        def median(xs):
+            s = sorted(xs)
+            n = len(s)
+            lo, hi = s[(n - 1) // 2], s[n // 2]
+            frac = ((n - 1) / 2) % 1
+            return lo * (1 - frac) + hi * frac
+
+        got = _query(spark, "weekday_seasonal_anomalies").collect()
+        assert len(got) == len(rows)
+        for r, (day, cents) in zip(got, rows):
+            wd = day.weekday()
+            med = median(by_wd[wd])
+            dev = (float(cents) - med) * 1000000.0 / med
+            assert (r["day"], r["weekday"], r["cents"]) == (day, wd, cents)
+            assert r["wd_median"] == pytest.approx(med, abs=0)
+            assert r["dev_ppm"] == pytest.approx(round(dev, 2), abs=0)
+            assert r["is_anomaly"] == (abs(dev) >= 150000.0)
