@@ -7745,6 +7745,147 @@ def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+_RAKE_ORACLE = f"""
+WITH lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+raw AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM lists
+),
+toks AS (
+  SELECT doc_id, pos, l[pos] AS w,
+         l[pos] IN {_RAKE_STOPWORDS} AS is_stop
+  FROM raw
+),
+marked AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phr_id
+  FROM toks
+),
+words AS (
+  SELECT doc_id, pos, w, phr_id FROM marked WHERE NOT is_stop
+),
+phrases AS (
+  SELECT doc_id, phr_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM words GROUP BY 1, 2
+),
+deg AS (
+  SELECT w.doc_id, w.w,
+         CAST(SUM(p.n_words) AS BIGINT) AS degree
+  FROM words w
+  JOIN phrases p ON p.doc_id = w.doc_id AND p.phr_id = w.phr_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT w.doc_id, w.phr_id,
+         CAST(SUM(d.degree) AS BIGINT) AS score
+  FROM words w
+  JOIN deg d ON d.doc_id = w.doc_id AND d.w = w.w
+  GROUP BY 1, 2
+),
+uniq AS (
+  SELECT p.doc_id, p.phrase,
+         MAX(s.score) AS score, MAX(p.n_words) AS n_words
+  FROM phrases p
+  JOIN scored s ON s.doc_id = p.doc_id AND s.phr_id = p.phr_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, phrase, score, n_words,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, phrase) AS rk
+  FROM uniq
+)
+SELECT doc_id, phrase, score, n_words, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@register("rake_keyphrases", _RAKE_ORACLE)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyphrase extraction (Rose et al. 2010), integer-scored:
+    candidate phrases are maximal stopword-free token runs; each word's
+    degree is the summed length of the phrases it occurs in (its
+    co-occurrence mass); a phrase scores the sum of its words' degrees;
+    top-3 phrases per document. The classic deg/freq ratio is replaced
+    by the pure-degree integer variant so ranking and score are exact in
+    both engines — no float ever enters.
+
+    Scale shape: every window and join is keyed by doc_id (phrase
+    segmentation is a per-doc cumulative count over positions — bounded
+    by document length, co-partitioned with the token explode), so the
+    whole pipeline shuffles on the document key and the per-doc top-3 is
+    the WindowGroupLimit idiom. Corpus growth adds partitions, never
+    per-task state."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPWORDS))
+    wmark = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    words = (
+        toks.withColumn(
+            "phr_id",
+            F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wmark),
+        )
+        .where(~F.col("is_stop"))
+        .select("doc_id", "pos", "w", "phr_id")
+    )
+    phrases = words.groupBy("doc_id", "phr_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    deg = (
+        words.join(
+            phrases.select("doc_id", "phr_id", "n_words"),
+            ["doc_id", "phr_id"],
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.sum("n_words").alias("degree"))
+    )
+    scored = (
+        words.join(deg, ["doc_id", "w"])
+        .groupBy("doc_id", "phr_id")
+        .agg(F.sum("degree").alias("score"))
+    )
+    uniq = (
+        phrases.join(scored, ["doc_id", "phr_id"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.max("score").alias("score"), F.max("n_words").alias("n_words"))
+    )
+    wrank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "phrase")
+    return (
+        uniq.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "phrase",
+            "score",
+            "n_words",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
