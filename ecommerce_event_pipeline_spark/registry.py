@@ -7886,6 +7886,75 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PEAK_CONC_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(ts) AS ts_start, MAX(ts) AS ts_end
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT ts_start AS ts, 1 AS delta, user_id FROM s
+  UNION ALL
+  SELECT ts_end AS ts, -1 AS delta, user_id FROM s
+),
+run AS (
+  SELECT ts, delta, user_id,
+         SUM(delta) OVER (ORDER BY ts, delta DESC, user_id) AS conc
+  FROM deltas
+)
+SELECT CAST(ts AS DATE) AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS user_days_started
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("peak_concurrency", _PEAK_CONC_ORACLE)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent users — the sweep-line interval problem:
+    each user-day activity span (first event → last event of that user
+    that day) contributes +1 at its start and −1 at its end (inclusive
+    ends: the +1 sorts before the −1 at equal timestamps via delta
+    DESC), and the peak is the max of the running delta sum. The classic
+    SQL solution, `SUM(delta) OVER (ORDER BY ts)`, is the unpartitioned
+    single-task window — here it is distributed_prefix_sum's
+    range-partition + broadcast-offset pattern over the total order
+    (ts, delta DESC, user_id), exact at any scale. State per task is one
+    running integer; the day rollup is an ordinary aggregation."""
+    from .operators.windows import distributed_prefix_sum
+
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("ts_start"), F.max("ts").alias("ts_end")
+    )
+    deltas = s.select(
+        F.col("ts_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        s.select(
+            F.col("ts_end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    run = distributed_prefix_sum(
+        deltas,
+        ["ts", F.desc("delta"), "user_id"],
+        "delta",
+        out_col="conc",
+        exclusive=False,
+    )
+    return (
+        run.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.max("conc").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "user_days_started"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
