@@ -7955,6 +7955,175 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_overlap_oracle() -> str:
+    """Pairwise segment-overlap estimates from the SAME portable HLL
+    registers the daily/weekly queries use: union = max-merge of the two
+    segments' registers, intersection = inclusion-exclusion."""
+    from .functions.sketch import _HLL_W_MOD, HLL_EST_NUMERATOR, HLL_M
+
+    scale = _HLL_W_MOD * 2
+    est = (
+        f"ROUND(CASE WHEN raw_e <= {2.5 * HLL_M!r} AND v_zero > 0 "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE)) "
+        f"ELSE raw_e END, 2)"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+regs AS (
+  SELECT event_type,
+         hv // {_HLL_W_MOD} AS bucket,
+         MAX(CASE WHEN hv % {_HLL_W_MOD} = 0 THEN 53
+                  ELSE 53 - length(bin(hv % {_HLL_W_MOD})) END) AS m_rho
+  FROM h GROUP BY 1, 2
+),
+seg_d AS (
+  SELECT event_type,
+         {HLL_M} - COUNT(*) AS v_zero,
+         SUM(CAST(1 AS BIGINT) << (53 - m_rho))
+           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS sum_scaled
+  FROM regs GROUP BY 1
+),
+seg_est AS (
+  SELECT event_type, {est} AS e
+  FROM (SELECT event_type, v_zero, sum_scaled,
+               {HLL_EST_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE) AS raw_e
+        FROM seg_d)
+),
+pairs AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b
+  FROM (SELECT DISTINCT event_type FROM regs) a
+  JOIN (SELECT DISTINCT event_type FROM regs) b
+    ON a.event_type < b.event_type
+),
+uni AS (
+  SELECT seg_a, seg_b, bucket, MAX(m_rho) AS m_rho FROM (
+    SELECT p.seg_a, p.seg_b, r.bucket, r.m_rho
+    FROM pairs p JOIN regs r ON r.event_type = p.seg_a
+    UNION ALL
+    SELECT p.seg_a, p.seg_b, r.bucket, r.m_rho
+    FROM pairs p JOIN regs r ON r.event_type = p.seg_b
+  ) GROUP BY 1, 2, 3
+),
+uni_d AS (
+  SELECT seg_a, seg_b,
+         {HLL_M} - COUNT(*) AS v_zero,
+         SUM(CAST(1 AS BIGINT) << (53 - m_rho))
+           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS sum_scaled
+  FROM uni GROUP BY 1, 2
+),
+uni_est AS (
+  SELECT seg_a, seg_b, {est} AS e
+  FROM (SELECT seg_a, seg_b, v_zero, sum_scaled,
+               {HLL_EST_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE) AS raw_e
+        FROM uni_d)
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersect
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.seg_a, p.seg_b,
+       ea.e AS est_a, eb.e AS est_b, u.e AS est_union,
+       ROUND(GREATEST(0.0, ea.e + eb.e - u.e), 2) AS est_intersect,
+       COALESCE(x.exact_intersect, 0) AS exact_intersect
+FROM pairs p
+JOIN seg_est ea ON ea.event_type = p.seg_a
+JOIN seg_est eb ON eb.event_type = p.seg_b
+JOIN uni_est u ON u.seg_a = p.seg_a AND u.seg_b = p.seg_b
+LEFT JOIN exact x ON x.seg_a = p.seg_a AND x.seg_b = p.seg_b
+ORDER BY p.seg_a, p.seg_b
+"""
+
+
+@register("hll_segment_overlap", _hll_overlap_oracle())
+def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches — set OPERATIONS on
+    the portable registers: for every event-type pair, the union
+    audience is the max-merge of the two segments' register tables
+    (the same 256-row-per-group fan-in hll_weekly_rollup uses for time
+    rollup, here across segments) and the intersection falls out by
+    inclusion-exclusion on the three estimates. Exact pairwise overlap
+    rides along for the error audit.
+
+    This is the query shape behind "how many users did both X and Y"
+    dashboards at 100 TB: segments are sketched ONCE (one scan), then
+    any of the 2^k segment-combination cardinalities is answered from
+    k×256 integers without touching the raw data. The exact audit join
+    is user-keyed with fan-out bounded by the segment count per user."""
+    from .functions import sketch
+
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    regs = sketch.hll_sketch(ev, ["event_type"], "user_id")
+    seg_est = sketch.hll_estimate(regs, ["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("seg_a"))
+        .join(
+            types.select(F.col("event_type").alias("seg_b")),
+            F.col("seg_a") < F.col("seg_b"),
+        )
+    )
+    regs_a = regs.select(
+        F.col("event_type").alias("seg_a"), "bucket", "m_rho"
+    )
+    regs_b = regs.select(
+        F.col("event_type").alias("seg_b"), "bucket", "m_rho"
+    )
+    uni = (
+        pairs.join(regs_a, "seg_a")
+        .unionByName(pairs.join(regs_b, "seg_b").select(pairs.columns + ["bucket", "m_rho"]))
+        .groupBy("seg_a", "seg_b", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    uni_est = sketch.hll_estimate(uni, ["seg_a", "seg_b"]).select(
+        "seg_a", "seg_b", F.col("estimate").alias("est_union")
+    )
+    du = ev.distinct()
+    exact = (
+        du.select(F.col("event_type").alias("seg_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("seg_b"), "user_id"), "user_id")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    ea = seg_est.select(
+        F.col("event_type").alias("seg_a"), F.col("estimate").alias("est_a")
+    )
+    eb = seg_est.select(
+        F.col("event_type").alias("seg_b"), F.col("estimate").alias("est_b")
+    )
+    return (
+        pairs.join(ea, "seg_a")
+        .join(eb, "seg_b")
+        .join(uni_est, ["seg_a", "seg_b"])
+        .join(exact, ["seg_a", "seg_b"], "left")
+        .select(
+            "seg_a",
+            "seg_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
+                2,
+            ).alias("est_intersect"),
+            F.coalesce("exact_intersect", F.lit(0)).alias("exact_intersect"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
