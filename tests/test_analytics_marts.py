@@ -220,6 +220,89 @@ class TestAbcClasses:
             assert r["max_cents"] == max(vals)
 
 
+class TestRakeKeyphrases:
+    def test_matches_pure_python_rake(self, spark):
+        from ecommerce_event_pipeline_spark.registry import _RAKE_STOPWORDS
+
+        docs = _duck("SELECT doc_id, text FROM documents")
+        expected = {}
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            phrases: list[list[str]] = [[]]
+            for w in toks:
+                if w in _RAKE_STOPWORDS:
+                    phrases.append([])
+                else:
+                    phrases[-1].append(w)
+            phrases = [p for p in phrases if p]
+            freq: dict[str, int] = {}
+            deg: dict[str, int] = {}
+            for p in phrases:
+                for w in p:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + len(p)
+            scored: dict[str, tuple[int, int]] = {}
+            for p in phrases:
+                s = sum(deg[w] for w in p)
+                scored[" ".join(p)] = (s, len(p))
+            ranked = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))
+            for rk, (phrase, (s, n)) in enumerate(ranked[:3], start=1):
+                expected[(doc_id, rk)] = (phrase, s, n)
+        got = _query(spark, "rake_keyphrases").collect()
+        assert len(got) == len(expected)
+        for r in got:
+            phrase, s, n = expected[(r["doc_id"], r["rk"])]
+            assert (r["phrase"], r["score"], r["n_words"]) == (phrase, s, n)
+
+
+class TestPeakConcurrency:
+    def test_matches_pure_python_sweep(self, spark):
+        rows = _duck(
+            "SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts), MAX(ts)"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2"
+        )
+        deltas = []
+        for uid, day, lo, hi in rows:
+            deltas.append((lo, -1, uid))  # delta DESC → +1 first ⇒ sort
+            deltas.append((hi, 1, uid))  # key uses negated delta
+        deltas.sort(key=lambda t: (t[0], t[1], t[2]))
+        conc, peak, starts = 0, {}, {}
+        for ts, negd, _ in deltas:
+            conc += -negd
+            d = ts.date()
+            peak[d] = max(peak.get(d, 0), conc)
+            if negd == -1:
+                starts[d] = starts.get(d, 0) + 1
+        got = _query(spark, "peak_concurrency").collect()
+        assert len(got) == len(peak)
+        for r in got:
+            assert r["peak_concurrent"] == peak[r["day"]]
+            assert r["user_days_started"] == starts[r["day"]]
+
+
+class TestHllSegmentOverlap:
+    def test_union_bounds_and_exact_overlap(self, spark):
+        got = _query(spark, "hll_segment_overlap").collect()
+        assert len(got) == 10  # C(5,2) event-type pairs
+        exact = {}
+        for a, b, n in _duck(
+            "SELECT x.event_type, y.event_type, COUNT(*) FROM"
+            " (SELECT DISTINCT event_type, user_id FROM events) x JOIN"
+            " (SELECT DISTINCT event_type, user_id FROM events) y"
+            " ON x.user_id = y.user_id AND x.event_type < y.event_type"
+            " GROUP BY 1, 2"
+        ):
+            exact[(a, b)] = n
+        for r in got:
+            assert r["exact_intersect"] == exact.get((r["seg_a"], r["seg_b"]), 0)
+            # union of two sets is at least as big as either estimate
+            assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
+            assert r["est_intersect"] >= 0.0
+            # inclusion-exclusion identity (after the shared rounding)
+            recon = round(max(0.0, r["est_a"] + r["est_b"] - r["est_union"]), 2)
+            assert r["est_intersect"] == pytest.approx(recon, abs=0)
+
+
 class TestWeekdaySeasonalAnomalies:
     def test_matches_pure_python_medians(self, spark):
         rows = _duck(
