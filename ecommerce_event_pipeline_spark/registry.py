@@ -8124,6 +8124,129 @@ def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTRASTIVE_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS partner_id, a.label,
+         ROUND(list_sum(list_transform(list_zip(a.e, b.e),
+                                       x -> x[1] * x[2]))
+               / (SQRT(list_sum(list_transform(a.e, x -> x * x)))
+                  * SQRT(list_sum(list_transform(b.e, x -> x * x)))),
+               6) AS c
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT anchor_id, partner_id, label, c, 1 AS rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY c DESC, partner_id) AS rn
+    FROM p WHERE c >= 0.35
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT q.anchor_id, q.partner_id, q.label, q.c, q.rn AS rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY c DESC, partner_id) AS rn
+    FROM p WHERE c < 0.35
+  ) q JOIN (SELECT DISTINCT anchor_id FROM pos) hp
+      ON hp.anchor_id = q.anchor_id
+  WHERE q.rn <= 2
+)
+SELECT anchor_id, partner_id, label, c AS cosine_sim,
+       'positive' AS role, CAST(rk AS INT) AS rk FROM pos
+UNION ALL
+SELECT anchor_id, partner_id, label, c AS cosine_sim,
+       'hard_negative' AS role, CAST(rk AS INT) AS rk FROM neg
+ORDER BY anchor_id, role DESC, rk
+"""
+
+
+@register("contrastive_pairs", _CONTRASTIVE_ORACLE)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for retrieval/embedding models:
+    every anchor with a near-dup (cosine ≥ 0.35 inside its label block)
+    emits its single best positive plus its 2 hardest negatives — the
+    highest-cosine same-block vectors BELOW the positive threshold
+    (similar enough to be confusable, labeled different). This is the
+    dataset-construction step behind contrastive fine-tuning (SimCSE/
+    DPR-style), expressed as one within-block pair join + two
+    WindowGroupLimit rankings.
+
+    Ranking floats cross-engine is safe here because the cosine is the
+    module's sequential zip_with fold — bit-identical in both engines —
+    rounded to 6 before ranking, with partner_id as tiebreak. Scale
+    shape: pairs are block-bounded (label here; IVF cell / shard at
+    100 TB — mine hard negatives from an ANN shortlist, same ranking
+    downstream); per-anchor top-k never leaves more than k rows per
+    input partition."""
+    from .functions.similarity import _as_double, cosine_sim
+    from pyspark.sql import Window
+
+    n = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    a = n.select(
+        F.col("vec_id").alias("anchor_id"),
+        "label",
+        F.col("e").alias("_ea"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("partner_id"),
+        "label",
+        F.col("e").alias("_eb"),
+    )
+    p = (
+        a.join(b, "label")
+        .where(F.col("anchor_id") != F.col("partner_id"))
+        .select(
+            "anchor_id",
+            "partner_id",
+            "label",
+            cosine_sim(F.col("_ea"), F.col("_eb"), decimals=6).alias("c"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("c"), "partner_id")
+    pos = (
+        p.where(F.col("c") >= 0.35)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "partner_id",
+            "label",
+            "c",
+            F.lit(1).alias("rk"),
+        )
+    )
+    neg = (
+        p.where(F.col("c") < 0.35)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .join(
+            F.broadcast(pos.select("anchor_id").distinct()), "anchor_id"
+        )
+        .select(
+            "anchor_id",
+            "partner_id",
+            "label",
+            "c",
+            F.col("rn").alias("rk"),
+        )
+    )
+    out = pos.withColumn("role", F.lit("positive")).unionByName(
+        neg.withColumn("role", F.lit("hard_negative"))
+    )
+    return out.select(
+        "anchor_id",
+        "partner_id",
+        "label",
+        F.col("c").alias("cosine_sim"),
+        "role",
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("anchor_id", F.desc("role"), "rk")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
