@@ -252,6 +252,63 @@ def blocked_cosine_pairs(
     ).orderBy("vec_id_1", "vec_id_2")
 
 
+def contrastive_shortlist(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.35,
+    per_role: int = 4,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Per-anchor candidate shortlist for contrastive-pair mining: one
+    GEMM per block ranks every anchor's partners by approximate cosine
+    and keeps the top ``per_role`` candidates ON EACH SIDE of the
+    positive threshold (±margin, so a boundary pair appears in both
+    role pools and the exact rerank decides). The downstream exact fold
+    then scores ≤ 2·per_role pairs per anchor instead of the whole
+    block — the same GEMM-prefilter + exact-rerank contract as
+    blocked_cosine_pairs, extended from a threshold cut to a ranking:
+    per_role > needed-k absorbs any approx-vs-fold reorder among
+    near-equal cosines (ranking uses values rounded to 1e-6; the BLAS
+    noise is ~1e-14).
+
+    Returns (anchor_id, partner_id) candidate pairs, directed."""
+    spark_schema = "anchor_id long, partner_id long"
+
+    def block_shortlist(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"anchor_id": [], "partner_id": []})
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        sims = mat @ mat.T
+        ids = pdf["vec_id"].to_numpy()
+        anchors, partners = [], []
+        for i in range(n):
+            row = sims[i].copy()
+            row[i] = np.nan  # exclude self from both pools
+            for lo, hi in (
+                (threshold - margin, np.inf),  # positive candidates
+                (-np.inf, threshold + margin),  # negative candidates
+            ):
+                pool = np.where((row >= lo) & (row < hi))[0]
+                if len(pool) == 0:
+                    continue
+                # top per_role by (cosine desc, partner id asc)
+                order = np.lexsort((ids[pool], -row[pool]))[:per_role]
+                for j in pool[order]:
+                    anchors.append(ids[i])
+                    partners.append(ids[j])
+        return pd.DataFrame({"anchor_id": anchors, "partner_id": partners})
+
+    return (
+        embeddings.select("vec_id", block_col, "embedding")
+        .groupBy(block_col)
+        .applyInPandas(block_shortlist, spark_schema)
+        .dropDuplicates(["anchor_id", "partner_id"])
+    )
+
+
 def lsh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,

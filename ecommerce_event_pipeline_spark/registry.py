@@ -8173,19 +8173,25 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DPR-style), expressed as one within-block pair join + two
     WindowGroupLimit rankings.
 
-    Ranking floats cross-engine is safe here because the cosine is the
-    module's sequential zip_with fold — bit-identical in both engines —
-    rounded to 6 before ranking, with partner_id as tiebreak. Scale
-    shape: pairs are block-bounded (label here; IVF cell / shard at
-    100 TB — mine hard negatives from an ANN shortlist, same ranking
-    downstream); per-anchor top-k never leaves more than k rows per
-    input partition."""
+    Ranking floats cross-engine is safe here because the final cosine is
+    the module's sequential zip_with fold — bit-identical in both
+    engines — rounded to 6 before ranking, with partner_id as tiebreak.
+    Scale shape: candidates come from contrastive_shortlist's per-block
+    GEMM (top-4 per role per anchor, ±1e-6 threshold margin), so the
+    exact fold scores ≤ 8 pairs per anchor instead of the whole block —
+    the oracle stays the full-pair-set SQL spec, same prefilter+rerank
+    contract as embedding_near_dupes. At 100 TB blocks become IVF cells
+    / shards and the shortlist an ANN probe; the ranking downstream is
+    unchanged."""
+    from .functions import similarity
     from .functions.similarity import _as_double, cosine_sim
     from pyspark.sql import Window
 
-    n = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("e")
+    emb = read_table(spark, sf_dir, "embeddings")
+    cands = similarity.contrastive_shortlist(
+        emb, block_col="label", threshold=0.35
     )
+    n = emb.select("vec_id", "label", _as_double("embedding").alias("e"))
     a = n.select(
         F.col("vec_id").alias("anchor_id"),
         "label",
@@ -8193,12 +8199,11 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = n.select(
         F.col("vec_id").alias("partner_id"),
-        "label",
         F.col("e").alias("_eb"),
     )
     p = (
-        a.join(b, "label")
-        .where(F.col("anchor_id") != F.col("partner_id"))
+        cands.join(a, "anchor_id")
+        .join(b, "partner_id")
         .select(
             "anchor_id",
             "partner_id",
