@@ -8366,6 +8366,72 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPERATURE_MIX_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(list_sort(list(struct_pack(lang := lang,
+                                                       n := n_docs))),
+                            s -> SQRT(CAST(s.n AS DOUBLE)))),
+           (a, b) -> a + b) AS z
+  FROM c
+)
+SELECT c.lang, c.n_docs,
+       ROUND(SQRT(CAST(c.n_docs AS DOUBLE)) / t.z, 6) AS weight,
+       ROUND((SQRT(CAST(c.n_docs AS DOUBLE)) / t.z)
+             / (CAST(c.n_docs AS DOUBLE) / t.n_total), 4) AS boost
+FROM c, t
+ORDER BY c.lang
+"""
+
+
+@register("temperature_mix_weights", _TEMPERATURE_MIX_ORACLE)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (mT5/XLM-R corpus
+    mixing): w_l ∝ p_l^α with α = 1/2, which up-samples low-resource
+    languages; `boost` is each language's ratio vs proportional
+    sampling. α is pinned to 1/2 PRECISELY so the power is a SQRT —
+    IEEE-correctly-rounded in both engines, unlike pow/exp/ln with
+    arbitrary α — and the normalizer Σ√n is a sequential fold over the
+    lang-sorted count array, bit-identical cross-engine.
+
+    Scale shape: the only data pass is the per-language count; the fold
+    runs over the LANGUAGE list (bounded by the catalog, not the
+    corpus), and weights broadcast back onto the tiny count table."""
+    c = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    t = c.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "n_docs"))),
+                lambda s: F.sqrt(s["n_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    prop = F.col("n_docs").cast("double") / F.col("n_total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(w, 6).alias("weight"),
+            F.round(w / prop, 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
