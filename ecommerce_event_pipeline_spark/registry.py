@@ -8432,6 +8432,73 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAD_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+m AS (SELECT quantile_cont(cents, 0.5) AS med FROM d),
+dev AS (
+  SELECT d.day, d.cents, m.med,
+         ABS(CAST(d.cents AS DOUBLE) - m.med) AS adev
+  FROM d, m
+),
+s AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+SELECT dev.day, dev.cents,
+       ROUND((CAST(dev.cents AS DOUBLE) - dev.med)
+             / (1.4826 * s.mad), 4) AS robust_z,
+       ABS((CAST(dev.cents AS DOUBLE) - dev.med)
+           / (1.4826 * s.mad)) >= 3.0 AS is_outlier
+FROM dev, s
+ORDER BY dev.day
+"""
+
+
+@register("mad_outlier_days", _MAD_ORACLE)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue outliers via median absolute deviation: the
+    MAD-scaled z-score ((x − median) / (1.4826·MAD)) is immune to the
+    very outliers it hunts — a single whale day inflates a stddev-based
+    z enough to hide itself, but moves the median/MAD almost nothing.
+    Complements daily_volume_anomalies (classic z) and
+    weekday_seasonal_anomalies (seasonal baseline).
+
+    Both medians are the exact interpolated percentile (Spark
+    `percentile` ↔ DuckDB `quantile_cont`); 1.4826 is the usual
+    normal-consistency literal. The two median passes run over the
+    per-DAY table (calendar-bounded), broadcast back as one row."""
+    d = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    m = d.agg(F.expr("percentile(cents, 0.5D)").alias("med"))
+    dev = d.crossJoin(F.broadcast(m)).withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    s = dev.agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    z = (F.col("cents").cast("double") - F.col("med")) / (
+        1.4826 * F.col("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(s))
+        .select(
+            "day",
+            "cents",
+            F.round(z, 4).alias("robust_z"),
+            (F.abs(z) >= 3.0).alias("is_outlier"),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
