@@ -303,6 +303,111 @@ class TestHllSegmentOverlap:
             assert r["est_intersect"] == pytest.approx(recon, abs=0)
 
 
+class TestContrastivePairs:
+    def test_matches_pure_python_mining(self, spark):
+        import numpy as np
+
+        rows = _duck("SELECT vec_id, label, embedding FROM embeddings")
+        by_label: dict[str, list] = {}
+        for vid, label, emb in rows:
+            by_label.setdefault(label, []).append((vid, np.array(emb, dtype=np.float64)))
+        expected = {}
+        for label, vecs in by_label.items():
+            for vid, e in vecs:
+                cands = []
+                for wid, f in vecs:
+                    if wid == vid:
+                        continue
+                    # same sequential fold order as both engines
+                    dot = 0.0
+                    na = 0.0
+                    nb = 0.0
+                    for x, y in zip(e, f):
+                        dot += x * y
+                    for x in e:
+                        na += x * x
+                    for y in f:
+                        nb += y * y
+                    c = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+                    cands.append((c, wid))
+                pos = sorted(
+                    [t for t in cands if t[0] >= 0.35],
+                    key=lambda t: (-t[0], t[1]),
+                )
+                if not pos:
+                    continue
+                expected[(vid, "positive", 1)] = (pos[0][1], label, pos[0][0])
+                negs = sorted(
+                    [t for t in cands if t[0] < 0.35],
+                    key=lambda t: (-t[0], t[1]),
+                )
+                for rk, (c, wid) in enumerate(negs[:2], start=1):
+                    expected[(vid, "hard_negative", rk)] = (wid, label, c)
+        got = _query(spark, "contrastive_pairs").collect()
+        assert len(got) == len(expected)
+        for r in got:
+            wid, label, c = expected[(r["anchor_id"], r["role"], r["rk"])]
+            assert (r["partner_id"], r["label"]) == (wid, label)
+            assert r["cosine_sim"] == pytest.approx(c, abs=0)
+
+
+class TestTemperatureMixWeights:
+    def test_matches_pure_python_weights(self, spark):
+        rows = _duck("SELECT lang, COUNT(*) FROM documents GROUP BY 1")
+        counts = dict(rows)
+        total = sum(counts.values())
+        z = 0.0
+        for lang in sorted(counts):  # same fold order as the engines
+            z += math.sqrt(float(counts[lang]))
+        got = _query(spark, "temperature_mix_weights").collect()
+        assert len(got) == len(counts)
+        wsum = 0.0
+        for r in got:
+            n = counts[r["lang"]]
+            w = math.sqrt(float(n)) / z
+            assert r["n_docs"] == n
+            assert r["weight"] == pytest.approx(round(w, 6), abs=0)
+            assert r["boost"] == pytest.approx(
+                round(w / (float(n) / total), 4), abs=0
+            )
+            wsum += r["weight"]
+        assert wsum == pytest.approx(1.0, abs=1e-4)
+        # temperature flattening: smallest language gets boost > 1,
+        # largest gets boost < 1 (unless counts are all equal)
+        lo = min(got, key=lambda r: r["n_docs"])
+        hi = max(got, key=lambda r: r["n_docs"])
+        if lo["n_docs"] != hi["n_docs"]:
+            assert lo["boost"] > 1.0 > hi["boost"]
+
+
+class TestMadOutlierDays:
+    def test_matches_pure_python_mad(self, spark):
+        rows = _duck(
+            "SELECT CAST(ts AS DATE) AS day,"
+            " SUM(CAST(ROUND(value * 100) AS BIGINT))"
+            " FROM events WHERE event_type = 'purchase'"
+            " GROUP BY 1 ORDER BY 1"
+        )
+
+        def q50(xs):
+            s = sorted(xs)
+            n = len(s)
+            lo, hi = s[(n - 1) // 2], s[n // 2]
+            frac = ((n - 1) / 2) % 1
+            return lo * (1 - frac) + hi * frac
+
+        cents = [c for _, c in rows]
+        med = q50(cents)
+        mad = q50([abs(float(c) - med) for c in cents])
+        got = _query(spark, "mad_outlier_days").collect()
+        assert len(got) == len(rows)
+        for r, (day, c) in zip(got, rows):
+            z = (float(c) - med) / (1.4826 * mad)
+            assert (r["day"], r["cents"]) == (day, c)
+            assert r["robust_z"] == pytest.approx(round(z, 4), abs=0)
+            assert r["is_outlier"] == (abs(z) >= 3.0)
+
+
 class TestWeekdaySeasonalAnomalies:
     def test_matches_pure_python_medians(self, spark):
         rows = _duck(
