@@ -8594,7 +8594,15 @@ _FRONT: tuple[str, ...] = (
 # linear_attribution, value_quartiles_per_type, rolling_active_users,
 # near_dup_edit_distances). Those nine never-graded entries sit
 # off-window (still mirror-checked at both fixture scales) as the r06
-# rotation candidates.
+# rotation candidates — joined by the later round-5 additions
+# (value_drift_psi, daily_topn_churn, ab_conversion_ztest,
+# item_similarity_topk, revenue_concentration, benford_screen,
+# abc_inventory_classes, histogram_quantile_rollup,
+# holt_revenue_backtest, weekday_seasonal_anomalies, rake_keyphrases,
+# peak_concurrency, hll_segment_overlap, contrastive_pairs,
+# matryoshka_recall, temperature_mix_weights, mad_outlier_days): the
+# full r06 rotation list is every `never` row of COVERAGE.md after the
+# r05 grade lands, topped up with the highest-value re-checks.
 
 
 def _reorder_registry() -> None:
