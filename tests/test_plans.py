@@ -161,3 +161,43 @@ def test_top_k_per_group_pushes_group_limit_map_side(spark):
     )
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "Partial" in plan and "Final" in plan, plan[:2000]
+
+
+def test_item_similarity_topk_group_limits_map_side(spark):
+    """The per-item top-3 must compile to Partial+Final WindowGroupLimit
+    (at most 3 rows per part per input partition cross the shuffle) and
+    the pair join must stay keyed by order, never a cartesian."""
+    plan = plan_of("item_similarity_topk", spark)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan and "Final" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_revenue_concentration_never_single_partition_sorts(spark):
+    """The global descending rank must come from the range-partition +
+    offset pattern: every window in the plan carries a partition spec
+    (no move-everything-to-one-task WindowExec), and the ≤ P-row offset
+    table is broadcast."""
+    plan = plan_of("revenue_concentration", spark)
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "windowspecdefinition(_pid" in m.group(0) or "_pid" in m.group(
+            0
+        ), m.group(0)
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_peak_concurrency_prefix_sum_is_partitioned(spark):
+    """The sweep-line running sum must be the distributed prefix sum —
+    windows partitioned by _pid only — not a global ORDER BY window."""
+    plan = plan_of("peak_concurrency", spark)
+    assert "windowspecdefinition(_pid" in plan, plan[:2000]
+
+
+def test_contrastive_pairs_prefilters_with_arrow_shortlist(spark):
+    """The exact fold must run on the GEMM shortlist, not the full
+    within-block pair join: the plan carries the Arrow-evaluated
+    applyInPandas stage and the per-anchor rankings group-limit
+    map-side."""
+    plan = plan_of("contrastive_pairs", spark)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
