@@ -8499,6 +8499,182 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events
+WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '2024-01-01'
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
+ORDER BY user_id
+"""
+
+
+@register("viewers_also_purchased", _INTERSECT_ORACLE)
+def viewers_also_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set intersection) — completes the §2.7 set-op
+    family next to UNION ALL (`union_activity`) and EXCEPT
+    (`viewers_never_purchased`). Spark plans `intersect` as a left-semi
+    join over distincts — hash-shuffle on the key, no sort."""
+    events = read_events(spark, sf_dir).where(
+        F.col("event_date") == F.lit("2024-01-01")
+    )
+    viewers = events.where(F.col("event_type") == "view").select("user_id")
+    buyers = events.where(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers).orderBy("user_id")
+
+
+def _uncertainty_oracle() -> str:
+    from .functions.udx import INFERENCE_BIAS, INFERENCE_WEIGHTS
+
+    w = ", ".join(repr(v) for v in INFERENCE_WEIGHTS)
+    return f"""
+WITH w(wv) AS (SELECT [{w}]),
+s AS (
+  SELECT e.vec_id, e.label,
+         ROUND({INFERENCE_BIAS!r} + list_sum(
+           list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), w.wv),
+                          x -> x[1] * x[2])), 6) AS score
+  FROM embeddings e, w
+)
+SELECT vec_id, label, score, ABS(score) AS margin
+FROM s ORDER BY ABS(score), vec_id
+LIMIT 20
+"""
+
+
+@register("uncertainty_sample", _uncertainty_oracle())
+def uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection: the 20 documents whose classifier
+    score sits closest to the decision boundary (smallest |margin| of
+    the linear probe's raw score) — the rows a labeling budget buys the
+    most from. Composes the oracle-pinned batch-inference pass
+    (embedding_inference: Arrow batches, dimension-major fold parity)
+    with a TakeOrderedAndProject top-k on the ROUNDED score, so
+    selection is bit-stable cross-engine. At 100 TB this is
+    score-at-scan-speed plus a k-row heap per partition — no shuffle of
+    the corpus."""
+    from .functions import udx
+
+    scored = udx.embedding_inference(read_table(spark, sf_dir, "embeddings"))
+    return (
+        scored.select(
+            "vec_id", "label", "score", F.abs("score").alias("margin")
+        )
+        .orderBy("margin", "vec_id")
+        .limit(20)
+    )
+
+
+_NEYMAN_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS HUGEINT) AS s1,
+         CAST(SUM(cents * cents) AS HUGEINT) AS s2
+  FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL)
+  GROUP BY 1
+),
+sg AS (
+  SELECT event_type, n_rows,
+         SQRT((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE))
+              / CAST(n_rows - 1 AS DOUBLE)) AS sigma
+  FROM g
+),
+z AS (
+  SELECT list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(list_sort(list(struct_pack(t := event_type,
+                                                       w := CAST(n_rows AS DOUBLE) * sigma))),
+                            s -> s.w)),
+           (a, b) -> a + b) AS z
+  FROM sg
+)
+SELECT sg.event_type, sg.n_rows,
+       ROUND(sg.sigma, 6) AS sigma,
+       CAST(FLOOR(10000.0 * (CAST(sg.n_rows AS DOUBLE) * sg.sigma) / z.z)
+            AS BIGINT) AS alloc_n
+FROM sg, z
+ORDER BY sg.event_type
+"""
+
+
+@register("neyman_allocation", _NEYMAN_ORACLE)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation: splitting a 10,000-row labeling /
+    audit budget across event-type strata proportionally to N_h·σ_h —
+    the allocation that minimizes the variance of the estimated mean
+    (survey sampling 101), here over exact-cents event values. The
+    complement to stratified_sample_per_lang's equal-rate design.
+
+    Exactness: per-stratum moments are exact integer sums (HUGEINT /
+    DECIMAL(38) headroom noted for catalog scale); σ and the allocation
+    are one sqrt + divisions in pinned operand order, and the normalizer
+    Σ N_h·σ_h is a sequential fold over the type-sorted stratum list —
+    bounded by the type catalog, not the data."""
+    g = (
+        read_events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_c").cast("decimal(38,0)").alias("_s1"),
+            F.sum(F.col("_c") * F.col("_c")).cast("decimal(38,0)").alias("_s2"),
+        )
+    )
+    sigma = F.sqrt(
+        (
+            F.col("_s2").cast("double")
+            - F.col("_s1").cast("double")
+            * F.col("_s1").cast("double")
+            / F.col("n_rows").cast("double")
+        )
+        / (F.col("n_rows") - 1).cast("double")
+    )
+    sg = g.select("event_type", "n_rows", sigma.alias("sigma"))
+    z = sg.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type").alias("t"),
+                            (F.col("n_rows").cast("double") * F.col("sigma")).alias(
+                                "w"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    return (
+        sg.crossJoin(F.broadcast(z))
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("sigma", 6).alias("sigma"),
+            F.floor(
+                10000.0
+                * (F.col("n_rows").cast("double") * F.col("sigma"))
+                / F.col("z")
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
