@@ -8675,6 +8675,89 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1
+),
+w AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT step, users, conv_ppm FROM (
+  SELECT '1_signup' AS step, n1 AS users,
+         CAST(1000000 AS BIGINT) AS conv_ppm FROM w
+  UNION ALL
+  SELECT '2_click', n2, n2 * 1000000 // NULLIF(n1, 0) FROM w
+  UNION ALL
+  SELECT '3_purchase', n3, n3 * 1000000 // NULLIF(n2, 0) FROM w
+) ORDER BY step
+"""
+
+
+@register("sequence_funnel", _SEQ_FUNNEL_ORACLE)
+def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order sequence funnel (MATCH_RECOGNIZE-lite): users who
+    signed up, then CLICKED STRICTLY AFTER their first signup, then
+    PURCHASED STRICTLY AFTER that click — earliest-completion semantics
+    per step, with per-step survivors and step-over-step conversion in
+    integer ppm. Unlike funnel_daily (same-day count ratios), this is
+    the per-user ordered-path definition an experimentation platform
+    reports.
+
+    Each step is one filtered aggregation plus a user-keyed join against
+    the (shrinking) survivor set of the previous step — k steps cost k
+    passes that each read one event-type partition of the log and
+    shuffle only user-grain rows; no windows, no per-user event
+    buffering. Spark's CTE dedup reuses the scan; the survivor joins are
+    AQE-sized (the deeper sets get small enough to broadcast)."""
+    ev = read_events(spark, sf_dir)
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    w = (
+        s1.agg(F.count("*").alias("n1"))
+        .crossJoin(s2.agg(F.count("*").alias("n2")))
+        .crossJoin(s3.agg(F.count("*").alias("n3")))
+    )
+    return w.selectExpr(
+        "stack(3,"
+        " '1_signup', n1, CAST(1000000 AS BIGINT),"
+        " '2_click', n2, n2 * 1000000 div NULLIF(n1, 0),"
+        " '3_purchase', n3, n3 * 1000000 div NULLIF(n2, 0)"
+        ") AS (step, users, conv_ppm)"
+    ).orderBy("step")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
