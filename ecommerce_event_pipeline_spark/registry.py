@@ -8758,6 +8758,228 @@ def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+_SESSION_STATS_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         date_diff('second', LAG(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+),
+s AS (
+  SELECT user_id, session_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur
+  FROM m GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounce_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_ppm,
+       quantile_cont(dur, 0.5) AS p50_duration_sec,
+       quantile_cont(dur, 0.9) AS p90_duration_sec,
+       CAST(MAX(dur) AS BIGINT) AS max_duration_sec
+FROM s
+"""
+
+
+@register("session_duration_stats", _SESSION_STATS_ORACLE)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality summary over gap-inferred sessions (30-min): total
+    sessions, bounce rate (single-event sessions, integer ppm), and
+    exact p50/p90/max dwell — the canonical engagement KPIs next to
+    inferred_sessions' per-session grain. Durations are integer seconds
+    (no float until the interpolated percentiles, which Spark
+    `percentile` and DuckDB `quantile_cont` compute identically); the
+    sessionize windows partition by user."""
+    from .operators.windows import sessionize
+
+    s = (
+        sessionize(read_events(spark, sf_dir))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("dur"),
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return s.agg(
+        F.count("*").alias("n_sessions"),
+        bounce.alias("bounce_sessions"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.expr("percentile(dur, 0.5D)").alias("p50_duration_sec"),
+        F.expr("percentile(dur, 0.9D)").alias("p90_duration_sec"),
+        F.max("dur").alias("max_duration_sec"),
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+),
+rev AS (
+  SELECT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) AS INT)
+           AS age_weeks,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+sz AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first_seen GROUP BY 1
+),
+wk AS (
+  SELECT cohort_week, age_weeks, SUM(cents) AS wk_cents
+  FROM rev GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, age_weeks,
+         SUM(wk_cents) OVER (PARTITION BY cohort_week
+                             ORDER BY age_weeks) AS cum_cents
+  FROM wk
+)
+SELECT c.cohort_week, c.age_weeks, s.cohort_users,
+       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       CAST(c.cum_cents // s.cohort_users AS BIGINT)
+         AS ltv_cents_per_user
+FROM cum c JOIN sz s ON s.cohort_week = c.cohort_week
+ORDER BY c.cohort_week, c.age_weeks
+"""
+
+
+@register("cohort_ltv_curve", _COHORT_LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen week,
+    purchase revenue accumulated by weeks-since-signup — the revenue
+    twin of retention_cohorts' activity triangle, read as "a week-N
+    user is worth X cents so far". Exact cents throughout; per-user LTV
+    is integer floor division by cohort size.
+
+    The cumulative sum windows PARTITION BY cohort (each frame is
+    calendar-bounded — weeks of product age — regardless of user
+    volume), so no global window appears; the cohort join is user-keyed
+    and the first-seen aggregate is one pass."""
+    ev = read_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    sz = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    wk = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("wk_cents")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wk.select(
+        "cohort_week",
+        "age_weeks",
+        F.sum("wk_cents").over(wcum).alias("cum_cents"),
+    )
+    return (
+        cum.join(sz, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "cum_cents",
+            F.expr("cum_cents div cohort_users").alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+_AB_POWER_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM u
+)
+SELECT n AS users_per_arm_pool, c AS converters,
+       ROUND(c / CAST(n AS DOUBLE), 6) AS base_rate,
+       ROUND((1.959964 + 0.841621)
+             * SQRT(2.0 * (c / CAST(n AS DOUBLE))
+                    * (1.0 - c / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_abs,
+       ROUND(((1.959964 + 0.841621)
+              * SQRT(2.0 * (c / CAST(n AS DOUBLE))
+                     * (1.0 - c / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) / 2.0)))
+             / (c / CAST(n AS DOUBLE)), 4) AS mde_rel
+FROM g
+"""
+
+
+@register("ab_power_mde", _AB_POWER_ORACLE)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: the minimum detectable effect for a
+    two-arm 50/50 split of the current user pool at α = 0.05 (two-sided)
+    and 80 % power — MDE = (z_{α/2}+z_β)·√(2p(1-p)/n_arm), the
+    pre-registration companion to ab_conversion_ztest's readout. The z
+    quantiles are pinned literals (1.959964, 0.841621), so the only
+    transcendental is the IEEE-exact SQRT and the result hash-matches
+    cross-engine."""
+    u = read_events(spark, sf_dir).groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    g = u.agg(F.count("*").alias("n"), F.sum("conv").alias("c"))
+    p = F.col("c") / F.col("n").cast("double")
+    mde = (1.959964 + 0.841621) * F.sqrt(
+        2.0 * p * (1.0 - p) / (F.col("n").cast("double") / 2.0)
+    )
+    return g.select(
+        F.col("n").alias("users_per_arm_pool"),
+        F.col("c").alias("converters"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 4).alias("mde_rel"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
