@@ -8980,6 +8980,158 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REC_HITRATE_ORACLE = """
+WITH train AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate < DATE '2000-01-01'
+),
+test AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '2000-01-01'
+),
+pairs AS (
+  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM train a JOIN train b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT part_1 AS part_id, part_2 AS partner_id, support FROM pairs
+  UNION ALL
+  SELECT part_2, part_1, support FROM pairs
+),
+nb AS (
+  SELECT part_id, partner_id FROM (
+    SELECT part_id, partner_id,
+           ROW_NUMBER() OVER (PARTITION BY part_id
+                              ORDER BY support DESC, partner_id) AS rk
+    FROM sym
+  ) WHERE rk <= 3
+),
+eligible AS (
+  SELECT l_orderkey FROM test GROUP BY 1 HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT DISTINCT t.l_orderkey
+  FROM test t
+  JOIN eligible e ON e.l_orderkey = t.l_orderkey
+  JOIN nb ON nb.part_id = t.l_partkey
+  JOIN test t2 ON t2.l_orderkey = t.l_orderkey
+             AND t2.l_partkey = nb.partner_id
+)
+SELECT (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM train)
+         AS n_train_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM eligible) AS n_test_baskets,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000000
+         // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM eligible), 0)
+         AS hitrate_ppm
+"""
+
+
+@register("item_rec_hitrate", _REC_HITRATE_ORACLE)
+def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation: train the item-item co-occurrence
+    top-3 neighbor table on pre-2000 orders, then score it on held-out
+    later baskets — a basket "hits" when any of its items' trained
+    neighbors also appears in it. Temporal split (never random) is the
+    honest protocol: the model can only use the past.
+
+    Scale shape mirrors training: the neighbor build is order-keyed
+    (Σ basket², never parts²) with map-side WindowGroupLimit; evaluation
+    is basket-keyed joins of the 3-row-per-item neighbor table against
+    the test items — fan-out bounded by basket size × 3. All counts and
+    the ppm hit-rate are exact integers."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    dated = li.join(
+        od, li["l_orderkey"] == od["o_orderkey"]
+    ).select("l_orderkey", "l_partkey", "o_orderdate")
+    train = (
+        dated.where(F.col("o_orderdate") < "2000-01-01")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    test = (
+        dated.where(F.col("o_orderdate") >= "2000-01-01")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = train.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
+    )
+    b = train.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "_o")
+        .where(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    sym = pairs.select(
+        F.col("part_1").alias("part_id"),
+        F.col("part_2").alias("partner_id"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_2").alias("part_id"),
+            F.col("part_1").alias("partner_id"),
+            "support",
+        )
+    )
+    wr = Window.partitionBy("part_id").orderBy(F.desc("support"), "partner_id")
+    nb = (
+        sym.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select("part_id", "partner_id")
+    )
+    eligible = (
+        test.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("l_orderkey")
+    )
+    t2 = test.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
+    )
+    hits = (
+        test.join(eligible, "l_orderkey", "left_semi")
+        .join(nb, test["l_partkey"] == nb["part_id"])
+        .join(
+            t2,
+            (F.col("_ok2") == F.col("l_orderkey"))
+            & (F.col("_pk2") == F.col("partner_id")),
+            "left_semi",
+        )
+        .select("l_orderkey")
+        .distinct()
+    )
+    w = (
+        train.agg(F.count_distinct("l_orderkey").alias("n_train_orders"))
+        .crossJoin(eligible.agg(F.count("*").alias("n_test_baskets")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return w.select(
+        "n_train_orders",
+        "n_test_baskets",
+        "n_hits",
+        F.expr("n_hits * 1000000 div NULLIF(n_test_baskets, 0)").alias(
+            "hitrate_ppm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
