@@ -408,6 +408,120 @@ class TestMadOutlierDays:
             assert r["is_outlier"] == (abs(z) >= 3.0)
 
 
+class TestSequenceFunnel:
+    def test_matches_pure_python_walk(self, spark):
+        rows = _duck(
+            "SELECT user_id, event_type, ts FROM events ORDER BY user_id, ts"
+        )
+        by_user: dict[int, list] = {}
+        for uid, et, ts in rows:
+            by_user.setdefault(uid, []).append((ts, et))
+        n1 = n2 = n3 = 0
+        for evs in by_user.values():
+            t1 = min((t for t, e in evs if e == "signup"), default=None)
+            if t1 is None:
+                continue
+            n1 += 1
+            t2 = min(
+                (t for t, e in evs if e == "click" and t > t1), default=None
+            )
+            if t2 is None:
+                continue
+            n2 += 1
+            if any(e == "purchase" and t > t2 for t, e in evs):
+                n3 += 1
+        got = {r["step"]: r for r in _query(spark, "sequence_funnel").collect()}
+        assert got["1_signup"]["users"] == n1
+        assert got["2_click"]["users"] == n2
+        assert got["3_purchase"]["users"] == n3
+        assert got["2_click"]["conv_ppm"] == n2 * 1_000_000 // n1
+        assert got["3_purchase"]["conv_ppm"] == n3 * 1_000_000 // n2
+
+
+class TestCohortLtvCurve:
+    def test_cumulative_and_conservation(self, spark):
+        got = _query(spark, "cohort_ltv_curve").collect()
+        assert got
+        # cumulative within each cohort is nondecreasing and LTV is the
+        # exact integer division
+        by_cohort: dict = {}
+        for r in got:
+            by_cohort.setdefault(r["cohort_week"], []).append(r)
+            assert r["ltv_cents_per_user"] == r["cum_cents"] // r["cohort_users"]
+        for rs in by_cohort.values():
+            ages = [r["age_weeks"] for r in rs]
+            assert ages == sorted(ages)
+            cums = [r["cum_cents"] for r in rs]
+            assert cums == sorted(cums)
+        # the final cumulative across cohorts = total purchase cents
+        (total,) = _duck(
+            "SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) FROM events"
+            " WHERE event_type = 'purchase'"
+        )[0]
+        assert sum(max(r["cum_cents"] for r in rs) for rs in by_cohort.values()) == total
+
+
+class TestSessionDurationStats:
+    def test_bounce_and_session_count_match_inferred_sessions(self, spark):
+        import __spark_entry__ as e
+
+        per_session = e.queries()["inferred_sessions"](spark, SF).collect()
+        n = len(per_session)
+        bounce = sum(1 for r in per_session if r["event_count"] == 1)
+        got = _query(spark, "session_duration_stats").collect()[0]
+        assert got["n_sessions"] == n
+        assert got["bounce_sessions"] == bounce
+        assert got["bounce_ppm"] == bounce * 1_000_000 // n
+        durs = sorted(r["duration_seconds"] for r in per_session)
+        assert got["max_duration_sec"] == durs[-1]
+
+
+class TestItemRecHitrate:
+    def test_identity_and_bounds(self, spark):
+        got = _query(spark, "item_rec_hitrate").collect()[0]
+        assert 0 <= got["n_hits"] <= got["n_test_baskets"]
+        if got["n_test_baskets"]:
+            assert got["hitrate_ppm"] == (
+                got["n_hits"] * 1_000_000 // got["n_test_baskets"]
+            )
+        (n_train,) = _duck(
+            "SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l"
+            " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            " WHERE o.o_orderdate < DATE '2000-01-01'"
+        )[0]
+        assert got["n_train_orders"] == n_train
+
+
+class TestNeymanAllocation:
+    def test_matches_pure_python_allocation(self, spark):
+        rows = _duck(
+            "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT)"
+            " FROM events WHERE value IS NOT NULL"
+        )
+        strata: dict[str, list[int]] = {}
+        for et, c in rows:
+            strata.setdefault(et, []).append(c)
+        sig = {}
+        for et, xs in strata.items():
+            n = len(xs)
+            s1, s2 = sum(xs), sum(x * x for x in xs)
+            sig[et] = math.sqrt((s2 - float(s1) * float(s1) / n) / (n - 1))
+        z = 0.0
+        for et in sorted(sig):
+            z += len(strata[et]) * sig[et]
+        got = _query(spark, "neyman_allocation").collect()
+        assert len(got) == len(strata)
+        for r in got:
+            et = r["event_type"]
+            assert r["n_rows"] == len(strata[et])
+            assert r["sigma"] == pytest.approx(round(sig[et], 6), abs=0)
+            assert r["alloc_n"] == math.floor(
+                10000.0 * (len(strata[et]) * sig[et]) / z
+            )
+        # allocations use (almost) the whole budget
+        assert 10000 - len(strata) < sum(r["alloc_n"] for r in got) <= 10000
+
+
 class TestWeekdaySeasonalAnomalies:
     def test_matches_pure_python_medians(self, spark):
         rows = _duck(
