@@ -9132,6 +9132,130 @@ def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_eval_oracle(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.2
+) -> str:
+    """Replays BOTH tiers — the df≤50-capped exact-Jaccard truth set and
+    the MinHash banding candidate set — and scores their agreement."""
+    from .functions.hashing import MERSENNE_31, lane_constants
+
+    rows_per_band = num_hashes // bands
+    lane_rows = ",\n    ".join(
+        f"({s}, {a}, {c})"
+        for s, (a, c) in enumerate(lane_constants(num_hashes))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
+exr AS (
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+truth AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM exr a
+    JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+  ) WHERE jaccard >= {threshold}
+),
+bs AS (
+  SELECT doc_id, shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS base
+  FROM ex0
+),
+lanes(s, a, c) AS (
+  VALUES
+    {lane_rows}
+),
+h AS (
+  SELECT doc_id, l.s,
+         MIN((bs.base * l.a + l.c) % {MERSENNE_31}) AS lane
+  FROM bs CROSS JOIN lanes l
+  GROUP BY doc_id, l.s
+),
+sig AS (SELECT doc_id, list(lane ORDER BY s) AS signature FROM h GROUP BY doc_id),
+bnd AS (
+  SELECT doc_id, r.bi,
+         array_to_string(signature[r.bi*{rows_per_band}+1 : r.bi*{rows_per_band}+{rows_per_band}], ',') AS band_key
+  FROM sig CROSS JOIN range({bands}) AS r(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bnd a JOIN bnd b
+    ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+tp AS (
+  SELECT COUNT(*) AS tp FROM truth
+  JOIN cand ON cand.doc_id_1 = truth.doc_id_1
+           AND cand.doc_id_2 = truth.doc_id_2
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(tp AS BIGINT) FROM tp) AS true_positives,
+       (SELECT CAST(tp AS BIGINT) FROM tp) * 1000000
+         // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM cand), 0)
+         AS precision_ppm,
+       (SELECT CAST(tp AS BIGINT) FROM tp) * 1000000
+         // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM truth), 0)
+         AS recall_ppm
+"""
+
+
+@register("lsh_eval_report", _lsh_eval_oracle())
+def lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-tier quality report: precision and recall of the MinHash
+    LSH banding stage against the exact-Jaccard truth set (df ≤ 50
+    universe, threshold 0.2) — the measurement that justifies the
+    banding parameters (16 bands × 4 rows ⇒ s-curve midpoint ≈ 0.5) or
+    tells you to retune them before a 100 TB run. Candidate precision is
+    EXPECTED to be low (banding trades precision for recall; the exact
+    verification stage restores it) — recall is the number that must
+    stay high, and this query pins both as exact integer ppm.
+
+    Both tiers reuse the shared shingle scan; the agreement join runs on
+    pair keys. This evaluates the same code paths minhash_near_dupes and
+    ngram_jaccard_pairs execute — no re-implementation drift."""
+    docs = read_table(spark, sf_dir, "documents")
+    sets = _shingle_sets_shared(spark, sf_dir, 3)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.2, max_df=50, sets_df=sets
+    ).select("doc_id_1", "doc_id_2")
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, sets_df=sets
+    ).select("doc_id_1", "doc_id_2")
+    tp = truth.join(cand, ["doc_id_1", "doc_id_2"], "left_semi")
+    w = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(tp.agg(F.count("*").alias("true_positives")))
+    )
+    return w.select(
+        "n_truth",
+        "n_candidates",
+        "true_positives",
+        F.expr(
+            "true_positives * 1000000 div NULLIF(n_candidates, 0)"
+        ).alias("precision_ppm"),
+        F.expr("true_positives * 1000000 div NULLIF(n_truth, 0)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
