@@ -292,3 +292,57 @@ def test_global_ntile_always_matches_sql_ntile(spark, keys, n_buckets):
         ).collect()
     }
     assert got == exp
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=2, max_value=14),
+)
+@SETTINGS
+def test_contrastive_shortlist_covers_true_top_candidates(spark, seed, n):
+    """The GEMM shortlist (top-4 per role per anchor, ±1e-6 margin) must be
+    a SUPERSET of the exact top-1 positive and top-2 negatives for every
+    anchor — the invariant that makes the downstream exact rerank equal
+    the full-pair-set oracle. Random vectors, one block."""
+    import math
+
+    import numpy as np
+
+    from ecommerce_event_pipeline_spark.functions.similarity import (
+        contrastive_shortlist,
+    )
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, 8).astype(np.float64)
+    rows = [(i, "b", [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = {
+        (r["anchor_id"], r["partner_id"])
+        for r in contrastive_shortlist(df, block_col="label", threshold=0.35)
+        .collect()
+    }
+    # exact per-anchor top candidates via the sequential-fold cosine
+    for i in range(n):
+        cands = []
+        for j in range(n):
+            if j == i:
+                continue
+            dot = na = nb = 0.0
+            for a, b in zip(vecs[i], vecs[j]):
+                dot += a * b
+            for a in vecs[i]:
+                na += a * a
+            for b in vecs[j]:
+                nb += b * b
+            c = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+            cands.append((c, j))
+        pos = sorted(
+            [t for t in cands if t[0] >= 0.35], key=lambda t: (-t[0], t[1])
+        )[:1]
+        neg = sorted(
+            [t for t in cands if t[0] < 0.35], key=lambda t: (-t[0], t[1])
+        )[:2]
+        for _, j in pos + neg:
+            assert (i, j) in got, (seed, n, i, j)
