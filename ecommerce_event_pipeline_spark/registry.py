@@ -9256,6 +9256,135 @@ def lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_WATERFALL_ORACLE = """
+WITH src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+capd AS (
+  SELECT source, n_docs, tokens, tokens // 2 AS cap FROM src
+),
+tot AS (
+  SELECT CAST(SUM(cap) * 9 // 10 AS DOUBLE) AS budget,
+         CAST(SUM(n_docs) AS DOUBLE) AS wtot
+  FROM capd
+),
+arr AS (
+  SELECT t.budget, t.wtot,
+         list_sort(list(struct_pack(
+           ratio := CAST(c.cap AS DOUBLE) / c.n_docs,
+           source := c.source,
+           cap := CAST(c.cap AS DOUBLE),
+           w := CAST(c.n_docs AS DOUBLE)))) AS s
+  FROM capd c, tot t GROUP BY 1, 2
+),
+ex AS (
+  SELECT budget, wtot, s, unnest(range(1, len(s)+1)) AS i FROM arr
+),
+alloc AS (
+  SELECT s[i].source AS source, s[i].cap AS cap, s[i].w AS w,
+    list_reduce(
+      list_prepend([budget, wtot],
+        list_transform(list_slice(s, 1, i-1), p -> [p.cap, p.w])),
+      (acc, x) -> [
+        acc[1] - LEAST(x[1], FLOOR(acc[1] * x[2] / acc[2])),
+        acc[2] - x[2]]) AS st
+  FROM ex
+)
+SELECT c.source, c.n_docs, c.tokens, c.cap,
+       CAST(LEAST(a.cap, FLOOR(a.st[1] * a.w / a.st[2])) AS BIGINT)
+         AS alloc_tokens,
+       CAST(FLOOR(LEAST(a.cap, FLOOR(a.st[1] * a.w / a.st[2]))
+                  * 1000000.0 / a.cap) AS BIGINT) AS fill_ppm
+FROM alloc a JOIN capd c ON c.source = a.source
+ORDER BY c.source
+"""
+
+
+@register("budget_waterfall", _BUDGET_WATERFALL_ORACLE)
+def budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus mixing — exact water-filling: a token
+    budget (90 % of total capacity) is split across sources
+    proportionally to doc count, but no source may contribute more than
+    half its tokens (the cap); capped sources' unused share cascades to
+    the rest. Sources are processed in ascending cap/weight order (the
+    water-filling order: binding caps first) with running (remaining
+    budget, remaining weight) state, so the allocation is the
+    deterministic sequential spec of the classic algorithm.
+
+    Cross-engine exactness: all quantities are integers carried as
+    doubles < 2⁵³ (every multiply/divide/floor exact-or-identically-
+    rounded in both engines), the fold is the per-prefix list-
+    accumulator pattern holt_revenue_backtest established, and the fold
+    length is the SOURCE CATALOG (20 here), never the corpus — the only
+    data-scale pass is the per-source token count."""
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens"),
+        )
+    )
+    capd = src.withColumn("cap", F.expr("tokens div 2"))
+    tot = capd.agg(
+        F.expr("CAST(sum(cap) * 9 div 10 AS DOUBLE)").alias("budget"),
+        F.sum("n_docs").cast("double").alias("wtot"),
+    )
+    arr = capd.crossJoin(F.broadcast(tot)).groupBy("budget", "wtot").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (F.col("cap").cast("double") / F.col("n_docs")).alias(
+                        "ratio"
+                    ),
+                    "source",
+                    F.col("cap").cast("double").alias("cap"),
+                    F.col("n_docs").cast("double").alias("w"),
+                )
+            )
+        ).alias("s")
+    )
+    rows = arr.select(
+        F.expr(
+            """
+            inline(transform(sequence(1, size(s)), i -> struct(
+              element_at(s, i).source AS source,
+              element_at(s, i).cap AS cap,
+              element_at(s, i).w AS w,
+              aggregate(
+                slice(s, 1, i - 1),
+                named_struct('r', budget, 'u', wtot),
+                (acc, x) -> named_struct(
+                  'r', acc.r - LEAST(x.cap, FLOOR(acc.r * x.w / acc.u)),
+                  'u', acc.u - x.w)) AS st)))
+            """
+        )
+    ).select(
+        "source",
+        F.least(
+            F.col("cap"),
+            F.floor(F.col("st.r") * F.col("w") / F.col("st.u")),
+        ).alias("_alloc"),
+    )
+    return (
+        capd.join(rows, "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "cap",
+            F.col("_alloc").cast("long").alias("alloc_tokens"),
+            F.floor(F.col("_alloc") * 1000000.0 / F.col("cap").cast("double"))
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
