@@ -9385,6 +9385,49 @@ def budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_HIST_ORACLE = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 1000, 63) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+regs AS (
+  SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, bin,
+         SUM(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY day) AS total
+  FROM regs
+)
+SELECT day, CAST(MAX(total) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 50
+                     THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p50_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 95
+                     THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p95_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 99
+                     THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p99_cents
+FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("streaming_histogram_quantiles", _STREAM_HIST_ORACLE)
+def streaming_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming quantile monitoring: daily tumbling-window 64-bin value
+    histograms maintained by Structured Streaming (state ≤ 64 counters
+    per open window, watermark-evicted), read off as p50/p95/p99 upper
+    bin edges — the live-SLO-dashboard twin of the batch
+    histogram_quantile_rollup. Counts merge exactly under any arrival
+    order, so the complete-mode result equals the batch replay the
+    oracle computes (window('1 day') aligns to UTC calendar days under
+    the pinned session timezone)."""
+    from .streaming import jobs
+
+    return jobs.run_streaming_histogram_quantiles(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -708,3 +708,62 @@ def run_streaming_user_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def run_streaming_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous quantile monitoring: daily tumbling windows maintain a
+    64-bin fixed-edge histogram of event value (exact cents, $10 bins) —
+    the STREAMING twin of the batch histogram_quantile_rollup sketch.
+    Per micro-batch the state is ≤ 64 counters per open window (bounded
+    by the watermark), counts merge exactly under any arrival order, and
+    the p50/p95/p99 readoff runs on the finished register table — so the
+    complete-mode result equals the batch answer and the oracle replays
+    it arithmetically. At scale this is the shape of a live latency /
+    value SLO dashboard: sketch state never grows with event volume."""
+    from pyspark.sql import Window
+
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.where(F.col("value").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.least(
+                F.expr("CAST(ROUND(value * 100) AS BIGINT) div 1000"),
+                F.lit(63),
+            ).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    table = _run_to_memory(agg, "complete")
+    regs = spark.table(table).select(
+        F.col("w.start").cast("date").alias("day"), "bin", "cnt"
+    )
+    wcum = (
+        Window.partitionBy("day")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("day")
+    cum = regs.select(
+        "day",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+
+    def _est(q: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("total") * q,
+                (F.col("bin") + 1) * 1000,
+            )
+        ).alias(f"est_p{q}_cents")
+
+    return (
+        cum.groupBy("day")
+        .agg(F.max("total").alias("n_events"), _est(50), _est(95), _est(99))
+        .orderBy("day")
+    )
