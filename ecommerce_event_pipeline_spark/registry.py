@@ -9428,6 +9428,157 @@ def streaming_histogram_quantiles(
     return jobs.run_streaming_histogram_quantiles(spark, sf_dir)
 
 
+_SUPPLIER_RELIABILITY_ORACLE = """
+WITH l AS (
+  SELECT li.l_suppkey,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(li.l_shipdate AS DATE)) > 90
+              THEN 1 ELSE 0 END AS late,
+         GREATEST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(li.l_shipdate AS DATE)) - 90, 0) AS delay_days
+  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+),
+g AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(late) AS BIGINT) AS late_items,
+         CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
+         CAST(SUM(delay_days) AS BIGINT) AS total_delay_days,
+         CAST(MAX(delay_days) AS BIGINT) AS max_delay_days
+  FROM l GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, g.n_items, g.late_items, g.late_ppm,
+       g.total_delay_days, g.max_delay_days
+FROM g JOIN supplier s ON s.s_suppkey = g.l_suppkey
+ORDER BY g.late_ppm DESC, s.s_suppkey
+"""
+
+
+@register("supplier_reliability", _SUPPLIER_RELIABILITY_ORACLE)
+def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier delivery-reliability scorecard: per supplier, the share of
+    lineitems shipped beyond a 90-day SLA from order date (integer ppm)
+    plus total and worst overrun days (the fixtures carry no
+    commit/receipt dates, so the SLA anchor is o_orderdate). One
+    order-keyed join into a supplier-keyed aggregate, broadcast-joined
+    to the supplier dimension; every output column is exact integer
+    arithmetic."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.when(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                > 90,
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+            F.greatest(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                - 90,
+                F.lit(0),
+            ).alias("delay_days"),
+        )
+    )
+    g = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum("late").alias("late_items"),
+        F.expr("CAST(sum(late) * 1000000 div count(*) AS BIGINT)").alias(
+            "late_ppm"
+        ),
+        F.sum("delay_days").cast("long").alias("total_delay_days"),
+        F.max("delay_days").cast("long").alias("max_delay_days"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        g.join(F.broadcast(s), g["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_items",
+            "late_items",
+            "late_ppm",
+            "total_delay_days",
+            "max_delay_days",
+        )
+        .orderBy(F.desc("late_ppm"), "s_suppkey")
+    )
+
+
+_ORDER_CADENCE_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+),
+gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM g
+        WHERE gap_days IS NOT NULL) AS repeat_customers,
+       quantile_cont(gap_days, 0.25) AS p25_gap_days,
+       quantile_cont(gap_days, 0.5) AS p50_gap_days,
+       quantile_cont(gap_days, 0.75) AS p75_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gg
+"""
+
+
+@register("order_cadence_stats", _ORDER_CADENCE_ORACLE)
+def order_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence summary: the distribution of days between a
+    customer's consecutive orders (per-customer LAG over order date with
+    orderkey tiebreak) — the reorder-rhythm input to replenishment
+    campaigns and churn-risk windows. Gaps are integer days; the
+    quartiles are the exact interpolated percentile (cross-engine
+    identical); the lag window partitions by customer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days"),
+    )
+    gg = g.where(F.col("gap_days").isNotNull())
+    rep = gg.agg(
+        F.count_distinct("o_custkey").alias("repeat_customers")
+    )
+    return (
+        gg.agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("percentile(gap_days, 0.25D)").alias("p25_gap_days"),
+            F.expr("percentile(gap_days, 0.5D)").alias("p50_gap_days"),
+            F.expr("percentile(gap_days, 0.75D)").alias("p75_gap_days"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .crossJoin(F.broadcast(rep))
+        .select(
+            "n_gaps",
+            "repeat_customers",
+            "p25_gap_days",
+            "p50_gap_days",
+            "p75_gap_days",
+            "min_gap_days",
+            "max_gap_days",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
