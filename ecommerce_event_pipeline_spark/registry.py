@@ -9625,6 +9625,115 @@ def latest_order_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_ORACLE = """
+SELECT event_date, event_type,
+       CAST(GROUPING(event_date) * 2 + GROUPING(event_type) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, user_id
+      FROM events)
+GROUP BY GROUPING SETS ((event_date), (event_type), ())
+ORDER BY gid, event_date, event_type
+"""
+
+
+@register("grouping_sets_traffic", _GROUPING_SETS_ORACLE)
+def grouping_sets_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the à-la-carte subtotal surface between
+    ROLLUP (hierarchical, traffic_rollup) and CUBE (all combinations,
+    traffic_cube): exactly the (date), (type), and grand-total groupings,
+    no (date, type) cross detail. Catalyst Expands each row × 3 (the
+    number of requested sets, not 2^levels); GROUPING() bits disambiguate
+    subtotal NULLs from data NULLs identically in both engines."""
+    ev = read_events(spark, sf_dir).select(
+        "event_date", "event_type", "user_id"
+    )
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_date, event_type,
+               CAST(GROUPING(event_date) * 2 + GROUPING(event_type)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS events,
+               COUNT(DISTINCT user_id) AS users
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_date), (event_type), ())
+        ORDER BY gid, event_date, event_type
+        """
+    )
+
+
+_NATION_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, cents,
+       SUM(cents) OVER (PARTITION BY region) AS region_cents,
+       CAST(CAST(cents AS HUGEINT) * 1000000
+            // SUM(CAST(cents AS HUGEINT)) OVER (PARTITION BY region)
+            AS BIGINT) AS share_ppm
+FROM rev
+ORDER BY region, share_ppm DESC, nation
+"""
+
+
+@register("nation_market_share", _NATION_SHARE_ORACLE)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent OLAP: each supplier nation's share of its REGION's
+    discounted revenue in integer ppm — the classic percent-of-total
+    window (RATIO_TO_REPORT) with the share as exact integer
+    cross-multiplication. The star join broadcasts the three small
+    dimensions; the share window partitions by region (25 nations / 5
+    regions — bounded frames at any fact-table scale)."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = read_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("nation", "region")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(w).alias("region_cents"),
+        F.expr(
+            "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000"
+            " div sum(CAST(cents AS DECIMAL(38,0)))"
+            " OVER (PARTITION BY region) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("region", F.desc("share_ppm"), "nation")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
