@@ -9734,6 +9734,84 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("region", F.desc("share_ppm"), "nation")
 
 
+_EMB_HEALTH_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+m AS (
+  SELECT vec_id, label,
+         len(e) AS dim,
+         SQRT(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm,
+         len(list_filter(e, x -> x = 0.0::DOUBLE)) AS n_zero_components,
+         len(list_filter(e, x -> isnan(x))) AS n_nan
+  FROM n
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_vectors,
+       CAST(SUM(n_nan) AS BIGINT) AS nan_components,
+       CAST(SUM(n_zero_components) AS BIGINT) AS zero_components,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       quantile_cont(nrm, 0.5) AS p50_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("embedding_health_report", _EMB_HEALTH_ORACLE)
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-corpus preflight: per label block, dimension consistency,
+    zero/NaN pathology counts, and the norm distribution (min / exact
+    median / max) — the data-quality gate an embedding pipeline runs
+    before spending GPU-hours on indexing or training. Catches the three
+    classic corruptions: truncated vectors (dim drift), dead encoder
+    outputs (zero vectors), and poisoned arithmetic (NaN components).
+
+    Norms use the module's sequential square-fold (bit-identical
+    cross-engine) with IEEE-exact SQRT; the median is the interpolated
+    percentile both engines share. One scan, label-grain aggregate."""
+    n = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    m = n.select(
+        "label",
+        F.size("e").alias("dim"),
+        nrm.alias("nrm"),
+        F.size(F.filter(F.col("e"), lambda x: x == 0.0)).alias(
+            "n_zero_components"
+        ),
+        F.size(F.filter(F.col("e"), lambda x: F.isnan(x))).alias("n_nan"),
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias(
+                "zero_vectors"
+            ),
+            F.sum("n_nan").cast("long").alias("nan_components"),
+            F.sum("n_zero_components").cast("long").alias("zero_components"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.expr("percentile(nrm, 0.5D)").alias("p50_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
