@@ -9812,6 +9812,77 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ASOF_ORACLE = """
+WITH base AS (
+  SELECT o_custkey, o_orderdate::DATE AS order_date,
+         CASE WHEN o_totalprice < 50000 THEN 'small'
+              WHEN o_totalprice < 200000 THEN 'medium'
+              ELSE 'large' END AS value_band,
+         o_orderdate AS ots, o_orderkey
+  FROM orders
+),
+flag AS (
+  SELECT *, CASE WHEN lag(value_band) OVER w IS NULL
+                   OR lag(value_band) OVER w <> value_band
+                 THEN 1 ELSE 0 END AS chg
+  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY ots, o_orderkey)
+),
+ver AS (
+  SELECT o_custkey, order_date, value_band,
+         sum(chg) OVER
+           (PARTITION BY o_custkey ORDER BY ots, o_orderkey) AS version
+  FROM flag
+),
+g AS (
+  SELECT o_custkey, version, value_band, min(order_date) AS valid_from
+  FROM ver GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT o_custkey, value_band, valid_from,
+         lead(valid_from) OVER wv AS valid_to
+  FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+),
+snap AS (
+  SELECT o_custkey, value_band FROM hist
+  WHERE valid_from <= DATE '1999-01-01'
+    AND (valid_to IS NULL OR DATE '1999-01-01' < valid_to)
+)
+SELECT value_band,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_custkey
+FROM snap GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("scd2_asof_snapshot", _SCD2_ASOF_ORACLE)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query against the SCD2 dimension: the
+    customer value-band distribution AS OF 1999-01-01, read from
+    customer_value_scd2's validity ranges (valid_from ≤ d < valid_to,
+    open-ended current rows) — the lookup every backfilled feature join
+    or "what did the world look like then" audit performs. The range
+    filter is row-local on the history table; no new shuffle beyond the
+    SCD2 build it snapshots."""
+    from .operators.relational import scd2_value_band_history
+
+    hist = scd2_value_band_history(read_table(spark, sf_dir, "orders"))
+    d = F.lit("1999-01-01").cast("date")
+    snap = hist.where(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (d < F.col("valid_to")))
+    )
+    return (
+        snap.groupBy("value_band")
+        .agg(
+            F.count("*").alias("customers"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+        )
+        .orderBy("value_band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
