@@ -522,6 +522,73 @@ class TestNeymanAllocation:
         assert 10000 - len(strata) < sum(r["alloc_n"] for r in got) <= 10000
 
 
+class TestSupplierReliability:
+    def test_matches_pure_python_sla(self, spark):
+        rows = _duck(
+            "SELECT li.l_suppkey, date_diff('day',"
+            " CAST(o.o_orderdate AS DATE), CAST(li.l_shipdate AS DATE))"
+            " FROM lineitem li JOIN orders o"
+            " ON o.o_orderkey = li.l_orderkey"
+        )
+        agg: dict[int, list[int]] = {}
+        for sk, lag in rows:
+            agg.setdefault(sk, []).append(lag)
+        got = {r["s_suppkey"]: r for r in _query(spark, "supplier_reliability").collect()}
+        assert len(got) == len(agg)
+        for sk, lags in agg.items():
+            r = got[sk]
+            late = sum(1 for g in lags if g > 90)
+            assert r["n_items"] == len(lags)
+            assert r["late_items"] == late
+            assert r["late_ppm"] == late * 1_000_000 // len(lags)
+            assert r["total_delay_days"] == sum(max(g - 90, 0) for g in lags)
+            assert r["max_delay_days"] == max(max(g - 90, 0) for g in lags)
+
+
+class TestNationMarketShare:
+    def test_shares_partition_regions(self, spark):
+        got = _query(spark, "nation_market_share").collect()
+        by_region: dict[str, list] = {}
+        for r in got:
+            by_region.setdefault(r["region"], []).append(r)
+        for region, rs in by_region.items():
+            total = rs[0]["region_cents"]
+            assert sum(r["cents"] for r in rs) == total
+            for r in rs:
+                assert r["region_cents"] == total
+                assert r["share_ppm"] == r["cents"] * 1_000_000 // total
+            # shares sum to ~1e6 (floor division loses < n_nations ppm)
+            s = sum(r["share_ppm"] for r in rs)
+            assert 1_000_000 - len(rs) < s <= 1_000_000
+
+
+class TestScd2AsofSnapshot:
+    def test_snapshot_counts_customers_once(self, spark):
+        import __spark_entry__ as e
+
+        hist = e.queries()["customer_value_scd2"](spark, SF).collect()
+        import datetime
+
+        d = datetime.date(1999, 1, 1)
+        bands: dict[str, set] = {}
+        for r in hist:
+            if r["valid_from"] <= d and (
+                r["valid_to"] is None or d < r["valid_to"]
+            ):
+                bands.setdefault(r["value_band"], set()).add(r["o_custkey"])
+        # validity ranges are disjoint: no customer in two bands at once
+        seen: set = set()
+        for s in bands.values():
+            assert not (seen & s)
+            seen |= s
+        got = {r["value_band"]: r for r in _query(spark, "scd2_asof_snapshot").collect()}
+        assert set(got) == set(bands)
+        for band, custs in bands.items():
+            assert got[band]["customers"] == len(custs)
+            assert got[band]["min_custkey"] == min(custs)
+            assert got[band]["max_custkey"] == max(custs)
+
+
 class TestWeekdaySeasonalAnomalies:
     def test_matches_pure_python_medians(self, spark):
         rows = _duck(
