@@ -9883,6 +9883,61 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_FRAME_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id
+                  ORDER BY date_diff('second',
+                                     TIMESTAMP '1970-01-01 00:00:00', ts)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_cents,
+       CAST(COUNT(*)
+            OVER (PARTITION BY user_id
+                  ORDER BY date_diff('second',
+                                     TIMESTAMP '1970-01-01 00:00:00', ts)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_events
+FROM events WHERE value IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+@register("trailing_hour_range_frame", _RANGE_FRAME_ORACLE)
+def trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event TIME (not row position): for every
+    event, the exact-cents value sum and event count of the same user's
+    trailing hour — `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` on
+    epoch seconds, the velocity/rate-limit feature a fraud or abuse
+    model reads. Unlike the ROWS frames elsewhere in the repo, RANGE
+    bounds are VALUE-based: simultaneous events are frame peers and
+    contribute regardless of tiebreak order, so the result is
+    deterministic without an id tiebreak. Partitioned by user — frames
+    never cross keys at any scale."""
+    from pyspark.sql import Window
+
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("_sec"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("_c").over(w).alias("trailing_1h_cents"),
+        F.count("*").over(w).alias("trailing_1h_events"),
+    ).orderBy("user_id", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
