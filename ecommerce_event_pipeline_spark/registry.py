@@ -9938,6 +9938,163 @@ def trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+_FK_INTEGRITY_ORACLE = """
+SELECT rel, n_child_rows, orphans,
+       orphans * 1000000 // NULLIF(n_child_rows, 0) AS orphan_ppm
+FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS rel,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+) ORDER BY rel
+"""
+
+
+@register("fk_integrity_report", _FK_INTEGRITY_ORACLE)
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    (child keys with no parent) for the five core relationships, in
+    exact integer ppm — the constraint checking a lakehouse must run
+    itself because parquet enforces nothing. Each relationship is one
+    LEFT ANTI join (hash-shuffle on the key, broadcast when the parent
+    is a dimension); the five audits share no state and pipeline
+    independently."""
+
+    def audit(rel, child, key, parent, pkey):
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent).select(pkey)
+        n = c.agg(F.count("*").alias("n_child_rows"))
+        orphans = (
+            c.join(p, c[key] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("orphans"))
+        )
+        return (
+            n.crossJoin(orphans)
+            .select(
+                F.lit(rel).alias("rel"),
+                "n_child_rows",
+                "orphans",
+                F.expr(
+                    "orphans * 1000000 div NULLIF(n_child_rows, 0)"
+                ).alias("orphan_ppm"),
+            )
+        )
+
+    rels = [
+        audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+              "orders", "o_orderkey"),
+        audit("orders.o_custkey->customer", "orders", "o_custkey",
+              "customer", "c_custkey"),
+        audit("lineitem.l_partkey->part", "lineitem", "l_partkey",
+              "part", "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+              "supplier", "s_suppkey"),
+        audit("customer.c_nationkey->nation", "customer", "c_nationkey",
+              "nation", "n_nationkey"),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rel")
+
+
+_DUP_PAYMENT_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id,
+       a.event_id AS event_id_1, b.event_id AS event_id_2,
+       a.cents AS cents_1, b.cents AS cents_2,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_seconds
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.cents // 100 = b.cents // 100
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND date_diff('second', a.ts, b.ts) <= 86400
+ORDER BY a.user_id, event_id_1, event_id_2
+"""
+
+
+@register("duplicate_payment_screen", _DUP_PAYMENT_ORACLE)
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge screen: purchase pairs by the SAME user for the same
+    whole-dollar amount within 24 hours — the accidental-resubmit /
+    replay detector (dollar-bucket blocking catches near-identical
+    retries whose cents differ by fees). The self-join keys on
+    (user, dollar bucket), so candidate volume is bounded by
+    per-user-per-amount repetition (never purchases²); the proximity
+    and ordering predicates are row-local afterward. All output
+    integers."""
+    p = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("_sec"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    p = p.withColumn("_dollar", F.expr("cents div 100"))
+    a = p.select(
+        "user_id",
+        "_dollar",
+        F.col("event_id").alias("event_id_1"),
+        F.col("_sec").alias("_sec1"),
+        F.col("cents").alias("cents_1"),
+    )
+    b = p.select(
+        "user_id",
+        "_dollar",
+        F.col("event_id").alias("event_id_2"),
+        F.col("_sec").alias("_sec2"),
+        F.col("cents").alias("cents_2"),
+    )
+    return (
+        a.join(b, ["user_id", "_dollar"])
+        .where(
+            (F.col("event_id_1") < F.col("event_id_2"))
+            & (F.col("_sec2") >= F.col("_sec1"))
+            & (F.col("_sec2") - F.col("_sec1") <= 86400)
+        )
+        .select(
+            "user_id",
+            "event_id_1",
+            "event_id_2",
+            "cents_1",
+            "cents_2",
+            (F.col("_sec2") - F.col("_sec1")).alias("gap_seconds"),
+        )
+        .orderBy("user_id", "event_id_1", "event_id_2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
