@@ -10095,6 +10095,76 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CART_ABANDON_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         date_diff('second', LAG(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, event_type,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+),
+s AS (
+  SELECT user_id, session_seq,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_cart,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase
+  FROM m GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(has_cart) AS BIGINT) AS cart_sessions,
+       CAST(SUM(CASE WHEN has_cart = 1 AND has_purchase = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS abandoned_sessions,
+       CAST(SUM(CASE WHEN has_cart = 1 AND has_purchase = 0
+                     THEN 1 ELSE 0 END) * 1000000
+            // NULLIF(SUM(has_cart), 0) AS BIGINT) AS abandonment_ppm
+FROM s
+"""
+
+
+@register("cart_abandonment", _CART_ABANDON_ORACLE)
+def cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment rate over gap-inferred sessions: sessions that
+    contain an intent event (click, this log's add-to-cart analog) but
+    no purchase before the session expires — THE e-commerce
+    recovery-campaign KPI, in integer ppm. Same 30-minute sessionization
+    as inferred_sessions; the per-session flags are one grouped MAX pass
+    and the rollup is a single row."""
+    from .operators.windows import sessionize
+
+    s = (
+        sessionize(read_events(spark, sf_dir))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("has_cart"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_purchase"),
+        )
+    )
+    abandoned = F.sum(
+        F.when((F.col("has_cart") == 1) & (F.col("has_purchase") == 0), 1)
+        .otherwise(0)
+    )
+    return s.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_cart").cast("long").alias("cart_sessions"),
+        abandoned.cast("long").alias("abandoned_sessions"),
+        F.expr(
+            "CAST(sum(CASE WHEN has_cart = 1 AND has_purchase = 0"
+            " THEN 1 ELSE 0 END) * 1000000"
+            " div NULLIF(sum(has_cart), 0) AS BIGINT)"
+        ).alias("abandonment_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
