@@ -10165,6 +10165,109 @@ def cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDERS_PROFILE_ORACLE = """
+WITH t AS (SELECT * FROM orders),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t)
+SELECT col, n.n_rows, nulls, distincts, min_str, max_str
+FROM (
+  SELECT 'o_orderkey' AS col,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS distincts,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+  FROM t
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM t
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM t
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM t
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS BIGINT),
+         CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+  FROM t
+  UNION ALL
+  SELECT 'o_orderdate',
+         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+         CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+         CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+  FROM t
+), n ORDER BY col
+"""
+
+
+@register("orders_profile", _ORDERS_PROFILE_ORACLE)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling (the ANALYZE / dbt-profiler shape):
+    null counts, exact distinct cardinality, and min/max rendered as
+    strings per column of the orders table — the statistics a CBO or a
+    data-contract monitor reads. Doubles profile through their
+    exact-cents form so min/max stringify identically cross-engine.
+
+    Each column's profile is one conditional-aggregate branch; Spark
+    plans the distincts via Expand (k× the column count, not rows×cols
+    scans) and the union is over six 1-row aggregates. At a wider table
+    this generates from the schema rather than being hand-listed."""
+    t = read_table(spark, sf_dir, "orders")
+    n = t.agg(F.count("*").alias("n_rows"))
+
+    def prof(col, expr_col):
+        # min/max in the column's NATIVE order, stringified after — a
+        # lexicographic min over stringified numbers would rank "100"
+        # below "99"
+        c = expr_col
+        return t.agg(
+            F.lit(col).alias("col"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls"),
+            F.count_distinct(c).alias("distincts"),
+            F.min(c).cast("string").alias("min_str"),
+            F.max(c).cast("string").alias("max_str"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    parts = [
+        prof("o_orderkey", F.col("o_orderkey")),
+        prof("o_custkey", F.col("o_custkey")),
+        prof("o_orderstatus", F.col("o_orderstatus")),
+        prof("o_orderpriority", F.col("o_orderpriority")),
+        t.agg(
+            F.lit("o_totalprice_cents").alias("col"),
+            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls"),
+            F.count_distinct(cents).alias("distincts"),
+            F.min(cents).cast("string").alias("min_str"),
+            F.max(cents).cast("string").alias("max_str"),
+        ),
+        prof("o_orderdate", F.to_date("o_orderdate")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(n)).select(
+        "col", "n_rows", "nulls", "distincts", "min_str", "max_str"
+    ).orderBy("col")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part
