@@ -10268,6 +10268,124 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col")
 
 
+_PRICE_QTY_OLS_ORACLE = """
+WITH j AS (
+  SELECT p_brand,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(qty) AS sx, SUM(cents) AS sy,
+         SUM(qty * qty) AS sxx, SUM(qty * cents) AS sxy,
+         SUM(cents * cents) AS syy
+  FROM j GROUP BY p_brand
+), d AS (
+  -- exact → VARCHAR → DOUBLE: DuckDB's direct HUGEINT→DOUBLE cast is
+  -- off by 1 ulp for some >2^63 values; the string route is correctly
+  -- rounded (matches Spark's decimal→string→double and Python floats)
+  SELECT p_brand, n,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov_num,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS var_x_num,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS var_y_num,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d
+  FROM s
+)
+SELECT p_brand, n,
+       cov_num / NULLIF(var_x_num, 0.0::DOUBLE) AS slope_cents_per_unit,
+       (sy_d - (cov_num / NULLIF(var_x_num, 0.0::DOUBLE)) * sx_d)
+         / CAST(n AS DOUBLE) AS intercept_cents,
+       (cov_num / NULLIF(var_x_num, 0.0::DOUBLE))
+         * (cov_num / NULLIF(var_y_num, 0.0::DOUBLE)) AS r2
+FROM d ORDER BY p_brand
+"""
+
+
+@register("price_quantity_ols", _PRICE_QTY_OLS_ORACLE)
+def price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS regression of line revenue on quantity via EXACT
+    sufficient statistics: slope/intercept/R² derived from integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy² in cents/units) — the regr_slope /
+    regr_intercept / regr_r2 surface, but hash-oracle-safe because the
+    only float ops are a handful of final divisions on exact integers
+    (grouped float SUMs accumulate in partition order and can never be
+    hash-compared; integer partials merge associatively).
+
+    Scale shape: one map-side-combinable hash aggregate after the
+    lineitem⋈part key join — the shuffle carries 6 integers per brand,
+    not rows. Sums are DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so Σy²
+    survives arbitrarily large groups (Σcents² passes int64 around
+    ~20k rows per group). Reference computes no regressions at all
+    (reference: scripts/build_product_metrics.py:1 has only count/sum
+    aggregates); this is the CBO-style statistics surface an analytics
+    engine owes its users."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    s = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            "p_brand", qty.alias("qty"), cents.alias("cents")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("qty").cast(dec)).alias("sx"),
+            F.sum(F.col("cents").cast(dec)).alias("sy"),
+            F.sum((F.col("qty") * F.col("qty")).cast(dec)).alias("sxx"),
+            F.sum((F.col("qty") * F.col("cents")).cast(dec)).alias("sxy"),
+            F.sum((F.col("cents") * F.col("cents")).cast(dec)).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast(dec)
+
+    def exact_to_double(col):
+        # decimal(38,0) → string → double: Double.parseDouble is
+        # correctly rounded; Java BigDecimal.doubleValue (the direct
+        # decimal→double cast) is off by 1 ulp for some >2^63 exacts,
+        # which DuckDB's correctly-rounded HUGEINT→DOUBLE exposes.
+        return col.cast("string").cast("double")
+
+    d = s.select(
+        "p_brand",
+        "n",
+        exact_to_double(
+            nd * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).alias("cov_num"),
+        exact_to_double(
+            nd * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).alias("var_x_num"),
+        exact_to_double(
+            nd * F.col("syy") - F.col("sy") * F.col("sy")
+        ).alias("var_y_num"),
+        exact_to_double(F.col("sx")).alias("sx_d"),
+        exact_to_double(F.col("sy")).alias("sy_d"),
+    )
+    slope = F.col("cov_num") / F.nullif(
+        F.col("var_x_num"), F.lit(0.0)
+    )
+    return d.select(
+        "p_brand",
+        "n",
+        slope.alias("slope_cents_per_unit"),
+        (
+            (F.col("sy_d") - slope * F.col("sx_d"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        (
+            slope
+            * (
+                F.col("cov_num")
+                / F.nullif(F.col("var_y_num"), F.lit(0.0))
+            )
+        ).alias("r2"),
+    ).orderBy("p_brand")
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -618,3 +618,47 @@ class TestWeekdaySeasonalAnomalies:
             assert r["wd_median"] == pytest.approx(med, abs=0)
             assert r["dev_ppm"] == pytest.approx(round(dev, 2), abs=0)
             assert r["is_anomaly"] == (abs(dev) >= 150000.0)
+
+
+class TestPriceQuantityOls:
+    def test_matches_pure_python_ols(self, spark):
+        rows = _duck(
+            "SELECT p_brand, CAST(ROUND(l_quantity) AS BIGINT),"
+            " CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        )
+        groups: dict[str, list[tuple[int, int]]] = {}
+        for b, x, y in rows:
+            groups.setdefault(b, []).append((int(x), int(y)))
+        got = {r["p_brand"]: r for r in _query(spark, "price_quantity_ols").collect()}
+        assert set(got) == set(groups)
+        for b, xy in groups.items():
+            n = len(xy)
+            sx = sum(x for x, _ in xy)
+            sy = sum(y for _, y in xy)
+            sxx = sum(x * x for x, _ in xy)
+            sxy = sum(x * y for x, y in xy)
+            syy = sum(y * y for _, y in xy)
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            # exact-int → float conversions are correctly rounded in
+            # Python, so this is bit-for-bit the engine formula
+            slope = float(cov) / float(vx)
+            r = got[b]
+            assert r["n"] == n
+            assert r["slope_cents_per_unit"] == pytest.approx(slope, abs=0)
+            assert r["intercept_cents"] == pytest.approx(
+                (float(sy) - slope * float(sx)) / float(n), abs=0
+            )
+            assert r["r2"] == pytest.approx(
+                slope * (float(cov) / float(vy)), abs=0
+            )
+
+    def test_r2_bounds(self, spark):
+        rows = _query(spark, "price_quantity_ols").collect()
+        assert len(rows) == 25  # one per TPC-H brand
+        for r in rows:
+            # r² is a squared correlation (slope sign is data-dependent
+            # at tiny SF: per-part unit prices dwarf the qty effect)
+            assert 0.0 <= r["r2"] <= 1.0
