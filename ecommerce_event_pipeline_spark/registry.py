@@ -10386,6 +10386,82 @@ def price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand")
 
 
+_BEHAVIOR_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), p AS (
+  SELECT user_id,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                  ORDER BY event_type)),
+           (acc, t) -> acc + t) AS sum_nlnn
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       ROUND(ln(CAST(n_events AS DOUBLE))
+         - sum_nlnn / CAST(n_events AS DOUBLE), 6) AS entropy_nats,
+       CASE WHEN n_types > 1 THEN
+         ROUND((ln(CAST(n_events AS DOUBLE))
+            - sum_nlnn / CAST(n_events AS DOUBLE))
+           / ln(CAST(n_types AS DOUBLE)), 6)
+       END AS evenness
+FROM p ORDER BY user_id
+"""
+
+
+@register("behavior_entropy", _BEHAVIOR_ENTROPY_ORACLE)
+def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (plus Pielou
+    evenness H/ln(k)) — the behavioral-diversity feature a churn or
+    bot-detection model consumes. H = ln(N) − (Σ nᵢ·ln nᵢ)/N from EXACT
+    integer type counts, with the Σ computed as a sequential fold over
+    the type-sorted array (F.aggregate ↔ list_reduce) so the float
+    accumulation order is pinned on both engines — a grouped double SUM
+    would accumulate in partition order and break the hash oracle.
+
+    Scale shape: two hash aggregates, both map-side combinable; the
+    fold runs over ≤|event-type| elements per user (bounded, tiny).
+    The reference has no information-theoretic surface (its per-user
+    report is count/sum only, reference: scripts/build_user_metrics.py)."""
+    ev = read_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    n_d = F.col("n_events").cast("double")
+    k_d = F.col("n_types").cast("double")
+    h = F.log(n_d) - F.col("sum_nlnn") / n_d
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "n"))
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + t["n"].cast("double") * F.log(t["n"].cast("double")),
+            ).alias("sum_nlnn"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            # ROUND(6) rides over the last-ulp ln() divergence between
+            # Java Math.log and libm (ln(74) differs by 1 ulp) — the
+            # same trick as value_drift_psi's ROUND(4)
+            F.round(h, 6).alias("entropy_nats"),
+            F.when(
+                F.col("n_types") > 1, F.round(h / F.log(k_d), 6)
+            ).alias("evenness"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver grades correctness for only the FIRST 50
 # registered queries (CORRECTNESS_r01.json cut at 50), so ordering is part

@@ -662,3 +662,40 @@ class TestPriceQuantityOls:
             # r² is a squared correlation (slope sign is data-dependent
             # at tiny SF: per-part unit prices dwarf the qty effect)
             assert 0.0 <= r["r2"] <= 1.0
+
+
+class TestBehaviorEntropy:
+    def test_matches_pure_python_entropy(self, spark):
+        rows = _duck(
+            "SELECT user_id, event_type, COUNT(*) FROM events GROUP BY 1, 2"
+        )
+        groups: dict[int, dict[str, int]] = {}
+        for u, t, n in rows:
+            groups.setdefault(u, {})[t] = int(n)
+        got = {r["user_id"]: r for r in _query(spark, "behavior_entropy").collect()}
+        assert set(got) == set(groups)
+        for u, counts in groups.items():
+            n = sum(counts.values())
+            s = 0.0
+            for t in sorted(counts):  # the engines' pinned fold order
+                c = float(counts[t])
+                s += c * math.log(c)
+            h = math.log(float(n)) - s / float(n)
+            r = got[u]
+            assert r["n_events"] == n
+            assert r["n_types"] == len(counts)
+            assert r["entropy_nats"] == pytest.approx(h, abs=1e-6)
+            if len(counts) > 1:
+                assert r["evenness"] == pytest.approx(
+                    h / math.log(float(len(counts))), abs=1e-6
+                )
+                assert 0.0 <= r["evenness"] <= 1.0
+            else:
+                assert r["evenness"] is None
+
+    def test_uniform_mix_has_max_entropy(self, spark):
+        # a user seeing every type equally often would have evenness 1;
+        # nobody exceeds it and single-type users pin to zero entropy
+        for r in _query(spark, "behavior_entropy").collect():
+            if r["n_types"] == 1:
+                assert r["entropy_nats"] == 0.0
