@@ -241,7 +241,16 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     Σ 2^(53−rho) (empty buckets contribute 2^53 each; ≤ 256·2^53 < 2^62),
     so the raw estimate is one double division of two exactly-agreed
     numbers. Small-range correction (E ≤ 2.5m, V > 0 → m·ln(m/V)) uses
-    one ln call, rounded to 2 decimals on both sides."""
+    one ln call, rounded to 2 decimals.
+
+    PORTABILITY: only ``v_zero`` and ``sum_scaled`` are bit-exact across
+    engines. The ``estimate`` column is a pure function of them but goes
+    through libm ``ln()``, which is NOT IEEE-754 correctly rounded (only
+    sqrt is): a last-ulp JVM-vs-system-libm difference can flip
+    ROUND(x,2) on a boundary row — it did, in the r05 driver grade.
+    Never put ``estimate`` in a cross-engine hash-compared projection;
+    hash the integer state and tolerance-check the estimate (pytest, or
+    :func:`hll_estimate_value` on the collected integers)."""
     per_group = registers.groupBy(*group_cols).agg(
         F.count("*").alias("_present"),
         # SQL expr: the Python shiftleft() wrapper takes only a literal
@@ -265,6 +274,20 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         sum_scaled.cast("long").alias("sum_scaled"),
         F.round(est, 2).alias("estimate"),
     )
+
+
+def hll_estimate_value(v_zero: int, sum_scaled: int) -> float:
+    """The HLL estimate as a plain-Python function of the bit-exact
+    integer state (v_zero, sum_scaled) — the reference arithmetic for
+    pytest tolerance checks on queries that hash only the integers
+    (hll_distinct_daily / hll_weekly_rollup / hll_segment_overlap).
+    Mirrors :func:`hll_estimate`'s column expression exactly, unrounded."""
+    import math
+
+    raw_e = HLL_EST_NUMERATOR / float(sum_scaled)
+    if raw_e <= 2.5 * HLL_M and v_zero > 0:
+        return float(HLL_M) * math.log(float(HLL_M) / float(v_zero))
+    return raw_e
 
 
 class Bloom(NamedTuple):

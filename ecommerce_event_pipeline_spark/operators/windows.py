@@ -198,6 +198,11 @@ def global_ntile(
     The total row count rides along as one more column of the tiny
     broadcast offsets frame, so no extra pass over the data is needed.
     """
+    if int(n_buckets) < 1:
+        # b = 0 would reach `_n % 0` / `_n div 0` in the bucket
+        # expression: silent NULL buckets in default mode, a runtime
+        # error under ANSI — fail loudly at the API boundary instead
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         num_partitions = int(
@@ -314,6 +319,9 @@ def grouped_ntile(
     Bit-identical to the SQL window over a total per-group order
     (include a tie-break in ``order_cols``).
     """
+    if int(n_buckets) < 1:
+        # same guard as global_ntile: b = 0 reaches `_n % 0` / `_n div 0`
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if not all(isinstance(c, str) for c in group_cols):
         # group columns are reused as join keys by NAME; a Column object
         # has no reliable name to rebind on the counts/offsets frames

@@ -282,6 +282,15 @@ class TestPeakConcurrency:
 
 class TestHllSegmentOverlap:
     def test_union_bounds_and_exact_overlap(self, spark):
+        """The query hashes only the integer register state (libm
+        portability — see hll_distinct_daily); the ln()-derived estimates
+        are reconstructed HERE from that state via hll_estimate_value and
+        bounds-checked: union ≥ each side, inclusion-exclusion
+        intersection within sketch error of the exact overlap."""
+        from ecommerce_event_pipeline_spark.functions.sketch import (
+            hll_estimate_value,
+        )
+
         got = _query(spark, "hll_segment_overlap").collect()
         assert len(got) == 10  # C(5,2) event-type pairs
         exact = {}
@@ -295,12 +304,43 @@ class TestHllSegmentOverlap:
             exact[(a, b)] = n
         for r in got:
             assert r["exact_intersect"] == exact.get((r["seg_a"], r["seg_b"]), 0)
+            est_a = hll_estimate_value(r["v_zero_a"], r["sum_scaled_a"])
+            est_b = hll_estimate_value(r["v_zero_b"], r["sum_scaled_b"])
+            est_u = hll_estimate_value(r["v_zero_union"], r["sum_scaled_union"])
             # union of two sets is at least as big as either estimate
-            assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
-            assert r["est_intersect"] >= 0.0
-            # inclusion-exclusion identity (after the shared rounding)
-            recon = round(max(0.0, r["est_a"] + r["est_b"] - r["est_union"]), 2)
-            assert r["est_intersect"] == pytest.approx(recon, abs=0)
+            assert est_u >= max(est_a, est_b) - 1e-9
+            est_i = max(0.0, est_a + est_b - est_u)
+            # inclusion-exclusion compounds three ±1.04/√256 sketches;
+            # allow 3 × the summed std errors plus slack for tiny overlaps
+            err = 3 * 1.04 / 16 * (est_a + est_b + est_u)
+            assert abs(est_i - r["exact_intersect"]) <= err + 5.0, (
+                r["seg_a"], r["seg_b"], est_i, r["exact_intersect"])
+
+
+class TestHllEstimates:
+    """Tolerance checks for the ln()-derived HLL estimates that the
+    daily/weekly queries deliberately keep OUT of their hash-compared
+    projections (cross-engine libm — CORRECTNESS_r05's only reds). The
+    estimate is recomputed in pure Python from the bit-exact integer
+    state each query DOES hash, and compared against the exact distinct
+    count the same row carries."""
+
+    @pytest.mark.parametrize(
+        "name", ["hll_distinct_daily", "hll_weekly_rollup"]
+    )
+    def test_estimate_within_theory_error(self, spark, name):
+        from ecommerce_event_pipeline_spark.functions.sketch import (
+            hll_estimate_value,
+        )
+
+        rows = _query(spark, name).collect()
+        assert rows
+        for r in rows:
+            est = hll_estimate_value(r["v_zero"], r["sum_scaled"])
+            exact = r["exact_users"]
+            # 3σ of the p=8 HLL (~1.04/√256 ≈ 6.5% rel.) + small-n slack
+            assert abs(est - exact) <= 3 * 1.04 / 16 * exact + 5.0, (
+                name, r, est)
 
 
 class TestContrastivePairs:

@@ -66,6 +66,22 @@ def test_global_ntile_empty_input(spark):
     assert global_ntile(df, 5, ["k", "uid"], out_col="nt").count() == 0
 
 
+def test_ntile_rejects_nonpositive_buckets(spark):
+    """b = 0 would hit `_n % 0` in the bucket arithmetic — silent NULLs
+    in default mode, a runtime error under ANSI; both helpers must fail
+    loudly at the API boundary instead."""
+    import pytest
+
+    from ecommerce_event_pipeline_spark.operators.windows import grouped_ntile
+
+    df = _frame(spark, 10)
+    for b in (0, -3):
+        with pytest.raises(ValueError, match="n_buckets"):
+            global_ntile(df, b, ["k", "uid"])
+        with pytest.raises(ValueError, match="n_buckets"):
+            grouped_ntile(df, b, ["k"], ["uid"])
+
+
 def test_global_rank_plan_has_no_unpartitioned_window(spark):
     """The reason these helpers exist: the physical plan must contain no
     single-partition WindowExec (every Window node keys on _pid), so the
