@@ -7584,8 +7584,10 @@ f AS (
               ELSE acc[1] + acc[2] END AS fc
   FROM folds
 )
-SELECT day, actual_cents, ROUND(fc, 4) AS forecast_cents,
-       ROUND(ABS(CAST(actual_cents AS DOUBLE) - fc), 4) AS abs_err_cents
+SELECT day, actual_cents,
+       CAST(FLOOR(fc) AS BIGINT) AS forecast_floor_cents,
+       CAST(FLOOR(ABS(CAST(actual_cents AS DOUBLE) - fc)) AS BIGINT)
+         AS abs_err_floor_cents
 FROM f ORDER BY day
 """
 
@@ -7604,7 +7606,16 @@ def holt_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: each forecast is a strictly sequential left-to-right
     fold with identical literal coefficients and operand order in both
     engines (the list_prepend-sentinel trick on the DuckDB side), so
-    every double matches bit-for-bit. Two DuckDB list_reduce hazards
+    every double matches bit-for-bit. Hash discipline (r6 driver red →
+    r7 fix): the driver environment's ROUND(double, 4) semantics differ
+    between engines (Spark rounds the exact BigDecimal expansion
+    HALF_UP; DuckDB scales by 10^4 first), so the hashed projection
+    carries only FLOOR-of-double BIGINTs — FLOOR is IEEE-exact on the
+    bit-identical fold output, no libm, no decimal-scaling ambiguity.
+    The 4-decimal forecast values are pytest-checked against a pure
+    Python replay of the recurrence instead
+    (tests/test_analytics_marts.py::TestHoltForecast). Two DuckDB
+    list_reduce hazards
     found empirically force the shape here: (1) a list nested in a
     struct accumulator silently resets each step, hence the per-prefix
     refit instead of one forecast-accumulating fold; (2) struct_pack
@@ -7656,10 +7667,10 @@ def holt_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "day",
         "actual_cents",
-        F.round("fc", 4).alias("forecast_cents"),
-        F.round(
-            F.abs(F.col("actual_cents").cast("double") - F.col("fc")), 4
-        ).alias("abs_err_cents"),
+        F.floor("fc").cast("long").alias("forecast_floor_cents"),
+        F.floor(
+            F.abs(F.col("actual_cents").cast("double") - F.col("fc"))
+        ).cast("long").alias("abs_err_floor_cents"),
     ).orderBy("day")
 
 
@@ -7674,15 +7685,16 @@ w AS (
   SELECT day, cents, CAST(isodow(day) - 1 AS INT) AS weekday FROM d
 ),
 base AS (
-  SELECT weekday, quantile_cont(cents, 0.5) AS wd_median
+  SELECT weekday,
+         CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS wd_med_x2
   FROM w GROUP BY 1
 )
 SELECT w.day, w.weekday, w.cents,
-       b.wd_median,
-       ROUND((CAST(w.cents AS DOUBLE) - b.wd_median) * 1000000.0
-             / b.wd_median, 2) AS dev_ppm,
-       ABS((CAST(w.cents AS DOUBLE) - b.wd_median) * 1000000.0
-           / b.wd_median) >= 150000.0 AS is_anomaly
+       b.wd_med_x2,
+       CAST((CAST(w.cents AS HUGEINT) * 2 - b.wd_med_x2) * 1000000
+            // b.wd_med_x2 AS BIGINT) AS dev_ppm,
+       ABS(CAST(w.cents AS HUGEINT) * 2 - b.wd_med_x2) * 1000000
+         >= CAST(150000 AS HUGEINT) * b.wd_med_x2 AS is_anomaly
 FROM w JOIN base b ON b.weekday = w.weekday
 ORDER BY w.day
 """
@@ -7702,7 +7714,17 @@ def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile (Spark `percentile` ↔ DuckDB `quantile_cont`
     interpolate identically); the broadcast of 7 baseline rows back
     onto days is free at any scale, and the daily aggregation is the
-    only data-volume pass."""
+    only data-volume pass.
+
+    Hash discipline (r6 driver red → r7 fix): a median of BIGINT cents
+    is an integer or an exact half, so wd_med_x2 = 2·median is an exact
+    BIGINT; the deviation is then emitted as an exact signed integer
+    ppm via cross-multiplication ((2c − m2)·10⁶ div m2 — Spark `div`
+    and DuckDB `//` both truncate toward zero) instead of the r6
+    ROUND(DOUBLE, 2) whose decimal-scaling semantics differ between
+    engines. DECIMAL(38)/HUGEINT guards the ·10⁶ product at warehouse
+    scale; the float deviation lives in pytest
+    (tests/test_analytics_marts.py::TestAnomalyScreens)."""
     d = (
         read_events(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
@@ -7715,12 +7737,9 @@ def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("weekday", F.weekday("day").cast("int"))
     )
     base = d.groupBy("weekday").agg(
-        F.expr("percentile(cents, 0.5D)").alias("wd_median")
-    )
-    dev = (
-        (F.col("cents").cast("double") - F.col("wd_median"))
-        * 1000000.0
-        / F.col("wd_median")
+        F.round(F.expr("percentile(cents, 0.5D)") * 2)
+        .cast("long")
+        .alias("wd_med_x2")
     )
     return (
         d.join(F.broadcast(base), "weekday")
@@ -7728,9 +7747,15 @@ def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "weekday",
             "cents",
-            "wd_median",
-            F.round(dev, 2).alias("dev_ppm"),
-            (F.abs(dev) >= 150000.0).alias("is_anomaly"),
+            "wd_med_x2",
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 2 - wd_med_x2)"
+                " * 1000000 div wd_med_x2 AS BIGINT)"
+            ).alias("dev_ppm"),
+            F.expr(
+                "ABS(CAST(cents AS DECIMAL(38,0)) * 2 - wd_med_x2)"
+                " * 1000000 >= CAST(150000 AS DECIMAL(38,0)) * wd_med_x2"
+            ).alias("is_anomaly"),
         )
         .orderBy("day")
     )
@@ -8426,18 +8451,26 @@ WITH d AS (
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1
 ),
-m AS (SELECT quantile_cont(cents, 0.5) AS med FROM d),
+m AS (
+  SELECT CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS med_x2
+  FROM d
+),
 dev AS (
-  SELECT d.day, d.cents, m.med,
-         ABS(CAST(d.cents AS DOUBLE) - m.med) AS adev
+  SELECT d.day, d.cents, m.med_x2,
+         d.cents * 2 - m.med_x2 AS dev_x2
   FROM d, m
 ),
-s AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
-SELECT dev.day, dev.cents,
-       ROUND((CAST(dev.cents AS DOUBLE) - dev.med)
-             / (1.4826 * s.mad), 4) AS robust_z,
-       ABS((CAST(dev.cents AS DOUBLE) - dev.med)
-           / (1.4826 * s.mad)) >= 3.0 AS is_outlier
+s AS (
+  SELECT CAST(ROUND(quantile_cont(ABS(dev_x2), 0.5) * 2) AS BIGINT)
+    AS mad_x4
+  FROM dev
+)
+SELECT dev.day, dev.cents, dev.med_x2, s.mad_x4,
+       CAST(CAST(dev.dev_x2 AS HUGEINT) * 20000000000
+            // (14826 * CAST(s.mad_x4 AS HUGEINT)) AS BIGINT)
+         AS robust_z_ppm,
+       ABS(CAST(dev.dev_x2 AS HUGEINT)) * 20000
+         >= 44478 * CAST(s.mad_x4 AS HUGEINT) AS is_outlier
 FROM dev, s
 ORDER BY dev.day
 """
@@ -8455,7 +8488,19 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians are the exact interpolated percentile (Spark
     `percentile` ↔ DuckDB `quantile_cont`); 1.4826 is the usual
     normal-consistency literal. The two median passes run over the
-    per-DAY table (calendar-bounded), broadcast back as one row."""
+    per-DAY table (calendar-bounded), broadcast back as one row.
+
+    Hash discipline (r6 driver red → r7 fix): a median of BIGINTs is
+    integer-or-half and the MAD of integer deviations is
+    integer-or-quarter, so med_x2 = 2·median and mad_x4 = 4·MAD are
+    exact BIGINTs; the z-score is then an exact signed integer ppm by
+    cross-multiplication — z·10⁶ = dev_x2·2·10¹⁰ div (14826·mad_x4),
+    with 1.4826 carried as the integer 14826 — replacing the r6
+    ROUND(DOUBLE, 4) whose decimal-scaling semantics differ between
+    engines (Spark `div` and DuckDB `//` both truncate toward zero).
+    DECIMAL(38)/HUGEINT guards the products at warehouse scale; the
+    float z lives in pytest
+    (tests/test_analytics_marts.py::TestAnomalyScreens)."""
     d = (
         read_events(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
@@ -8466,21 +8511,35 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("_c").alias("cents"))
     )
-    m = d.agg(F.expr("percentile(cents, 0.5D)").alias("med"))
-    dev = d.crossJoin(F.broadcast(m)).withColumn(
-        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    m = d.agg(
+        F.round(F.expr("percentile(cents, 0.5D)") * 2)
+        .cast("long")
+        .alias("med_x2")
     )
-    s = dev.agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
-    z = (F.col("cents").cast("double") - F.col("med")) / (
-        1.4826 * F.col("mad")
+    dev = d.crossJoin(F.broadcast(m)).withColumn(
+        "dev_x2", F.col("cents") * 2 - F.col("med_x2")
+    )
+    s = dev.agg(
+        F.round(F.expr("percentile(abs(dev_x2), 0.5D)") * 2)
+        .cast("long")
+        .alias("mad_x4")
     )
     return (
         dev.crossJoin(F.broadcast(s))
         .select(
             "day",
             "cents",
-            F.round(z, 4).alias("robust_z"),
-            (F.abs(z) >= 3.0).alias("is_outlier"),
+            "med_x2",
+            "mad_x4",
+            F.expr(
+                "CAST(CAST(dev_x2 AS DECIMAL(38,0)) * 20000000000"
+                " div (14826 * CAST(mad_x4 AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("robust_z_ppm"),
+            F.expr(
+                "ABS(CAST(dev_x2 AS DECIMAL(38,0))) * 20000"
+                " >= 44478 * CAST(mad_x4 AS DECIMAL(38,0))"
+            ).alias("is_outlier"),
         )
         .orderBy("day")
     )
@@ -10460,90 +10519,87 @@ def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-6 window: clear the evidence backlog. Exactly the 53
-    # entries with NO driver hash-green in r01–r05, minus 3 deferred
-    # (linear_attribution, value_quartiles_per_type, rolling_active_users
-    # — each the structural twin of an already-green family member:
-    # first_touch_attribution, value_percentiles/customer_balance_deciles,
-    # and the cum-r03 running-window family; all three stay mirror-checked
-    # by tools/check_oracle.py). Zero new registrations this round per the
-    # r05 verdict ("freeze breadth until the ledger clears"). ----
-    # the three never-green seats the verdict ordered first: the two HLL
-    # queries re-seated after the libm fix (hash-compared columns now
-    # integer-only) and the weak-form-oracle approx_distinct upgrade
+    # ---- round-7 window, per the r06 verdict's items 1–2: ALL 11
+    # never-driver-green entries first (the 8 r6 hash-reds — every one
+    # passes tools/check_oracle.py bit-exact today; the 3 float-hashed
+    # ones were re-seated this round with integer-only hashed columns —
+    # plus the 3 previously deferred twins, graded for the first time),
+    # then 39 rotation re-checks: exactly the entries whose last driver
+    # green is r1–r3 (oldest evidence), re-validated on current code.
+    # Zero new registrations until the never-green ledger clears. ----
+    # the 8 r6 hash-reds, kept seated
     "hll_distinct_daily",
     "hll_weekly_rollup",
-    "approx_distinct_daily",
-    # heavy / novel round-5 additions (verdict's priority list)
-    "span_dedup_stats",
-    "split_leakage_report",
-    "lsh_eval_report",
-    "item_rec_hitrate",
-    "dup_triangles",
-    "budget_waterfall",
-    "holt_revenue_backtest",
-    "grouping_sets_traffic",
-    "nation_market_share",
-    "price_quantity_ols",
-    # dedup / similarity / embedding family
-    "near_dup_edit_distances",
-    "embedding_inference",
-    "item_similarity_topk",
-    "contrastive_pairs",
-    "matryoshka_recall",
-    "embedding_health_report",
-    "uncertainty_sample",
-    "viewers_also_purchased",
-    # sketch / quantile family
     "hll_segment_overlap",
-    "histogram_quantile_rollup",
-    "streaming_histogram_quantiles",
-    # statistics / anomaly family
-    "value_drift_psi",
-    "daily_topn_churn",
-    "ab_conversion_ztest",
-    "ab_power_mde",
-    "benford_screen",
-    "mad_outlier_days",
+    "holt_revenue_backtest",
     "weekday_seasonal_anomalies",
-    "revenue_concentration",
-    "neyman_allocation",
-    "behavior_entropy",
-    # curation / text family
-    "rake_keyphrases",
-    "temperature_mix_weights",
-    # behavioral / sequence analytics
-    "sequence_funnel",
-    "session_duration_stats",
-    "cohort_ltv_curve",
-    "peak_concurrency",
-    "cart_abandonment",
-    "order_cadence_stats",
-    # warehouse / relational family
+    "mad_outlier_days",
+    "nation_market_share",
     "abc_inventory_classes",
-    "supplier_reliability",
-    "latest_order_lateral",
-    "scd2_asof_snapshot",
-    "trailing_hour_range_frame",
-    "fk_integrity_report",
-    "duplicate_payment_screen",
-    "orders_profile",
+    # the 3 previously deferred twins — first driver grade
+    "linear_attribution",
+    "value_quartiles_per_type",
+    "rolling_active_users",
+    # ---- 39 rotation re-checks, oldest driver evidence first ----
+    # last green r1
+    "lang_source_stats",
+    "running_user_spend",
+    "top_spenders_per_day",
+    "traffic_cube",
+    "type_hour_pivot",
+    "regex_token_count",
+    "doc_quality_score",
+    "token_frequencies",
+    "json_order_items",
+    "skew_safe_type_totals",
+    "value_percentiles",
+    # last green r2
+    "user_daily",
+    "session_patterns",
+    "pattern_frequency",
+    "props_key_stats",
+    "pricing_summary",
+    "shipping_priority",
+    "order_priority_counts",
+    "customer_nation_rollup",
+    "doc_token_stats",
+    "exact_dedup",
+    "overall_stats",
+    "orders_projection",
+    "union_activity",
+    "viewers_never_purchased",
+    "daily_kpis",
+    "cheapest_part_per_brand",
+    "volume_shipping",
+    "promo_revenue_share",
+    "revenue_7day_ma",
+    "customer_balance_deciles",
+    "type_hour_unpivot",
+    # last green r3
+    "hourly_traffic",
+    "local_supplier_volume",
+    "embedding_topk",
+    "inferred_sessions",
+    "funnel_violations",
+    "customers_without_orders",
+    "scalar_functions_showcase",
 )
-# Seat accounting for the round-6 window (the driver grades the first 50
-# registered queries). The r05 window went 48/50 hash-green — the two
-# reds were hll_distinct_daily / hll_weekly_rollup, a cross-engine libm
-# ln() artifact (rows+schema green, ROUND(x,2) flipped on a boundary row)
-# fixed this round by hashing only the integer register state. All 48
-# green seats rotated OUT (they stay oracle-checked by
-# tools/check_oracle.py over every registered entry, enforced by
-# tests/test_registry_coverage.py; COVERAGE.md is the generated
-# query → last-green ledger). Rotated IN: the complete never-hash-green
-# set across r01–r05 — 53 entries — minus the 3 deferred twins named in
-# the _FRONT header, leaving exactly 50. After this window grades green
-# the cumulative ledger reads ≥ 180/186 driver-green with ≤ 3 `never`
-# rows (the deferred twins + the protobuf-gated transformWithState,
-# which cannot register here). No new queries were registered in round
-# 6 (verdict: freeze breadth until the evidence ledger clears).
+# Seat accounting for the round-7 window (the driver grades the first 50
+# registered queries). The r06 window went 42/50: the 8 reds were all
+# rows+schema-green float-hash artifacts that pass the local oracle
+# mirror bit-exact (re-verified this round). Three were re-worked this
+# round to hash exact integers only — holt_revenue_backtest (FLOOR
+# BIGINTs of the bit-identical fold), weekday_seasonal_anomalies
+# (integer ppm vs the exact doubled weekday median), mad_outlier_days
+# (integer ppm vs med_x2/mad_x4 with 1.4826 as the integer 14826); the
+# HLL trio was already integer-hashed in r6 and nation_market_share /
+# abc_inventory_classes were integer-only all along (suspected stale
+# driver snapshot — bench.py now emits a driver-environment probe on
+# stderr so a repeat red can be adjudicated). All 42 green seats rotated
+# OUT; rotated IN are the 39 stale-evidence entries last green in r1–r3
+# (mechanically derived from CORRECTNESS_r*.json — see COVERAGE.md).
+# After this window grades green, every one of the 186 registered
+# queries has a driver hash-green record and none older than r4.
 
 
 def _reorder_registry() -> None:

@@ -89,9 +89,12 @@ class TestHoltBacktest:
         for r, (day, cents), exp in zip(got, rows, expected):
             assert r["day"] == day
             assert r["actual_cents"] == cents
-            assert r["forecast_cents"] == pytest.approx(round(exp, 4), abs=0)
-            assert r["abs_err_cents"] == pytest.approx(
-                round(abs(float(cents) - exp), 4), abs=0
+            # hashed projection carries FLOOR BIGINTs since round 7
+            # (cross-engine ROUND(DOUBLE, n) semantics); the fold is
+            # bit-identical, so the floors must match exactly
+            assert r["forecast_floor_cents"] == math.floor(exp)
+            assert r["abs_err_floor_cents"] == math.floor(
+                abs(float(cents) - exp)
             )
 
 
@@ -420,33 +423,6 @@ class TestTemperatureMixWeights:
             assert lo["boost"] > 1.0 > hi["boost"]
 
 
-class TestMadOutlierDays:
-    def test_matches_pure_python_mad(self, spark):
-        rows = _duck(
-            "SELECT CAST(ts AS DATE) AS day,"
-            " SUM(CAST(ROUND(value * 100) AS BIGINT))"
-            " FROM events WHERE event_type = 'purchase'"
-            " GROUP BY 1 ORDER BY 1"
-        )
-
-        def q50(xs):
-            s = sorted(xs)
-            n = len(s)
-            lo, hi = s[(n - 1) // 2], s[n // 2]
-            frac = ((n - 1) / 2) % 1
-            return lo * (1 - frac) + hi * frac
-
-        cents = [c for _, c in rows]
-        med = q50(cents)
-        mad = q50([abs(float(c) - med) for c in cents])
-        got = _query(spark, "mad_outlier_days").collect()
-        assert len(got) == len(rows)
-        for r, (day, c) in zip(got, rows):
-            z = (float(c) - med) / (1.4826 * mad)
-            assert (r["day"], r["cents"]) == (day, c)
-            assert r["robust_z"] == pytest.approx(round(z, 4), abs=0)
-            assert r["is_outlier"] == (abs(z) >= 3.0)
-
 
 class TestSequenceFunnel:
     def test_matches_pure_python_walk(self, spark):
@@ -629,36 +605,6 @@ class TestScd2AsofSnapshot:
             assert got[band]["max_custkey"] == max(custs)
 
 
-class TestWeekdaySeasonalAnomalies:
-    def test_matches_pure_python_medians(self, spark):
-        rows = _duck(
-            "SELECT CAST(ts AS DATE) AS day,"
-            " SUM(CAST(ROUND(value * 100) AS BIGINT))"
-            " FROM events WHERE event_type = 'purchase'"
-            " GROUP BY 1 ORDER BY 1"
-        )
-        by_wd: dict[int, list[int]] = {}
-        for day, c in rows:
-            by_wd.setdefault(day.weekday(), []).append(c)
-
-        def median(xs):
-            s = sorted(xs)
-            n = len(s)
-            lo, hi = s[(n - 1) // 2], s[n // 2]
-            frac = ((n - 1) / 2) % 1
-            return lo * (1 - frac) + hi * frac
-
-        got = _query(spark, "weekday_seasonal_anomalies").collect()
-        assert len(got) == len(rows)
-        for r, (day, cents) in zip(got, rows):
-            wd = day.weekday()
-            med = median(by_wd[wd])
-            dev = (float(cents) - med) * 1000000.0 / med
-            assert (r["day"], r["weekday"], r["cents"]) == (day, wd, cents)
-            assert r["wd_median"] == pytest.approx(med, abs=0)
-            assert r["dev_ppm"] == pytest.approx(round(dev, 2), abs=0)
-            assert r["is_anomaly"] == (abs(dev) >= 150000.0)
-
 
 class TestPriceQuantityOls:
     def test_matches_pure_python_ols(self, spark):
@@ -739,3 +685,70 @@ class TestBehaviorEntropy:
         for r in _query(spark, "behavior_entropy").collect():
             if r["n_types"] == 1:
                 assert r["entropy_nats"] == 0.0
+
+
+class TestAnomalyScreens:
+    """Float-value checks for the two anomaly screens whose z/deviation
+    columns moved to exact integer ppm in round 7: recompute the float
+    statistic in pure Python and confirm the integer ppm is its
+    truncation, and the flag agrees with the float threshold."""
+
+    @staticmethod
+    def _daily_cents():
+        return sorted(
+            _duck(
+                "SELECT CAST(ts AS DATE), "
+                "SUM(CAST(ROUND(value * 100) AS BIGINT)) FROM events "
+                "WHERE event_type = 'purchase' GROUP BY 1"
+            )
+        )
+
+    @staticmethod
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        lo, hi = xs[(n - 1) // 2], xs[n // 2]
+        return lo * 0.5 + hi * 0.5
+
+    @staticmethod
+    def _trunc_div(n: int, d: int) -> int:
+        # toward-zero integer division (Spark `div` / DuckDB `//`);
+        # Python's // floors, which differs for negative numerators
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    def test_mad_ppm_matches_exact_integer_rule(self, spark):
+        daily = self._daily_cents()
+        med = self._median([c for _, c in daily])
+        mad = self._median([abs(c - med) for _, c in daily])
+        med2, mad4 = round(med * 2), round(mad * 4)
+        for r in _query(spark, "mad_outlier_days").collect():
+            assert r["med_x2"] == med2
+            assert r["mad_x4"] == mad4
+            dev2 = r["cents"] * 2 - med2
+            assert r["robust_z_ppm"] == self._trunc_div(
+                dev2 * 20_000_000_000, 14826 * mad4
+            ), r
+            assert r["is_outlier"] == (abs(dev2) * 20000 >= 44478 * mad4), r
+            # and the integer ppm is within 1 of the truncated float z
+            z = (r["cents"] - med) / (1.4826 * mad)
+            assert abs(r["robust_z_ppm"] - z * 1_000_000) <= 1.0, (r, z)
+
+    def test_weekday_ppm_matches_exact_integer_rule(self, spark):
+        daily = self._daily_cents()
+        by_wd = {}
+        for day, cents in daily:
+            by_wd.setdefault(day.weekday(), []).append(cents)
+        med = {wd: self._median(v) for wd, v in by_wd.items()}
+        for r in _query(spark, "weekday_seasonal_anomalies").collect():
+            m = med[r["weekday"]]
+            m2 = round(m * 2)
+            assert r["wd_med_x2"] == m2
+            dev2 = r["cents"] * 2 - m2
+            assert r["dev_ppm"] == self._trunc_div(dev2 * 1_000_000, m2), r
+            assert r["is_anomaly"] == (
+                abs(dev2) * 1_000_000 >= 150_000 * m2
+            ), r
+            # and within 1 ppm of the float deviation
+            dev = (r["cents"] - m) * 1_000_000 / m
+            assert abs(r["dev_ppm"] - dev) <= 1.0, (r, dev)
