@@ -69,27 +69,87 @@ def main() -> None:
             f,
             indent=1,
         )
+    probe = _env_probe(spark, registry)
     # the driver captures only the last 2000 chars of stdout: print a
     # compact line whose `queries` holds just the 50 graded front-window
-    # entries (2-decimal), with `value` still the all-query total
+    # entries (2-decimal), with `value` still the all-query total.
+    # Budget = 2000 minus the probe line printed just before; if a
+    # future front-window blows it, shed the fastest entries loudly in
+    # `dropped` rather than letting the driver truncate the JSON.
     front = {
         n: round(timings[n], 2) for n in registry._FRONT if n in timings
     }
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": front,
-                "sf": sf,
-                "n_queries": len(timings),
-                "full": "bench_full.json",
-            },
-            separators=(",", ":"),
-        )
-    )
+    budget = 1960 - len(probe)
+    dropped = 0
+    while True:
+        payload = {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": front,
+            "sf": sf,
+            "n_queries": len(timings),
+            "full": "bench_full.json",
+        }
+        if dropped:
+            payload["dropped"] = dropped
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= budget or not front:
+            break
+        del front[min(front, key=front.get)]
+        dropped += 1
+    assert len(line) + len(probe) < 2000, (len(line), len(probe))
+    print(probe)
+    print(line)
     spark.stop()
+
+
+def _env_probe(spark, registry) -> str:
+    """One compact stdout line adjudicating the r6 driver-vs-local hash
+    discrepancy: nation_market_share / abc_inventory_classes hash only
+    BIGINT/DATE/VARCHAR columns yet graded red in CORRECTNESS_r06 while
+    passing the local oracle mirror bit-exact. Re-running the exact
+    driver comparison here, in the DRIVER'S OWN environment, with engine
+    versions, lands the evidence in the recorded bench tail: OK on both
+    means the r6 reds were a stale snapshot; a MISMATCH cell names the
+    engine-version culprit."""
+    import platform
+
+    import duckdb
+    import pyspark
+
+    import __spark_entry__ as e
+
+    parts = [
+        f"duckdb={duckdb.__version__}",
+        f"pyspark={pyspark.__version__}",
+        f"py={platform.python_version()}",
+    ]
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = e.oracle_sql()
+    for name in ("nation_market_share", "abc_inventory_classes"):
+        try:
+            sdf = registry.queries()[name](spark, sf_dir)
+            srows = sorted(str(tuple(r)) for r in sdf.collect())
+            res = con.execute(oracles[name])
+            drows = sorted(str(tuple(r)) for r in res.fetchall())
+            if srows == drows:
+                parts.append(f"{name}=OK")
+            else:
+                cell = next(
+                    (f"{a}!={b}" for a, b in zip(srows, drows) if a != b),
+                    f"rows {len(srows)}!={len(drows)}",
+                )
+                parts.append(f"{name}=MISMATCH[{cell[:120]}]")
+        except Exception as ex:  # pragma: no cover - diagnostic only
+            parts.append(f"{name}=ERR[{str(ex)[:80]}]")
+    return "PROBE " + " ".join(parts)
 
 
 if __name__ == "__main__":

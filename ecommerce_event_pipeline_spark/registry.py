@@ -1070,13 +1070,42 @@ def _shingle_sets_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     return sets_df
 
 
+_NGRAM_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact-Jaccard pair table (k=3, df≤50 universe, θ=0.2 — the
+    lowest threshold any registry consumer uses): eight queries re-derive
+    this same shingle-self-join + group-by, so under
+    ``SPARK_GRAFT_CACHE_EVENTS=1`` (bench) it is computed once and
+    higher-threshold consumers (0.5 leakage, 0.6 corpus dedup) filter
+    the cached rounded ``jaccard`` — bit-identical to filtering inside
+    the join, since the threshold predicate is the last step either
+    way."""
+    import os
+
+    from .sources.readers import session_key
+
+    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
+    key = session_key(spark, sf_dir, "ngram-pairs-3-50-02")
+    if cache_on and key in _NGRAM_PAIRS_CACHE:
+        return _NGRAM_PAIRS_CACHE[key]
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), k=3, threshold=0.2,
+        max_df=50, sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    if cache_on:
+        _NGRAM_PAIRS_CACHE[key] = pairs.cache()
+        return _NGRAM_PAIRS_CACHE[key]
+    return pairs
+
+
 @register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over the df≤50 shingle universe (stop-shingle
     cap bounds every join bucket; never all-pairs)."""
-    return dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), k=3, threshold=0.2, max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    return _ngram_pairs_shared(spark, sf_dir).orderBy(
+        "doc_id_1", "doc_id_2"
     )
 
 
@@ -1327,10 +1356,7 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-bound loop is the scale-killer; the label outputs are
     identical (tests/test_dedup.py parity)."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.2, max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
+    pairs = _ngram_pairs_shared(spark, sf_dir)
     labels, _rounds = dedup.dedup_clusters_star(docs, pairs)
     return labels
 
@@ -2721,9 +2747,8 @@ def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale; on the fixtures the cap never binds (max df ≈ 7), keeping
     the oracle exact."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.6, max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    pairs = _ngram_pairs_shared(spark, sf_dir).where(
+        F.col("jaccard") >= 0.6
     )
     dropped = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
     flagged = docs.join(
@@ -2844,9 +2869,8 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_exact", F.lit(1))
     )
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.6, max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    pairs = _ngram_pairs_shared(spark, sf_dir).where(
+        F.col("jaccard") >= 0.6
     )
     near_losers = (
         pairs.select(F.col("doc_id_2").alias("doc_id"))
@@ -4880,13 +4904,7 @@ def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the pair graph is cluster-internal by definition (clusters ARE
     its connected components), so a semi-join against `dedup_clusters`
     labels is a no-op — the dedup has to happen inside the walk."""
-    pairs = dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
-        k=3,
-        threshold=0.2,
-        max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
+    pairs = _ngram_pairs_shared(spark, sf_dir)
     # MATERIALIZE the edge list before the walk: a recursive CTE
     # re-evaluates its base view's plan on every iteration, so a lazy
     # view here re-runs the whole shingle-scan + pair join per hop
@@ -5280,9 +5298,8 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") < 400).select(F.md5("text").alias("_h")).distinct()
     )
     exact = incoming.join(existing_h, "_h", "left_semi").select("doc_id")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.6, max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    pairs = _ngram_pairs_shared(spark, sf_dir).where(
+        F.col("jaccard") >= 0.6
     )
     near = (
         pairs.where((F.col("doc_id_1") < 400) & (F.col("doc_id_2") >= 400))
@@ -5358,10 +5375,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.2, max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
+    pairs = _ngram_pairs_shared(spark, sf_dir)
     labels, _rounds = dedup.dedup_clusters_star(docs, pairs)
     m = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     sz = m.groupBy("cluster_id").agg(F.count("*").alias("members"))
@@ -5599,7 +5613,14 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     log, so the plan is shuffle-light at any scale."""
     ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
     firsts = ev.groupBy("user_id").agg(F.min("event_date").alias("cohort_date"))
-    actives = ev.select("user_id", F.col("event_date").alias("d")).distinct()
+    # distinct column names on the self-join leg — both frames descend
+    # from the same scan, so `actives["user_id"] == firsts["user_id"]`
+    # would collapse to a trivially-true predicate (Spark WARNs and the
+    # join becomes a cross product against the wrong leg)
+    actives = ev.select(
+        F.col("user_id").alias("active_user"),
+        F.col("event_date").alias("d"),
+    ).distinct()
     offsets = spark.createDataFrame([(0,), (1,), (3,), (7,)], "day_offset int")
     sizes = firsts.groupBy("cohort_date").agg(
         F.count("*").alias("cohort_users")
@@ -5608,14 +5629,14 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts.crossJoin(F.broadcast(offsets))
         .join(
             actives,
-            (actives["user_id"] == firsts["user_id"])
+            (F.col("active_user") == F.col("user_id"))
             & (
-                actives["d"]
+                F.col("d")
                 == F.date_add(F.col("cohort_date"), F.col("day_offset"))
             ),
         )
         .groupBy("cohort_date", "day_offset")
-        .agg(F.count_distinct(firsts["user_id"]).alias("active_users"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
     )
     return (
         ret.join(sizes, "cohort_date")
@@ -5667,21 +5688,24 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs credit) — an interval join collapsed by per-purchase
     argmin, still one shuffle keyed by user."""
     ev = read_events(spark, sf_dir)
+    # view leg carries a renamed key: both legs descend from the same
+    # scan, so p["user_id"] == v["user_id"] is a trivially-true
+    # self-reference (Spark WARN) rather than an equi-join condition
     v = ev.where(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("view_ts")
+        F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts")
     )
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts"), "value"
     )
     j = p.join(
         v,
-        (p["user_id"] == v["user_id"])
+        (F.col("user_id") == F.col("view_user"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (
             F.col("purchase_ts")
             <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
         ),
-    ).drop(v["user_id"])
+    ).drop("view_user")
     return (
         j.groupBy("user_id", "purchase_ts", "value")
         .agg(
@@ -6198,12 +6222,8 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled."""
     from .functions.curation import split_exprs
 
-    pairs = dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
-        k=3,
-        threshold=0.5,
-        max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    pairs = _ngram_pairs_shared(spark, sf_dir).where(
+        F.col("jaccard") >= 0.5
     )
     _, s1 = split_exprs(F.col("doc_id_1"))
     _, s2 = split_exprs(F.col("doc_id_2"))
@@ -6310,13 +6330,7 @@ def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (tiny vs corpus) edge list; the edge list is materialized
     once (same localCheckpoint rationale as `dup_chain_stats` — it feeds
     three join branches)."""
-    pairs = dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
-        k=3,
-        threshold=0.2,
-        max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
+    pairs = _ngram_pairs_shared(spark, sf_dir)
     e = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
     return dedup.triangle_counts(e)
 
@@ -6603,13 +6617,11 @@ def near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein(l, r, threshold)`` bounds the DP when only a cutoff is
     needed; the unbounded form here keeps the exact distances the oracle
     recomputes."""
-    pairs = dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
-        k=3,
-        threshold=0.5,
-        max_df=50,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    ).select("doc_id_1", "doc_id_2")
+    pairs = (
+        _ngram_pairs_shared(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_id_1", "doc_id_2")
+    )
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     d1 = docs.select(
         F.col("doc_id").alias("doc_id_1"), F.col("text").alias("_t1")
@@ -9277,9 +9289,9 @@ def lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs execute — no re-implementation drift."""
     docs = read_table(spark, sf_dir, "documents")
     sets = _shingle_sets_shared(spark, sf_dir, 3)
-    truth = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.2, max_df=50, sets_df=sets
-    ).select("doc_id_1", "doc_id_2")
+    truth = _ngram_pairs_shared(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2"
+    )
     cand = dedup.minhash_lsh_candidates(
         docs, num_hashes=64, bands=16, k=3, sets_df=sets
     ).select("doc_id_1", "doc_id_2")
