@@ -1181,6 +1181,33 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
+_MINHASH_CAND_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_candidates_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH candidate-pair table (64 hashes × 16 bands, k=3): the
+    signature scan dominates both consumers (the verify pipeline and the
+    precision/recall audit), so under ``SPARK_GRAFT_CACHE_EVENTS=1``
+    (bench) it is computed once — same sharing as
+    ``_shingle_sets_shared`` / ``_ngram_pairs_shared``."""
+    import os
+
+    from .sources.readers import session_key
+
+    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
+    key = session_key(spark, sf_dir, "minhash-cands-64-16-3")
+    if cache_on and key in _MINHASH_CAND_CACHE:
+        return _MINHASH_CAND_CACHE[key]
+    cands = dedup.minhash_lsh_candidates(
+        read_table(spark, sf_dir, "documents"), num_hashes=64, bands=16,
+        k=3, sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+    if cache_on:
+        _MINHASH_CAND_CACHE[key] = cands.cache()
+        return _MINHASH_CAND_CACHE[key]
+    return cands
+
+
 @register("minhash_near_dupes", _minhash_near_dupes_oracle())
 def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → LSH banding → exact-Jaccard verification of
@@ -1192,6 +1219,7 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dupes(
         read_table(spark, sf_dir, "documents"), num_hashes=64, bands=16, k=3,
         threshold=0.2, sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+        cands_df=_minhash_candidates_shared(spark, sf_dir),
     )
 
 
@@ -9287,14 +9315,12 @@ def lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both tiers reuse the shared shingle scan; the agreement join runs on
     pair keys. This evaluates the same code paths minhash_near_dupes and
     ngram_jaccard_pairs execute — no re-implementation drift."""
-    docs = read_table(spark, sf_dir, "documents")
-    sets = _shingle_sets_shared(spark, sf_dir, 3)
     truth = _ngram_pairs_shared(spark, sf_dir).select(
         "doc_id_1", "doc_id_2"
     )
-    cand = dedup.minhash_lsh_candidates(
-        docs, num_hashes=64, bands=16, k=3, sets_df=sets
-    ).select("doc_id_1", "doc_id_2")
+    cand = _minhash_candidates_shared(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2"
+    )
     tp = truth.join(cand, ["doc_id_1", "doc_id_2"], "left_semi")
     w = (
         truth.agg(F.count("*").alias("n_truth"))
