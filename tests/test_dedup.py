@@ -251,3 +251,41 @@ def test_triangle_counts_canonical_edges(spark):
     out = {r["doc_id"]: r["triangles"]
            for r in dedup.triangle_counts(pairs).collect()}
     assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+class TestBenchCacheCoherence:
+    """The bench runs with SPARK_GRAFT_CACHE_EVENTS=1, which routes the
+    dedup family through three shared cached tables (shingle sets, the
+    θ=0.2 Jaccard pair table, the LSH candidate table) while the
+    correctness gate runs uncached — so a cache-keying or
+    threshold-filter bug would corrupt only the benchmarked plans.
+    Pin cached == uncached on representative consumers of all three."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["ngram_jaccard_pairs", "dedup_corpus_stats", "lsh_eval_report"],
+    )
+    def test_cached_results_match_uncached(self, spark, monkeypatch, name):
+        import __spark_entry__ as e
+        from ecommerce_event_pipeline_spark import registry
+
+        sf = "/root/testdata/sf0.001"
+        fn = e.queries()[name]
+        monkeypatch.delenv("SPARK_GRAFT_CACHE_EVENTS", raising=False)
+        plain = [tuple(r) for r in fn(spark, sf).collect()]
+        monkeypatch.setenv("SPARK_GRAFT_CACHE_EVENTS", "1")
+        try:
+            cached = [tuple(r) for r in fn(spark, sf).collect()]
+            again = [tuple(r) for r in fn(spark, sf).collect()]  # cache hit
+        finally:
+            # unpersist so the session fixture carries no cached state
+            for store in (
+                registry._SHINGLE_CACHE,
+                registry._NGRAM_PAIRS_CACHE,
+                registry._MINHASH_CAND_CACHE,
+            ):
+                for df in store.values():
+                    df.unpersist()
+                store.clear()
+        assert sorted(map(str, cached)) == sorted(map(str, plain))
+        assert sorted(map(str, again)) == sorted(map(str, plain))
