@@ -201,3 +201,16 @@ def test_contrastive_pairs_prefilters_with_arrow_shortlist(spark):
     plan = plan_of("contrastive_pairs", spark)
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_span_stats_explodes_the_corpus_once(spark):
+    """cross_doc_span_stats must materialize the md5 span digests in a
+    SINGLE Generate pass: the docs-per-span test is a COUNT window keyed
+    on span_h over the (span, doc) multiplicity aggregate, never a
+    join-back that re-explodes the corpus (the dominant cost at scale is
+    the O(tokens) md5 explode itself)."""
+    plan = plan_of("span_dedup_stats", spark)
+    assert plan.count("Generate") == 1, plan[:2000]
+    # and the window is keyed — partitioned by the span digest, not global
+    m = re.search(r"Window.*\[span_h", plan)
+    assert m or "windowspecdefinition(span_h" in plan, plan[:2000]
