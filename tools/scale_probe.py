@@ -1,0 +1,175 @@
+"""Empirical scale probe: do the headline operators scale ~linearly?
+
+Builds an M× copy of the sf0.1 fixtures in /tmp (key-shifted unions so
+cardinalities actually grow; document text is per-replica token-salted so
+replicas are NOT near-duplicates of each other — naive duplication would
+inflate every dup cluster M× and grow pair tables M², a data pathology,
+not operator superlinearity), then times a representative query set at
+both scales in one session and prints the time ratio per query.
+
+A ratio ≈ M (or below, as fixed overheads amortize) is the linear-scaling
+evidence the 100 TB design claims rest on; a ratio ≫ M flags a
+superlinear term that small-SF correctness runs can't see.
+
+Usage: python tools/scale_probe.py [M] [query ...]   (default M=10)
+Writes nothing to the repo; fixtures land in /tmp/scale_probe_sf/.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe_sf"
+
+# representative set: corpus explode+window, blocked pair generation,
+# MinHash banding, event marts (agg / sketch / rolling window), and the
+# lineitem star join
+DEFAULT_QUERIES = [
+    "span_dedup_stats",
+    "ngram_jaccard_pairs",
+    "minhash_near_dupes",
+    "dedup_corpus_stats",
+    "product_daily",
+    "hll_distinct_daily",
+    "rolling_active_users",
+    "funnel_daily",
+    "top_parts_by_revenue",
+    "pricing_summary",
+]
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_fixtures(spark, m: int) -> None:
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+
+    # documents: shift doc_id, salt every token with the replica index so
+    # cross-replica shingles never collide (within-replica near-dup
+    # structure is preserved: salting is a bijection on tokens)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    legs = []
+    for i in range(m):
+        leg = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        if i > 0:
+            salted = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit(f"~{i}")),
+                ),
+                " ",
+            )
+            leg = leg.withColumn("text", salted)
+        legs.append(leg)
+    big_docs = legs[0]
+    for leg in legs[1:]:
+        big_docs = big_docs.unionByName(leg)
+    big_docs.repartition(32).write.parquet(f"{OUT}/documents.parquet")
+
+    # events: shift user/event/session ids; timestamps keep their range so
+    # per-day density grows M× (read via read_table so TIMESTAMP(NANOS)
+    # normalizes, then write plain µs timestamps the readers also accept)
+    ev = read_table(spark, BASE, "events")
+    mx = ev.agg(F.max("user_id"), F.max("event_id")).collect()[0]
+    n_users, n_eids = 1 + (mx[0] or 0), 1 + (mx[1] or 0)
+    legs = []
+    for i in range(m):
+        leg = ev.withColumn(
+            "user_id", F.col("user_id") + F.lit(i * n_users)
+        ).withColumn("event_id", F.col("event_id") + F.lit(i * n_eids))
+        legs.append(leg)
+    big = legs[0]
+    for leg in legs[1:]:
+        big = big.unionByName(leg)
+    big.repartition(32).write.parquet(f"{OUT}/events.parquet")
+
+    # orders + lineitem: shift orderkey together (FK preserved), custkey
+    # within the customer range so joins stay valid
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    o_legs, l_legs = [], []
+    for i in range(m):
+        o_legs.append(
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * (max_ok + 1))
+            )
+        )
+        l_legs.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * (max_ok + 1))
+            )
+        )
+    big_o, big_l = o_legs[0], l_legs[0]
+    for leg in o_legs[1:]:
+        big_o = big_o.unionByName(leg)
+    for leg in l_legs[1:]:
+        big_l = big_l.unionByName(leg)
+    big_o.repartition(16).write.parquet(f"{OUT}/orders.parquet")
+    big_l.repartition(32).write.parquet(f"{OUT}/lineitem.parquet")
+
+    # everything else: same content at both scales (dimensions)
+    for t in ALL_TABLES:
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def main() -> None:
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    import __spark_entry__ as e
+    from ecommerce_event_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    qs = e.queries()
+
+    if os.path.exists(f"{OUT}/documents.parquet"):
+        print(f"reusing fixtures in {OUT} (delete to rebuild)", flush=True)
+    else:
+        print(f"building {m}x fixtures in {OUT} ...", flush=True)
+        t0 = time.time()
+        build_fixtures(spark, m)
+        print(f"built in {time.time() - t0:.0f}s", flush=True)
+
+    print(f"{'query':32s} {'t_1x':>7s} {'t_Mx':>7s} {'ratio':>6s} "
+          f"{'rows_1x':>8s} {'rows_Mx':>9s}")
+    for n in names:
+        fn = qs[n]
+        # warm both paths once so neither side pays first-touch costs
+        # (codegen compile, shuffle-service spin-up, OS page cache)
+        fn(spark, BASE).count()
+        fn(spark, OUT).count()
+        t0 = time.time()
+        r1 = len(fn(spark, BASE).collect())
+        t_small = time.time() - t0
+        t0 = time.time()
+        rm = len(fn(spark, OUT).collect())
+        t_big = time.time() - t0
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        print(
+            f"{n:32s} {t_small:7.2f} {t_big:7.2f} {ratio:6.1f} "
+            f"{r1:8d} {rm:9d}",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
