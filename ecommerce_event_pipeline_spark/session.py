@@ -51,6 +51,24 @@ def tune(
     must not have it silently clobbered by the defaults.
     """
     merged = {**RUNTIME_CONF, **(overrides or {})}
+    # Shuffles START wide and AQE coalesces them down to data volume —
+    # the standard cluster sizing pattern, and the piece a fixed
+    # shuffle.partitions misses as data grows: at 10× sf0.1 the exact-
+    # Jaccard self-join runs 17-31 s on 32 fat partitions vs 5.7-6.0 s
+    # with a 256-partition start (tools/scale_probe.py; work volume is
+    # exactly linear, the blowup was per-partition size). Keyed off the
+    # effective shuffle.partitions so test sessions (4) stay small, and
+    # left out of RUNTIME_CONF so an explicit override always wins.
+    # shuffle.partitions itself stays at machine parallelism because
+    # stateful STREAMING ops size their state stores from it and get no
+    # AQE coalescing (the round-2 streaming_user_state 7× regression).
+    init_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    if init_key not in merged:
+        try:
+            base = int(merged["spark.sql.shuffle.partitions"])
+        except (KeyError, ValueError):  # pragma: no cover
+            base = default_parallelism()
+        merged[init_key] = str(8 * base)
     for key, value in merged.items():
         try:
             spark.conf.set(key, value)
