@@ -134,6 +134,30 @@ def build_fixtures(spark, m: int) -> None:
     big_o.repartition(16).write.parquet(f"{OUT}/orders.parquet")
     big_l.repartition(32).write.parquet(f"{OUT}/lineitem.parquet")
 
+    # embeddings: shift vec_id; nudge each replica's vectors by a tiny
+    # per-replica constant so copies are near (not exact) duplicates —
+    # exact dupes would pile M identical vectors into one IVF cell, a
+    # data pathology rather than a density increase. Replica 0 is
+    # untouched so the vec_id=0 query vector the ANN entries probe with
+    # still exists verbatim.
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_vecs = 1 + (emb.agg(F.max("vec_id")).collect()[0][0] or 0)
+    e_legs = []
+    for i in range(m):
+        leg = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vecs))
+        if i > 0:
+            leg = leg.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding", lambda x: (x + F.lit(i * 1e-3)).cast("float")
+                ),
+            )
+        e_legs.append(leg)
+    big_e = e_legs[0]
+    for leg in e_legs[1:]:
+        big_e = big_e.unionByName(leg)
+    big_e.repartition(8).write.parquet(f"{OUT}/embeddings.parquet")
+
     # everything else: same content at both scales (dimensions)
     for t in ALL_TABLES:
         dst = f"{OUT}/{t}.parquet"
