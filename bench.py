@@ -46,6 +46,14 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # warm the real input path too: the FIRST parquet read pays the
+    # nanos-timestamp layout probe (try/except + conf retry), the
+    # InMemoryFileIndex build and scan codegen — session setup, not query
+    # cost (the first registered query was absorbing ~4 s of it)
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    for t in ("events", "documents", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
