@@ -106,58 +106,99 @@ def main() -> None:
             break
         del front[min(front, key=front.get)]
         dropped += 1
-    assert len(line) + len(probe) < 2000, (len(line), len(probe))
+    # Never abort after the work is done: if the probe (e.g. a long ERR
+    # tail) plus the shed-to-empty line still can't fit, truncate the
+    # PROBE — the results line is the contract, the probe is advisory.
+    if len(line) + len(probe) + 2 > 2000:
+        probe = probe[: max(0, 2000 - len(line) - 2)]
     print(probe)
     print(line)
     spark.stop()
 
 
+# The probe mirrors the DRIVER'S correctness gate, which always runs at
+# sf0.01 regardless of the bench SF — keep them in lockstep.
+PROBE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _probe_cell(v) -> str:
+    """Canonical per-cell formatter so the probe compares VALUES, not
+    reprs: Decimal('1') vs 1 and 1.0 vs 1 must not read as MISMATCH
+    (ADVICE r7 — repr-equality is safe only for int/date/varchar)."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return repr(v) if v != int(v) else str(int(v))
+    if isinstance(v, bool):  # before int: True must not become 1's twin
+        return str(v)
+    return str(v)
+
+
 def _env_probe(spark, registry) -> str:
-    """One compact stdout line adjudicating the r6 driver-vs-local hash
-    discrepancy: nation_market_share / abc_inventory_classes hash only
-    BIGINT/DATE/VARCHAR columns yet graded red in CORRECTNESS_r06 while
-    passing the local oracle mirror bit-exact. Re-running the exact
-    driver comparison here, in the DRIVER'S OWN environment, with engine
-    versions, lands the evidence in the recorded bench tail: OK on both
-    means the r6 reds were a stale snapshot; a MISMATCH cell names the
-    engine-version culprit."""
-    import platform
+    """One compact stdout line re-running the driver's own comparison for
+    the two ex-red OLAP queries inside the driver's environment. The
+    r6/r7 reds were adjudicated (VERDICT r7): DuckDB types SUM(BIGINT)
+    as HUGEINT and the driver hash is dtype-sensitive — a value-level
+    string compare like this one could never see it, so the probe now
+    ALSO reports any DuckDB result column whose dtype has no Spark twin
+    (`DTYPE[col:HUGEINT]`). The whole body is exception-guarded: a
+    missing fixture file or import error degrades to `PROBE ERR[...]`
+    instead of aborting after all timings are done (ADVICE r7)."""
+    try:
+        import platform
 
-    import duckdb
-    import pyspark
+        import duckdb
+        import pyspark
 
-    import __spark_entry__ as e
+        import __spark_entry__ as e
 
-    parts = [
-        f"duckdb={duckdb.__version__}",
-        f"pyspark={pyspark.__version__}",
-        f"py={platform.python_version()}",
-    ]
-    sf_dir = "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracles = e.oracle_sql()
-    for name in ("nation_market_share", "abc_inventory_classes"):
-        try:
-            sdf = registry.queries()[name](spark, sf_dir)
-            srows = sorted(str(tuple(r)) for r in sdf.collect())
-            res = con.execute(oracles[name])
-            drows = sorted(str(tuple(r)) for r in res.fetchall())
-            if srows == drows:
-                parts.append(f"{name}=OK")
-            else:
-                cell = next(
-                    (f"{a}!={b}" for a, b in zip(srows, drows) if a != b),
-                    f"rows {len(srows)}!={len(drows)}",
+        parts = [
+            f"duckdb={duckdb.__version__}",
+            f"pyspark={pyspark.__version__}",
+            f"py={platform.python_version()}",
+        ]
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{PROBE_SF_DIR}/{t}.parquet'"
+            )
+        oracles = e.oracle_sql()
+        for name in ("nation_market_share", "abc_inventory_classes"):
+            try:
+                sdf = registry.queries()[name](spark, PROBE_SF_DIR)
+                srows = sorted(
+                    ",".join(_probe_cell(v) for v in r) for r in sdf.collect()
                 )
-                parts.append(f"{name}=MISMATCH[{cell[:120]}]")
-        except Exception as ex:  # pragma: no cover - diagnostic only
-            parts.append(f"{name}=ERR[{str(ex)[:80]}]")
-    return "PROBE " + " ".join(parts)
+                rel = con.sql(oracles[name])
+                bad_types = [
+                    f"{c}:{t}"
+                    for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper() or "INT128" in str(t)
+                ]
+                drows = sorted(
+                    ",".join(_probe_cell(v) for v in r) for r in rel.fetchall()
+                )
+                if bad_types:
+                    parts.append(f"{name}=DTYPE[{';'.join(bad_types)[:100]}]")
+                elif srows == drows:
+                    parts.append(f"{name}=OK")
+                else:
+                    cell = next(
+                        (f"{a}!={b}" for a, b in zip(srows, drows) if a != b),
+                        f"rows {len(srows)}!={len(drows)}",
+                    )
+                    parts.append(f"{name}=MISMATCH[{cell[:120]}]")
+            except Exception as ex:  # pragma: no cover - diagnostic only
+                parts.append(f"{name}=ERR[{str(ex)[:80]}]")
+        return "PROBE " + " ".join(parts)
+    except Exception as ex:  # pragma: no cover - diagnostic only
+        return f"PROBE ERR[{str(ex)[:120]}]"
 
 
 if __name__ == "__main__":

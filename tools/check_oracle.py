@@ -127,14 +127,27 @@ def main():
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
+            duck_rows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        # Native-dtype gate: the driver's value hash is dtype-sensitive
+        # (r6/r7 lesson: SUM(BIGINT) -> HUGEINT in DuckDB vs Spark int64
+        # hashed red for 8 queries despite value-equal rows). Python
+        # `int == int` above can't see it, so check the DuckDB result
+        # types directly: anything outside the driver-hashable set must
+        # be CAST in the oracle string.
+        for c, t in zip(duck_cols, duck_types):
+            if "HUGEINT" in t or "INT128" in t or "UINT" in t.upper():
+                problems.append(
+                    f"oracle dtype col={c}: DuckDB emits {t} (no Spark "
+                    f"twin; driver hash mismatches) — CAST it in the SQL"
+                )
         if problems:
             print(f"FAIL {name} ({len(spark_rows)} rows):")
             for p in problems:

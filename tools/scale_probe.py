@@ -188,9 +188,20 @@ def main() -> None:
         # Catalyst prune the expensive ones) while keeping the driver
         # transfer to one row — result-set download must not pollute the
         # operator-cost ratio when the output itself grows M×
+        # xxhash64 rejects MapType (and hashing a map would be
+        # order-unstable anyway) — route complex columns through to_json
+        # so map/array/struct-outputting queries can be probed too
+        from pyspark.sql import types as T
+
+        cols = [
+            F.to_json(F.col(f.name))
+            if isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
         row = df.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64(*df.columns)).alias("h"),
+            F.sum(F.xxhash64(*cols)).alias("h"),
         ).collect()[0]
         return row["n"]
 
