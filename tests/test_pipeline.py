@@ -184,3 +184,113 @@ def test_observe_metrics_ride_the_mart_action(spark):
     )
     assert observed.where(F.col("v").isNotNull()).count() == 90
     assert obs.get == {"rows_seen": 100, "null_v": 10}
+
+
+# ---------------------------------------------------------------------------
+# Task-per-operator DAG mirror (dags/event_pipeline_dag.py) — the
+# reference's 12-operator topology, runnable without Airflow.
+# ---------------------------------------------------------------------------
+
+
+def _dag_module():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "dags" / "event_pipeline_dag.py"
+    spec = importlib.util.spec_from_file_location("event_pipeline_dag", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dag_topology_matches_reference_shape():
+    """Edge-for-edge mirror of the reference graph (reference:
+    dags/event_pipeline_dag.py:527-541): generate → validate → branch →
+    [PASS] load → 4 parallel marts / [FAIL] alert → converging
+    save_quality_log (NONE_FAILED_MIN_ONE_SUCCESS) → quality_report →
+    llm_daily_report."""
+    dag = _dag_module()
+    g = dag.TASK_GRAPH
+    assert g["generate_events"] == ("validate_quality",)
+    assert g["validate_quality"] == ("quality_branch",)
+    assert set(g["quality_branch"]) == {"load_to_database", "quality_alert"}
+    assert set(g["load_to_database"]) == set(dag.MART_TASKS)
+    assert len(dag.MART_TASKS) == 4
+    for mart in dag.MART_TASKS:
+        assert g[mart] == ("save_quality_log",)
+    assert g["quality_alert"] == ("save_quality_log",)
+    assert g["save_quality_log"] == ("quality_report",)
+    assert g["quality_report"] == ("llm_daily_report",)
+    # the converging tasks must not be blocked by the skipped branch
+    assert dag.TRIGGER_RULES["save_quality_log"] == "none_failed_min_one_success"
+    assert dag.TRIGGER_RULES["quality_report"] == "none_failed_min_one_success"
+    # every non-branch task has a callable; the graph is acyclic & connected
+    for task_id in g:
+        if task_id != "quality_branch":
+            assert task_id in dag.TASK_CALLABLES
+
+
+def test_dag_branch_decision():
+    dag = _dag_module()
+    assert dag.decide_on_quality("PASS") == "load_to_database"
+    assert dag.decide_on_quality("FAIL") == "quality_alert"
+    assert dag.decide_on_quality("anything-else") == "quality_alert"
+
+
+def test_dag_task_graph_pass_path(spark, tmp_path):
+    """End-to-end walk of the PASS path through the task-split callables:
+    every task stages through the filesystem exactly as the Airflow graph
+    would, and the converging log/report tasks land on both branches."""
+    dag = _dag_module()
+    out = str(tmp_path)
+    results = dag.run_task_graph("2026-02-05", out, spark=spark)
+    assert results["validate_quality"] == "PASS"
+    assert results["quality_branch"] == "load_to_database"
+    assert results["load_to_database"] > 0
+    for mart in dag.MART_TASKS:
+        assert spark.read.parquet(results[mart]).count() > 0
+    assert "quality_alert" not in results  # skipped branch
+    log = spark.read.parquet(results["save_quality_log"])
+    assert log.where("check_date = '2026-02-05'").count() == 7
+    with open(results["quality_report"]) as fh:
+        assert "2026-02-05" in fh.read()
+    with open(results["llm_daily_report"]) as fh:
+        assert "fallback" in fh.read()  # no LLM endpoint configured
+
+
+def test_dag_task_graph_fail_branch(spark, tmp_path):
+    """FAIL path: stage a poisoned day directly (bad timestamps), then walk
+    validate → branch → alert → converging log+report; marts must not run
+    and the alert report is rendered."""
+    import os
+
+    dag = _dag_module()
+    out = str(tmp_path)
+    ds = "2026-02-06"
+    # same-day rows (so the staged reader's date filter keeps them) with a
+    # value-range violation the validator must catch
+    bad = events_df(
+        spark,
+        [make_event("purchase", timestamp=f"{ds}T10:00:0{i}",
+                    total_amount=-10.0, quantity=1, unit_price=-10.0)
+         for i in range(5)],
+    )
+    from ecommerce_event_pipeline_spark.schemas import EVENT_SCHEMA
+    from ecommerce_event_pipeline_spark.sources.writers import write_jsonl
+
+    write_jsonl(
+        bad.select(*EVENT_SCHEMA.fieldNames()),
+        f"{out}/staging/{ds}/events_jsonl",
+    )
+    status = dag.validate_quality_task(ds, out, spark=spark)
+    assert status == "FAIL"
+    assert dag.decide_on_quality(status) == "quality_alert"
+    # unconfigured webhook → post() returns False but must not raise
+    assert dag.quality_alert_task(ds, out, spark=spark) is False
+    dag.save_quality_log_task(ds, out, spark=spark)
+    path = dag.quality_report_task(ds, out, spark=spark)
+    assert os.path.basename(path).startswith("alert_")
+    with open(path) as fh:
+        assert "NOT loaded" in fh.read()
+    # marts were never written
+    assert not os.path.exists(f"{out}/mart_user_daily")
