@@ -37,13 +37,23 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import _repair_ns_ts, events_ts_layout
 
     schema, ts_is_long = events_ts_layout(spark, sf_dir)
-    # the file stream source requires a directory: point at sf_dir and
-    # select the one table with a glob filter
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    # the file stream source requires a DIRECTORY basePath. Two fixture
+    # layouts exist: the driver testdata ships events.parquet as a single
+    # FILE (point the stream at sf_dir + a name glob), while Spark-written
+    # fixtures (tools/scale_probe.py) make it a directory of part files —
+    # there the name glob matches nothing (it filters LEAF names, and the
+    # leaves are part-*.parquet), so stream from the directory itself.
+    import os
+
+    base = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.isdir(base):
+        raw = spark.readStream.schema(schema).parquet(base)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
     if ts_is_long:
         return _repair_ns_ts(raw)
     # a micros fixture resolves as TIMESTAMP_NTZ, which EventTimeWatermark

@@ -30,9 +30,13 @@ BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/scale_probe_sf"
 
 # representative set: corpus explode+window, blocked pair generation,
-# MinHash banding, event marts (agg / sketch / rolling window), and the
-# lineitem star join
+# MinHash banding, event marts (agg / sketch / rolling window), the
+# lineitem star join, and the streaming family (stream-stream interval
+# join state + streaming quantile sketch — state-store scaling is the
+# axis the batch queries can't exercise)
 DEFAULT_QUERIES = [
+    "streaming_attribution_join",
+    "streaming_histogram_quantiles",
     "span_dedup_stats",
     "ngram_jaccard_pairs",
     "jaccard_prefix_pairs",
