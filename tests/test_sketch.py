@@ -179,3 +179,37 @@ def test_bloom_prune_composes_with_join_exactly(spark):
     plain = fact.join(dim, "k").groupBy("k").count().collect()
     pruned = sketch.bloom_prune(fact, "k", bloom).join(dim, "k").groupBy("k").count().collect()
     assert sorted(map(tuple, pruned)) == sorted(map(tuple, plain))
+
+
+def test_hll_fine_grain_registers_fold_to_any_rollup(spark):
+    """The property the registry's shared HLL base rests on
+    (registry._hll_base_shared): registers sketched at a FINE grain and
+    max-merged over folded-out keys equal the registers sketched directly
+    at the coarse grain — for every rollup the family uses (date from
+    (week,date,type), week from the same, type from the same). Max is
+    invariant to duplicates and grouping order, so the fold is bit-exact,
+    not approximate."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("2026-01-05", "a", f"u{i % 37}") for i in range(300)
+    ] + [
+        ("2026-01-06", "b", f"u{i % 23}") for i in range(200)
+    ] + [
+        ("2026-01-12", "a", f"v{i % 41}") for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "event_date string, event_type string, user_id string").select(
+        F.to_date("event_date").alias("event_date"),
+        "event_type",
+        "user_id",
+        F.date_trunc("week", F.col("event_date")).cast("date").alias("week_start"),
+    )
+    fine = sketch.hll_sketch(df, ["week_start", "event_date", "event_type"], "user_id")
+
+    def rows_of(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    for keys in (["event_date"], ["week_start"], ["event_type"]):
+        folded = fine.groupBy(*keys, "bucket").agg(F.max("m_rho").alias("m_rho"))
+        direct = sketch.hll_sketch(df, keys, "user_id")
+        assert rows_of(folded) == rows_of(direct), keys
