@@ -4668,61 +4668,6 @@ def streaming_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_streaming_sliding_traffic(spark, sf_dir)
 
 
-_HLL_BASE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _hll_base_shared(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Shared base for the HLL family (daily, weekly rollup, segment
-    overlap): ONE events pass produces
-
-    - ``triples``: distinct (week_start, event_date, event_type, user_id)
-      rows — every consumer's EXACT audit side is a small aggregation of
-      this (duplicates never matter to count_distinct), and
-    - ``regs_fine``: the portable HLL register table at the finest common
-      grain (week_start, event_date, event_type, bucket, m_rho).
-
-    Registers MERGE by max, so each consumer folds out the keys it does
-    not group by — daily drops week/type, weekly drops date/type, the
-    segment overlap drops both time keys — and every fold is bit-exact
-    equal to sketching that consumer's grain directly (max is invariant
-    to both duplicates and grouping order). This is the one-scan-many-
-    rollups property that makes HLL the 100 TB answer to distinct counts:
-    regs_fine is dates × types × ≤256 buckets (~50k rows) REGARDLESS of
-    corpus size, so the cache is tiny while the three queries stop
-    re-hashing the full event log.
-
-    Under ``SPARK_GRAFT_CACHE_EVENTS=1`` (bench) both tables are computed
-    once per (session, dir); otherwise the plan is rebuilt per query so
-    plan-shape tests see the uncached form."""
-    import os
-
-    from .functions import sketch
-    from .sources.readers import session_key
-
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = session_key(spark, sf_dir, "hll-base")
-    if cache_on and key in _HLL_BASE_CACHE:
-        return _HLL_BASE_CACHE[key]
-    triples = (
-        read_events(spark, sf_dir)
-        .select(
-            F.date_trunc("week", "ts").cast("date").alias("week_start"),
-            "event_date",
-            "event_type",
-            "user_id",
-        )
-        .distinct()
-    )
-    regs_fine = sketch.hll_sketch(
-        triples, ["week_start", "event_date", "event_type"], "user_id"
-    )
-    if cache_on:
-        pair = (triples.cache(), regs_fine.cache())
-        _HLL_BASE_CACHE[key] = pair
-        return pair
-    return triples, regs_fine
-
-
 def _hll_oracle() -> str:
     """Full HLL replay in SQL: 60-bit md5 hash, integer bucket/rho split,
     exact scaled register sum — see ``functions/sketch.py`` (hll_sketch /
@@ -4786,12 +4731,10 @@ def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     across libms — see ab_conversion_ztest)."""
     from .functions import sketch
 
-    triples, regs_fine = _hll_base_shared(spark, sf_dir)
-    regs = regs_fine.groupBy("event_date", "bucket").agg(
-        F.max("m_rho").alias("m_rho")
-    )
+    ev = read_events(spark, sf_dir).select("event_date", "user_id")
+    regs = sketch.hll_sketch(ev, ["event_date"], "user_id")
     est = sketch.hll_estimate(regs, ["event_date"])
-    exact = triples.groupBy("event_date").agg(
+    exact = ev.groupBy("event_date").agg(
         F.count_distinct("user_id").cast("long").alias("exact_users")
     )
     return (
@@ -5906,12 +5849,17 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     portability — see hll_distinct_daily)."""
     from .functions import sketch
 
-    triples, regs_fine = _hll_base_shared(spark, sf_dir)
-    weekly = regs_fine.groupBy("week_start", "bucket").agg(
+    ev = read_events(spark, sf_dir).select(
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        "event_date",
+        "user_id",
+    )
+    daily = sketch.hll_sketch(ev, ["week_start", "event_date"], "user_id")
+    weekly = daily.groupBy("week_start", "bucket").agg(
         F.max("m_rho").alias("m_rho")
     )
     est = sketch.hll_estimate(weekly, ["week_start"])
-    exact = triples.groupBy("week_start").agg(
+    exact = ev.groupBy("week_start").agg(
         F.count_distinct("user_id").cast("long").alias("exact_users")
     )
     return (
@@ -5949,33 +5897,20 @@ ORDER BY p.support DESC, p.part_1, p.part_2
 """
 
 
-_BASKET_BASE_CACHE: dict[tuple, tuple] = {}
-
-
-def _basket_base_shared(spark: SparkSession, sf_dir: str):
-    """Shared market-basket base for basket_pairs / item_similarity_topk:
-    distinct (order, part) items, per-part order counts, and the
-    order-keyed pair table aggregated at the LOWEST support floor any
-    consumer uses (>= 2). Higher-floor consumers filter the aggregated
-    support — bit-identical to filtering inside their own HAVING, since
-    the floor is a post-aggregation predicate either way. The self-join
-    stays keyed by order (pair volume = sum of basket-choose-2, never
-    parts^2); under ``SPARK_GRAFT_CACHE_EVENTS=1`` (bench) the pair table
-    is computed once for the family."""
-    import os
-
-    from .sources.readers import session_key
-
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = session_key(spark, sf_dir, "basket-base-2")
-    if cache_on and key in _BASKET_BASE_CACHE:
-        return _BASKET_BASE_CACHE[key]
+@register("basket_pairs", _BASKET_ORACLE)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    with support ≥ 3 and their lift (support·N / (n₁·n₂), exact integer
+    inputs to one double expression). The self-join is keyed by order —
+    pair volume is Σ(items-per-order choose 2), bounded by basket size,
+    never parts²."""
     items = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    tot = items.agg(F.count_distinct("l_orderkey").alias("n"))
     a = items.select(
         F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
     )
@@ -5987,25 +5922,8 @@ def _basket_base_shared(spark: SparkSession, sf_dir: str):
         .where(F.col("part_1") < F.col("part_2"))
         .groupBy("part_1", "part_2")
         .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
+        .where(F.col("support") >= 3)
     )
-    out = (items, part_orders, pairs)
-    if cache_on:
-        out = (items.cache(), part_orders.cache(), pairs.cache())
-        _BASKET_BASE_CACHE[key] = out
-    return out
-
-
-@register("basket_pairs", _BASKET_ORACLE)
-def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence: part pairs bought in the same order
-    with support ≥ 3 and their lift (support·N / (n₁·n₂), exact integer
-    inputs to one double expression). The self-join is keyed by order —
-    pair volume is Σ(items-per-order choose 2), bounded by basket size,
-    never parts²."""
-    items, part_orders, pairs2 = _basket_base_shared(spark, sf_dir)
-    tot = items.agg(F.count_distinct("l_orderkey").alias("n"))
-    pairs = pairs2.where(F.col("support") >= 3)
     return (
         pairs.join(
             part_orders.select(
@@ -7152,7 +7070,25 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer product, so it hash-matches the oracle bit-for-bit."""
     from pyspark.sql import Window
 
-    items, part_orders, pairs = _basket_base_shared(spark, sf_dir)
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "_o")
+        .where(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
     sym = pairs.select(
         F.col("part_1").alias("part_id"),
         F.col("part_2").alias("partner_id"),
@@ -8174,11 +8110,8 @@ def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is user-keyed with fan-out bounded by the segment count per user."""
     from .functions import sketch
 
-    triples, regs_fine = _hll_base_shared(spark, sf_dir)
-    ev = triples.select("event_type", "user_id")
-    regs = regs_fine.groupBy("event_type", "bucket").agg(
-        F.max("m_rho").alias("m_rho")
-    )
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    regs = sketch.hll_sketch(ev, ["event_type"], "user_id")
     seg_state = sketch.hll_estimate(regs, ["event_type"])
     types = regs.select("event_type").distinct()
     pairs = (

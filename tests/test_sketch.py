@@ -182,13 +182,17 @@ def test_bloom_prune_composes_with_join_exactly(spark):
 
 
 def test_hll_fine_grain_registers_fold_to_any_rollup(spark):
-    """The property the registry's shared HLL base rests on
-    (registry._hll_base_shared): registers sketched at a FINE grain and
-    max-merged over folded-out keys equal the registers sketched directly
-    at the coarse grain — for every rollup the family uses (date from
-    (week,date,type), week from the same, type from the same). Max is
-    invariant to duplicates and grouping order, so the fold is bit-exact,
-    not approximate."""
+    """The mergeability property the HLL family rests on (and that
+    hll_weekly_rollup demonstrates): registers sketched at a FINE grain
+    and max-merged over folded-out keys equal the registers sketched
+    directly at the coarse grain — for every rollup the family uses
+    (date from (week,date,type), week from the same, type from the
+    same). Max is invariant to duplicates and grouping order, so the
+    fold is bit-exact, not approximate. (A round-8 experiment shared one
+    cached fine-grain table across the three HLL queries on this basis;
+    correct, but the cache barrier cost more one-shot than the saved
+    hashing — see BENCHNOTES — so the property is pinned here while the
+    queries keep their direct single-pass forms.)"""
     from pyspark.sql import functions as F
 
     rows = [
