@@ -374,3 +374,34 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_reads_directory_shaped_events_fixture(spark, tmp_path):
+    """Spark-written fixtures make events.parquet a DIRECTORY of part
+    files (tools/scale_probe.py); the driver testdata ships it as a
+    single file. streaming_events must read both layouts — the name-glob
+    approach matched zero leaf files on the directory layout, silently
+    streaming an empty source (round-8 probe bug). Rewrites the sf0.001
+    events through a Spark write and asserts the streamed hourly rollup
+    equals the same rollup over the original fixture."""
+    sf_copy = str(tmp_path / "sfdir")
+    ev = read_events(spark, SF_DIR)
+    # persist the reader's µs ts; drop derived cols so the copy is a
+    # plain events table the readers re-derive from
+    ev.select(
+        [c for c in ev.columns if c not in ("event_date", "event_hour")]
+    ).write.parquet(f"{sf_copy}/events.parquet")
+    import os
+
+    assert os.path.isdir(f"{sf_copy}/events.parquet")  # directory layout
+
+    stream = jobs.run_streaming_hourly_traffic(spark, sf_copy)
+    batch = (
+        read_events(spark, SF_DIR)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count("*").alias("event_count"))
+        .orderBy("window_start")
+    )
+    s = [(r["window_start"], r["event_count"]) for r in stream.collect()]
+    b = [(r["window_start"], r["event_count"]) for r in batch.collect()]
+    assert s == b and len(s) > 0
