@@ -180,7 +180,19 @@ def main() -> None:
     qs = e.queries()
 
     if os.path.exists(f"{OUT}/documents.parquet"):
-        print(f"reusing fixtures in {OUT} (delete to rebuild)", flush=True)
+        # NEVER trust the CLI M for reused fixtures: the on-disk build may
+        # be from an earlier invocation at a different M (round 8 found the
+        # r7 100x build being reported as "10x" — the measured ratios were
+        # real but the scale label was wrong by 10x). Detect M from the
+        # actual row counts instead.
+        base_n = spark.read.parquet(f"{BASE}/documents.parquet").count()
+        out_n = spark.read.parquet(f"{OUT}/documents.parquet").count()
+        m = round(out_n / base_n)
+        print(
+            f"reusing fixtures in {OUT}: detected {m}x "
+            f"({out_n} vs {base_n} docs; delete to rebuild)",
+            flush=True,
+        )
     else:
         print(f"building {m}x fixtures in {OUT} ...", flush=True)
         t0 = time.time()
@@ -209,8 +221,8 @@ def main() -> None:
         ).collect()[0]
         return row["n"]
 
-    print(f"{'query':32s} {'t_1x':>7s} {'t_Mx':>7s} {'ratio':>6s} "
-          f"{'rows_1x':>8s} {'rows_Mx':>9s}")
+    print(f"{'query':32s} {'t_1x':>7s} {'t_' + str(m) + 'x':>7s} "
+          f"{'ratio':>6s} {'rows_1x':>8s} {'rows_' + str(m) + 'x':>9s}")
     for n in names:
         fn = qs[n]
         # warm both paths once so neither side pays first-touch costs
