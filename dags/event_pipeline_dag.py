@@ -266,27 +266,34 @@ def llm_daily_report_task(ds: str, output_dir: str = OUTPUT_DIR, spark=None) -> 
     """LLM daily summary with deterministic fallback (reference:
     scripts/llm_daily_report.py:511-538): KPI block + quality rows +
     payment mix → prompt → LLMReporter (fallback template when no
-    endpoint is configured)."""
+    endpoint is configured). In the Airflow graph this task follows the
+    converging quality_report unconditionally, so on a FAIL day (raw
+    data never loaded) it must degrade to the fallback report over the
+    quality log — the reference survives the same day via its DB→local
+    fallback — instead of crashing on a missing raw_events path."""
     from ecommerce_event_pipeline_spark import reports
     from ecommerce_event_pipeline_spark.delivery import LLMReporter
 
     out = output_dir.rstrip("/")
     with _session(f"llm-report-{ds}", spark) as s:
-        events = s.read.parquet(f"{out}/raw_events").where(
-            f"event_date = '{ds}'"
-        )
-        kpis_rows = reports.daily_kpis(events).collect()
-        kpis = kpis_rows[0].asDict() if kpis_rows else {}
         quality = [
             r.asDict()
             for r in s.read.parquet(f"{out}/quality_check_log")
             .where(f"check_date = '{ds}'")
             .collect()
         ]
-        payments = [
-            r.asDict()
-            for r in reports.payment_method_distribution(events).collect()
-        ]
+        try:
+            events = s.read.parquet(f"{out}/raw_events").where(
+                f"event_date = '{ds}'"
+            )
+            kpis_rows = reports.daily_kpis(events).collect()
+            kpis = kpis_rows[0].asDict() if kpis_rows else {}
+            payments = [
+                r.asDict()
+                for r in reports.payment_method_distribution(events).collect()
+            ]
+        except Exception:  # FAIL day: raw_events absent for this ds
+            kpis, payments = {}, []
     prompt = reports.build_llm_prompt(ds, kpis, quality, payments)
     text = LLMReporter(url=os.environ.get("LLM_REPORT_URL")).generate(
         ds, prompt, kpis

@@ -294,3 +294,33 @@ def test_dag_task_graph_fail_branch(spark, tmp_path):
         assert "NOT loaded" in fh.read()
     # marts were never written
     assert not os.path.exists(f"{out}/mart_user_daily")
+
+
+def test_dag_llm_report_survives_fail_day(spark, tmp_path):
+    """The Airflow graph runs llm_daily_report after the converging
+    quality_report on BOTH branches; on a FAIL day raw_events was never
+    loaded, so the task must degrade to the fallback report over the
+    quality log instead of crashing on the missing path (the reference's
+    DB->local fallback behavior)."""
+    dag = _dag_module()
+    out = str(tmp_path)
+    ds = "2026-02-07"
+    bad = events_df(
+        spark,
+        [make_event("purchase", timestamp=f"{ds}T10:00:0{i}",
+                    total_amount=-10.0, quantity=1, unit_price=-10.0)
+         for i in range(5)],
+    )
+    from ecommerce_event_pipeline_spark.schemas import EVENT_SCHEMA
+    from ecommerce_event_pipeline_spark.sources.writers import write_jsonl
+
+    write_jsonl(
+        bad.select(*EVENT_SCHEMA.fieldNames()),
+        f"{out}/staging/{ds}/events_jsonl",
+    )
+    assert dag.validate_quality_task(ds, out, spark=spark) == "FAIL"
+    dag.save_quality_log_task(ds, out, spark=spark)
+    path = dag.llm_daily_report_task(ds, out, spark=spark)
+    with open(path) as fh:
+        text = fh.read()
+    assert "fallback" in text  # degraded, not crashed
