@@ -143,7 +143,12 @@ def main():
         # types directly: anything outside the driver-hashable set must
         # be CAST in the oracle string.
         for c, t in zip(duck_cols, duck_types):
-            if "HUGEINT" in t or "INT128" in t or "UINT" in t.upper():
+            tu = t.upper()
+            if any(
+                f in tu
+                for f in ("HUGEINT", "INT128", "UTINYINT", "USMALLINT",
+                          "UINTEGER", "UBIGINT")
+            ):
                 problems.append(
                     f"oracle dtype col={c}: DuckDB emits {t} (no Spark "
                     f"twin; driver hash mismatches) — CAST it in the SQL"
