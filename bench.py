@@ -176,10 +176,16 @@ def _env_probe(spark, registry) -> str:
                     ",".join(_probe_cell(v) for v in r) for r in sdf.collect()
                 )
                 rel = con.sql(oracles[name])
+                # same forbidden set as the pytest sweep and the local
+                # mirror gate (ADVICE r8: the three checks must agree, or
+                # an unsigned oracle column probes OK yet hashes red)
                 bad_types = [
                     f"{c}:{t}"
                     for c, t in zip(rel.columns, rel.types)
-                    if "HUGEINT" in str(t).upper() or "INT128" in str(t)
+                    if any(
+                        f in str(t).upper()
+                        for f in registry.FORBIDDEN_ORACLE_DTYPES
+                    )
                 ]
                 drows = sorted(
                     ",".join(_probe_cell(v) for v in r) for r in rel.fetchall()

@@ -53,6 +53,51 @@ def test_window_composition_is_fully_oracle_backed():
     assert rows_only_in_window == [], rows_only_in_window
 
 
+def test_front_window_reseats_stalest():
+    """Freshness invariant (VERDICT r8 item 7): the driver ledger is the
+    graded contract, so rotation must keep every query's last driver
+    grade recent. Mechanically: after each round, any query whose last
+    green in CORRECTNESS_r*.json is more than 3 rounds older than the
+    latest recorded round MUST be seated in the next window (_FRONT).
+    With the r9 rotation this bounds off-window staleness at 3 rounds
+    and forces future rounds to keep rotating instead of letting seats
+    silently age (the r8 judge found ~40 seats stuck at r05)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:  # fresh clone without driver artifacts — nothing to pin
+        return
+    last_green: dict[str, int] = {}
+    latest = 0
+    for f in files:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        latest = max(latest, rnd)
+        for q, v in json.load(open(f)).items():
+            if not isinstance(v, dict):
+                continue
+            green = v.get("hash_match") is True or (
+                v.get("hash_match") is None and v.get("rows_match") is True
+            )
+            if green:
+                last_green[q] = max(last_green.get(q, 0), rnd)
+    stale_cutoff = latest - 3
+    stale_off_window = {
+        q: r
+        for q, r in last_green.items()
+        if r < stale_cutoff
+        and q in registry._REGISTRY
+        and q not in registry._FRONT
+    }
+    assert not stale_off_window, (
+        f"queries last driver-green before r{stale_cutoff} must be seated "
+        f"in _FRONT for the next graded window: {stale_off_window}"
+    )
+
+
 def test_graded_window_schemas_survive_driver_canonicalizer(spark):
     """The driver canonicalizes results with a pandas lexsort over every
     column; an ArrayType/MapType/StructType column raises
@@ -93,8 +138,7 @@ def test_oracle_dtypes_are_driver_hashable():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    forbidden = ("HUGEINT", "INT128", "UTINYINT", "USMALLINT", "UINTEGER",
-                 "UBIGINT")
+    forbidden = registry.FORBIDDEN_ORACLE_DTYPES
     bad = {}
     for name, sql in registry.oracle_sql().items():
         rel = con.sql(sql)

@@ -95,6 +95,9 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
+    from ecommerce_event_pipeline_spark.registry import (
+        FORBIDDEN_ORACLE_DTYPES,
+    )
     from ecommerce_event_pipeline_spark.session import get_spark
 
     spark = get_spark("check-oracle")
@@ -144,11 +147,7 @@ def main():
         # be CAST in the oracle string.
         for c, t in zip(duck_cols, duck_types):
             tu = t.upper()
-            if any(
-                f in tu
-                for f in ("HUGEINT", "INT128", "UTINYINT", "USMALLINT",
-                          "UINTEGER", "UBIGINT")
-            ):
+            if any(f in tu for f in FORBIDDEN_ORACLE_DTYPES):
                 problems.append(
                     f"oracle dtype col={c}: DuckDB emits {t} (no Spark "
                     f"twin; driver hash mismatches) — CAST it in the SQL"
