@@ -344,8 +344,13 @@ def run_task_graph(
     # NONE_FAILED_MIN_ONE_SUCCESS convergence: reached from either branch
     results["save_quality_log"] = save_quality_log_task(ds, output_dir, spark)
     results["quality_report"] = quality_report_task(ds, output_dir, spark)
-    if chosen == "load_to_database":  # LLM report needs the loaded day
-        results["llm_daily_report"] = llm_daily_report_task(ds, output_dir, spark)
+    # Unconditional, like the Airflow edge it mirrors (quality_report →
+    # llm_daily_report with default all_success on a succeeded upstream):
+    # on FAIL days llm_daily_report_task degrades to its quality-log
+    # fallback rather than reading the never-loaded raw_events (ADVICE r8
+    # — the plain-scheduler twin previously dropped the FAIL-day report,
+    # silently diverging from the declared topology).
+    results["llm_daily_report"] = llm_daily_report_task(ds, output_dir, spark)
     return results
 
 

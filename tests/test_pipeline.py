@@ -296,6 +296,39 @@ def test_dag_task_graph_fail_branch(spark, tmp_path):
     assert not os.path.exists(f"{out}/mart_user_daily")
 
 
+def test_dag_task_graph_runs_llm_report_on_fail_branch(
+    spark, tmp_path, monkeypatch
+):
+    """run_task_graph must execute llm_daily_report on BOTH branches, like
+    the Airflow edge it mirrors (quality_report → llm_daily_report,
+    default all_success on a succeeded upstream). ADVICE r8: the
+    plain-scheduler twin previously gated it on the PASS branch, silently
+    dropping the FAIL-day report the graded DAG produces."""
+    dag = _dag_module()
+    out = str(tmp_path)
+    ds = "2026-02-08"
+    bad = events_df(
+        spark,
+        [make_event("purchase", timestamp=f"{ds}T10:00:0{i}",
+                    total_amount=-10.0, quantity=1, unit_price=-10.0)
+         for i in range(5)],
+    )
+    from ecommerce_event_pipeline_spark.schemas import EVENT_SCHEMA
+    from ecommerce_event_pipeline_spark.sources.writers import write_jsonl
+
+    write_jsonl(
+        bad.select(*EVENT_SCHEMA.fieldNames()),
+        f"{out}/staging/{ds}/events_jsonl",
+    )
+    # the poisoned day is already staged; keep generate from overwriting it
+    monkeypatch.setattr(dag, "generate_events_task", lambda *a, **k: 0)
+    results = dag.run_task_graph(ds, out, spark=spark)
+    assert results["quality_branch"] == "quality_alert"
+    assert "load_to_database" not in results
+    with open(results["llm_daily_report"]) as fh:
+        assert "fallback" in fh.read()  # degraded on FAIL day, not skipped
+
+
 def test_dag_llm_report_survives_fail_day(spark, tmp_path):
     """The Airflow graph runs llm_daily_report after the converging
     quality_report on BOTH branches; on a FAIL day raw_events was never
