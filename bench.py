@@ -50,10 +50,35 @@ def main() -> None:
     # nanos-timestamp layout probe (try/except + conf retry), the
     # InMemoryFileIndex build and scan codegen — session setup, not query
     # cost (the first registered query was absorbing ~4 s of it)
-    from ecommerce_event_pipeline_spark.sources.readers import read_table
+    from ecommerce_event_pipeline_spark.sources.readers import (
+        read_events,
+        read_table,
+    )
 
     for t in ("events", "documents", "orders", "lineitem"):
         read_table(spark, sf_dir, t).limit(1).collect()
+
+    # Pre-warm the SHARED CACHED BASES before the timed loop (VERDICT r8:
+    # whichever query runs first after a window reorder pays the full
+    # materialization of a base that 5+ queries consume, so per-query
+    # numbers were incomparable across rounds — ngram_jaccard_pairs read
+    # 5.2 s or 11.0 s depending on seat order alone). Materializing them
+    # here moves that one-time cost into a separately-reported
+    # `warmup_sec`, making per-query times mean "this query's own plan,
+    # shared bases warm" regardless of registration order. This mirrors
+    # how a production deployment would serve them: built once per day,
+    # consumed by every downstream mart.
+    t_warm = time.perf_counter()
+    read_events(spark, sf_dir).count()
+    for base in (
+        registry._synthetic_event_log,
+        registry._shingle_sets_shared,
+        registry._ngram_pairs_shared,
+        registry._minhash_candidates_shared,
+        registry._simhash_shared,
+    ):
+        base(spark, sf_dir).count()
+    warmup = round(time.perf_counter() - t_warm, 3)
 
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
@@ -73,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup_sec": warmup,
             },
             f,
             indent=1,
@@ -97,6 +123,7 @@ def main() -> None:
             "queries": front,
             "sf": sf,
             "n_queries": len(timings),
+            "warmup_sec": warmup,
             "full": "bench_full.json",
         }
         if dropped:

@@ -1096,7 +1096,15 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-threshold consumers (0.5 leakage, 0.6 corpus dedup) filter
     the cached rounded ``jaccard`` — bit-identical to filtering inside
     the join, since the threshold predicate is the last step either
-    way."""
+    way.
+
+    Sharing pays HERE (11 consumers; family ~48 s → ~28 s, r7) but the
+    r8 A/B proved it is a LOSS at 2–3 consumers: the shared HLL register
+    base measured 12–16 s vs ~10 s direct, the shared basket-pair table
+    13–15 s vs 10–13 s (fresh sessions, min over repeats) — the cache
+    materialization barrier breaks partial-agg fusion into each consumer.
+    Rule of thumb (docs/SCALING.md "Cross-query base sharing"): don't
+    extend this pattern below ≈5 consumers without new measurements."""
     import os
 
     from .sources.readers import session_key
@@ -4747,6 +4755,12 @@ def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import sketch
 
     ev = read_events(spark, sf_dir).select("event_date", "user_id")
+    # Each HLL query builds its own registers from the scan. Do NOT share
+    # a cached finest-grain register base across the HLL trio without new
+    # measurements: the r8 A/B (docs/SCALING.md "Cross-query base
+    # sharing") measured the shared variant at 12–16 s vs ~10 s direct —
+    # the cache materialization barrier breaks partial-agg fusion and
+    # only amortizes at ≈5+ consumers at this scale.
     regs = sketch.hll_sketch(ev, ["event_date"], "user_id")
     est = sketch.hll_estimate(regs, ["event_date"])
     exact = ev.groupBy("event_date").agg(
