@@ -1488,8 +1488,18 @@ ORDER BY doc_id
 @register("language_id", _lang_id_oracle())
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language-ID, score-only against the static
-    broadcast profile table — one corpus scan, no profile rebuild."""
-    return text.language_id_ngram(read_table(spark, sf_dir, "documents"))
+    broadcast profile table — one corpus scan, no profile rebuild. The
+    scan is spread before the trigram explode: the fixture file is one
+    row group, and the explode+count IS the cost (3.4 s single-threaded
+    → 1.4 s across cores, r9; no-op at production partition counts).
+    Measured-and-rejected alternatives live in text.language_id_ngram's
+    docstring (window argmax, no-explode fold, hashed join key, and the
+    r9 literal-map lookup at 3.36 s vs the broadcast join's 3.19 s)."""
+    from .sources.readers import spread_small_scan
+
+    return text.language_id_ngram(
+        spread_small_scan(read_table(spark, sf_dir, "documents"))
+    )
 
 
 def _ann_topk_oracle(dim: int = 64, bits: int = 4, tables: int = 16) -> str:
@@ -3781,8 +3791,15 @@ ORDER BY doc_id
 @register("doc_repetition", _DOC_REPETITION_ORACLE)
 def doc_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document duplicate-3-gram fraction — the
-    repetition filter a curation pipeline applies before training."""
-    return curation.doc_repetition(read_table(spark, sf_dir, "documents"), k=3)
+    repetition filter a curation pipeline applies before training. The
+    scan is spread first: the metric is pure row-local k-gram building
+    (O(len·k) string work per doc), which otherwise runs single-threaded
+    on the fixture's one-row-group file."""
+    from .sources.readers import spread_small_scan
+
+    return curation.doc_repetition(
+        spread_small_scan(read_table(spark, sf_dir, "documents")), k=3
+    )
 
 
 _BM25_ORACLE = """

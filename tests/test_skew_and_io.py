@@ -149,3 +149,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "x", "y"}
     rows = {r["id"]: (r["x"], r["y"]) for r in merged.collect()}
     assert rows[0] == ("a", None) and rows[5] == ("b", 1.5)
+
+
+def test_spread_small_scan_widens_only_narrow_plans(spark):
+    """spread_small_scan parallelizes CPU-heavy map work over the
+    fixtures' single-row-group files (byte-range splits can't divide one
+    row group, so every sf scan arrives as ONE partition) but must be a
+    no-op on already-wide plans — at production scale a repartition here
+    would be a pure-loss shuffle."""
+    from ecommerce_event_pipeline_spark.sources.readers import (
+        spread_small_scan,
+    )
+
+    narrow = spark.range(100).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = spread_small_scan(narrow, min_parts=8)
+    assert widened.rdd.getNumPartitions() == 8
+    assert widened.count() == 100
+
+    wide = spark.range(100).repartition(16)
+    untouched = spread_small_scan(wide, min_parts=8)
+    assert untouched is wide  # same object: no shuffle added
