@@ -65,6 +65,10 @@ HEADLINERS = [
     "embedding_inference",
     "dup_triangles",
     "dup_chain_stats",
+    # round-9: narrow-scan spread (the plan should show a REPARTITION
+    # exchange between the 1-split fixture scan and the row-local work)
+    "language_id",
+    "doc_repetition",
 ]
 
 
