@@ -196,7 +196,11 @@ def _env_probe(spark, registry) -> str:
                 f"SELECT * FROM '{PROBE_SF_DIR}/{t}.parquet'"
             )
         oracles = e.oracle_sql()
-        for name in ("nation_market_share", "abc_inventory_classes"):
+        # Two graded-window seats, refreshed per rotation: r9 probes the
+        # reference's flagship surfaces (the r6/r7 ex-reds this probe was
+        # built for are hash-green since r8 and stay covered by the
+        # all-oracle pytest dtype sweep).
+        for name in ("funnel_daily", "quality_report"):
             try:
                 sdf = registry.queries()[name](spark, PROBE_SF_DIR)
                 srows = sorted(
