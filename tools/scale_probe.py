@@ -11,8 +11,14 @@ A ratio ≈ M (or below, as fixed overheads amortize) is the linear-scaling
 evidence the 100 TB design claims rest on; a ratio ≫ M flags a
 superlinear term that small-SF correctness runs can't see.
 
-Usage: python tools/scale_probe.py [M] [query ...]   (default M=10)
+Usage: python tools/scale_probe.py [M] [--once] [query ...]  (default M=10)
 Writes nothing to the repo; fixtures land in /tmp/scale_probe_sf/.
+
+``--once`` runs each query ONCE per scale with no warm pass — for
+stateful streaming queries whose single 100× run takes minutes (the
+session-window job is 427 s at 100×; the min-of-3 protocol would need
+~an hour per query). Single-shot ratios are upper bounds: the 1× side
+pays cold codegen that the big side amortizes.
 """
 
 from __future__ import annotations
@@ -170,8 +176,10 @@ def build_fixtures(spark, m: int) -> None:
 
 
 def main() -> None:
-    m = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = [a for a in sys.argv[1:] if a != "--once"]
+    once = "--once" in sys.argv[1:]
+    m = int(argv[0]) if argv else 10
+    names = argv[1:] or DEFAULT_QUERIES
 
     import __spark_entry__ as e
     from ecommerce_event_pipeline_spark.session import get_spark
@@ -225,15 +233,26 @@ def main() -> None:
           f"{'ratio':>6s} {'rows_1x':>8s} {'rows_' + str(m) + 'x':>9s}")
     for n in names:
         fn = qs[n]
-        # warm both paths once so neither side pays first-touch costs
-        # (codegen compile, shuffle-service spin-up, OS page cache), then
-        # take the MIN of 3 timed runs per scale: this host's co-tenant
-        # stall waves inflate single shots 3-30x, and the minimum is the
-        # stall-robust estimator of true cost
-        run(fn(spark, BASE))
-        run(fn(spark, OUT))
         t_small, t_big, r1, rm = float("inf"), float("inf"), 0, 0
-        for _ in range(3):
+        if once:
+            # single-shot: one cold run per scale (upper-bound ratio);
+            # for stateful jobs whose one 100x run takes minutes
+            t0 = time.time()
+            r1 = run(fn(spark, BASE))
+            t_small = time.time() - t0
+            t0 = time.time()
+            rm = run(fn(spark, OUT))
+            t_big = time.time() - t0
+            print(f"[single-shot] {n}", flush=True)
+        else:
+            # warm both paths once so neither side pays first-touch costs
+            # (codegen compile, shuffle-service spin-up, OS page cache),
+            # then take the MIN of 3 timed runs per scale: this host's
+            # co-tenant stall waves inflate single shots 3-30x, and the
+            # minimum is the stall-robust estimator of true cost
+            run(fn(spark, BASE))
+            run(fn(spark, OUT))
+        for _ in range(0 if once else 3):
             t0 = time.time()
             r1 = run(fn(spark, BASE))
             t_small = min(t_small, time.time() - t0)
