@@ -405,3 +405,36 @@ def test_streaming_reads_directory_shaped_events_fixture(spark, tmp_path):
     s = [(r["window_start"], r["event_count"]) for r in stream.collect()]
     b = [(r["window_start"], r["event_count"]) for r in batch.collect()]
     assert s == b and len(s) > 0
+
+
+def test_streaming_sliding_traffic_matches_batch_windows(spark):
+    """Sliding 1h/15min streaming windows == the batch window() rollup:
+    counts are exact under any merge order, so the complete-mode memory
+    sink must equal a batch groupBy over the same window spec — window
+    alignment (epoch multiples of the slide, UTC session), the 4x
+    overlap fan-out, and per-window counts all pinned."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    got = jobs.run_streaming_sliding_traffic(spark, sf)
+    want = (
+        read_table(spark, sf, "events")
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+        )
+        .orderBy("window_start")
+    )
+    g = [(r[0], r[1], r[2]) for r in got.collect()]
+    w = [(r[0], r[1], r[2]) for r in want.collect()]
+    assert g == w
+    # every event lands in duration/slide = 4 overlapping windows
+    n_events = read_table(spark, sf, "events").count()
+    assert sum(r[2] for r in g) == 4 * n_events
