@@ -70,13 +70,7 @@ def main() -> None:
     # consumed by every downstream mart.
     t_warm = time.perf_counter()
     read_events(spark, sf_dir).count()
-    for base in (
-        registry._synthetic_event_log,
-        registry._shingle_sets_shared,
-        registry._ngram_pairs_shared,
-        registry._minhash_candidates_shared,
-        registry._simhash_shared,
-    ):
+    for base in registry.SHARED_BASES:
         base(spark, sf_dir).count()
     warmup = round(time.perf_counter() - t_warm, 3)
 
@@ -127,13 +121,16 @@ def build_stdout_lines(
     entries (2-decimal) with ``value`` still the all-query total. Budget =
     2000 minus the probe line printed just before; if a future front
     window blows it, the FASTEST entries are shed loudly into ``dropped``
-    rather than letting the driver truncate the JSON. If even the empty
-    line plus the probe can't fit (e.g. a long probe ERR tail), the PROBE
-    is truncated — the results line is the contract, the probe is
-    advisory. Pinned by tests/test_bench_contract.py."""
+    rather than letting the driver truncate the JSON. Priority order: the
+    results line is the CONTRACT, the probe is advisory — the line is
+    sized first against (2000 − a small reserved probe stub) and only
+    then does the probe get whatever room is left, so a runaway probe ERR
+    tail can never evict graded timings. Pinned by
+    tests/test_bench_contract.py."""
+    MIN_PROBE = 40  # always keep at least a probe prefix for diagnostics
     total = round(sum(timings.values()), 3)
     front = {n: round(timings[n], 2) for n in front_names if n in timings}
-    budget = 1960 - len(probe)
+    budget = 2000 - 2 - MIN_PROBE  # 2 = the two newlines
     dropped = 0
     while True:
         payload = {
@@ -153,8 +150,7 @@ def build_stdout_lines(
             break
         del front[min(front, key=front.get)]
         dropped += 1
-    if len(line) + len(probe) + 2 > 2000:
-        probe = probe[: max(0, 2000 - len(line) - 2)]
+    probe = probe[: max(0, 2000 - len(line) - 2)]
     return probe, line
 
 

@@ -1724,6 +1724,21 @@ def _synthetic_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SYNTH_LOG_CACHE[key]
 
 
+#: Every session-cached shared base, in dependency order. bench.py
+#: materializes these BEFORE its timed loop (reporting the cost as
+#: `warmup_sec`) so per-query timings never depend on which consumer runs
+#: first (VERDICT r8). Keep this tuple next to the caches: a new shared
+#: base added to the registry without a seat here silently reintroduces
+#: the seat-order attribution instability the warmup exists to fix.
+SHARED_BASES: tuple = (
+    _synthetic_event_log,
+    _shingle_sets_shared,
+    _ngram_pairs_shared,
+    _minhash_candidates_shared,
+    _simhash_shared,
+)
+
+
 _PRODUCT_DAILY_ORACLE = """
 WITH base AS (
   SELECT CAST(l.l_partkey AS VARCHAR) AS product_id,

@@ -229,11 +229,20 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     k-gram building) then runs single-threaded on a 32-core host
     (measured: language_id 3.4 s → 1.4 s, doc_repetition likewise, r9).
 
-    Scale-aware by construction: repartition ONLY when the plan has fewer
-    partitions than requested. At production scale a 100 TB table scans as
-    thousands of splits, so this is a no-op there — never an extra
-    shuffle. The `.rdd` probe costs one physical planning pass at query
-    build time, not an execution."""
+    Scale-aware: repartition ONLY when the plan has fewer partitions than
+    requested. At production scale a 100 TB table scans as thousands of
+    splits, so this is a no-op there — never an extra shuffle. The `.rdd`
+    probe costs one physical planning pass at query build time, not an
+    execution.
+
+    Known limit: the guard counts SPLITS, not non-empty partitions. A
+    single-row-group file LARGER than cores x maxPartitionBytes yields
+    many byte-range splits but every row group lands in the one split
+    containing its midpoint — such a file passes the guard yet still
+    runs single-threaded. Detecting that needs a data pass, so the real
+    fix is write-side (row groups <= parquet.block.size, which every
+    Spark sink does); this helper covers the small-file ingest boundary
+    the fixtures exhibit."""
     from ..session import default_parallelism
 
     n = min_parts or default_parallelism()

@@ -44,7 +44,23 @@ def test_oversized_window_sheds_loudly_and_stays_parseable():
 
 
 def test_runaway_probe_is_truncated_not_the_results_line():
+    """A runaway probe ERR tail must never evict graded timings: the
+    contract line is sized first and the probe only gets the leftover
+    (priority: results line is the contract, probe is advisory)."""
     probe, line = _lines(probe="PROBE ERR[" + "e" * 3000 + "]")
     assert len(probe) + len(line) + 2 <= 2000
     payload = json.loads(line)  # the contract line survives intact
     assert payload["metric"] == "total_query_wall_time"
+    # all 50 graded entries survive; only the probe was cut
+    assert "dropped" not in payload
+    assert len(payload["queries"]) == 50
+    assert probe.startswith("PROBE ERR[")  # a diagnostic prefix remains
+
+
+def test_probe_budget_reserve_matches_shedding_budget():
+    """The shedding loop reserves MIN_PROBE chars; a normal-length probe
+    then fits untruncated next to a full 50-entry line."""
+    probe_in = "PROBE duckdb=1.0.0 pyspark=4.1.2 py=3.11.7 a=OK b=OK"
+    probe, line = _lines(probe=probe_in)
+    assert probe == probe_in  # healthy probes are never cut
+    assert len(json.loads(line)["queries"]) == 50

@@ -84,8 +84,12 @@ def test_front_window_reseats_stalest():
         for q, v in json.load(open(f)).items():
             if not isinstance(v, dict):
                 continue
+            # hash green, or a rows-only record (real rows-only driver
+            # records carry err='no_oracle' + spark_rows, not rows_match)
+            # — same criterion as tools/make_ledger.py
             green = v.get("hash_match") is True or (
-                v.get("hash_match") is None and v.get("rows_match") is True
+                v.get("err") == "no_oracle"
+                and v.get("spark_rows") is not None
             )
             if green:
                 last_green[q] = max(last_green.get(q, 0), rnd)

@@ -178,8 +178,14 @@ def build_fixtures(spark, m: int) -> None:
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--once"]
     once = "--once" in sys.argv[1:]
-    m = int(argv[0]) if argv else 10
-    names = argv[1:] or DEFAULT_QUERIES
+    # M is optional (usage: [M] [--once] [query ...]) — only consume the
+    # first arg as M when it actually parses as an integer, so
+    # `scale_probe.py --once some_query` works as documented
+    if argv and argv[0].isdigit():
+        m, names = int(argv[0]), argv[1:]
+    else:
+        m, names = 10, argv
+    names = names or DEFAULT_QUERIES
 
     import __spark_entry__ as e
     from ecommerce_event_pipeline_spark.session import get_spark
