@@ -10619,77 +10619,81 @@ def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-9 window: stalest-evidence rotation (VERDICT r8 item 1).
-    # The ledger closed at 186/186 in r8; this window re-seats the 50
-    # seats whose last driver grade is OLDEST under current code,
-    # mechanically derived from CORRECTNESS_r*.json: the 4 entries last
-    # green in r04 (deferred from the r8 window because each has a
-    # dedicated pytest pin) plus 46 of the 48 entries last green in r05.
-    # The 2 deferred-to-r10 seats are streaming_session_expiry and
-    # streaming_sliding_traffic — both pinned in tests/test_streaming.py
-    # and both micro-batch queries whose grading cost is highest; they
-    # join the 42 r06 seats in the r10 window (44 seats, fits).
+    # ---- round-10 window: stalest-evidence rotation (VERDICT r9 item 1)
+    # plus the ADVICE r9 extension: seat queries whose physical plans
+    # changed last round even when their last green is recent, so a plan
+    # change never ships without a driver grade for more than one round.
+    # Mechanically (tools/make_ledger.py after CORRECTNESS_r09): the 2
+    # seats last green r05 (the pytest-pinned streaming pair deferred
+    # from r9), all 42 seats last green r06, the 2 seats whose plans
+    # gained a spread_small_scan exchange in r9 while off-window
+    # (language_id, doc_repetition — last green r08, plan-change seats),
+    # and 4 of the 6 stalest r07 seats to fill the window.
     # Zero new registrations; rotation only. ----
-    # the 4 seats last green r04
-    "streaming_session_windows",
-    "streaming_enriched_traffic",
-    "multimodal_frames",
-    "multimodal_resize",
-    # ---- 46 seats last green r05 ----
-    "funnel_daily",
-    "quality_report",
-    "product_daily",
-    "orders_mart",
-    "minhash_near_dupes",
-    "simhash_fingerprints",
-    "doc_fingerprints",
-    "ivf_topk",
-    "variant_props_stats",
-    "traffic_rollup",
-    "lineitem_stats_by_flag",
-    "small_quantity_revenue",
-    "retention_cohorts",
-    "rfm_segments",
-    "first_touch_attribution",
-    "user_lifetime_incremental",
-    "daily_revenue_gapfill",
-    "daily_volume_anomalies",
-    "ewma_daily_traffic",
-    "daily_reconciliation_full_outer",
-    "purchase_context_interval_join",
-    "join_key_skew_report",
-    "bloom_pruned_brand_revenue",
-    "zorder_box_stats",
-    "orders_cdc_merge",
-    "customer_value_scd2",
-    "sql_udf_funnel_rate",
-    "try_arithmetic_stats",
-    "value_median_udaf",
-    "basket_pairs",
-    "dataset_split",
-    "stratified_sample_per_lang",
-    "weighted_doc_sample",
-    "language_mix_weights",
-    "lang_distinctive_terms",
-    "doc_surprisal",
-    "token_heavy_hitters",
-    "dup_chain_stats",
-    "incremental_dedup_report",
-    "cluster_representatives",
-    "jaccard_prefix_pairs",
-    "semantic_dedup",
-    "semantic_dedup_static",
-    "pq_encode_static",
-    "pq_adc_topk",
-    "ivf_pq_topk",
+    # the 2 seats last green r05 (streaming, pytest-pinned)
+    "streaming_session_expiry",
+    "streaming_sliding_traffic",
+    # ---- all 42 seats last green r06 ----
+    "approx_distinct_daily",
+    "span_dedup_stats",
+    "split_leakage_report",
+    "embedding_inference",
+    "dup_triangles",
+    "near_dup_edit_distances",
+    "value_drift_psi",
+    "daily_topn_churn",
+    "ab_conversion_ztest",
+    "item_similarity_topk",
+    "revenue_concentration",
+    "benford_screen",
+    "histogram_quantile_rollup",
+    "rake_keyphrases",
+    "peak_concurrency",
+    "contrastive_pairs",
+    "matryoshka_recall",
+    "temperature_mix_weights",
+    "viewers_also_purchased",
+    "uncertainty_sample",
+    "neyman_allocation",
+    "sequence_funnel",
+    "session_duration_stats",
+    "cohort_ltv_curve",
+    "ab_power_mde",
+    "item_rec_hitrate",
+    "lsh_eval_report",
+    "budget_waterfall",
+    "streaming_histogram_quantiles",
+    "supplier_reliability",
+    "order_cadence_stats",
+    "latest_order_lateral",
+    "grouping_sets_traffic",
+    "embedding_health_report",
+    "scd2_asof_snapshot",
+    "trailing_hour_range_frame",
+    "fk_integrity_report",
+    "duplicate_payment_screen",
+    "cart_abandonment",
+    "orders_profile",
+    "price_quantity_ols",
+    "behavior_entropy",
+    # ---- plan-changed in r9 while off-window (spread_small_scan) ----
+    "language_id",
+    "doc_repetition",
+    # ---- 4 of the 6 stalest r07 seats ----
+    "hourly_traffic",
+    "user_daily",
+    "session_patterns",
+    "pattern_frequency",
 )
-# Seat accounting for the round-9 window (the driver grades the first 50
-# registered queries). The r8 window went 50/50 and closed the cumulative
+# Seat accounting for the round-10 window (the driver grades the first 50
+# registered queries). The r9 window went 50/50, keeping the cumulative
 # ledger at 186/186; every seat here is a re-grade of a query that is
-# already hash-green (r04/r05) AND passes the full local mirror
+# already hash-green AND passes the full local mirror
 # (tools/check_oracle.py 186/186 at sf0.01), so the expected outcome is
-# 50/50 with every seat's last-green becoming ≤3 rounds old. The
-# freshness invariant is pinned by
+# 50/50 with no seat's last-green older than r07 afterwards. The two
+# r07 seats left out (props_key_stats, pricing_summary) stay within the
+# freshness bound (latest-4) through r11. The freshness invariant is
+# pinned by
 # tests/test_registry_coverage.py::test_front_window_reseats_stalest.
 
 def _reorder_registry() -> None:

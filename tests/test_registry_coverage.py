@@ -84,11 +84,19 @@ def test_front_window_reseats_stalest():
         for q, v in json.load(open(f)).items():
             if not isinstance(v, dict):
                 continue
-            # hash green, or a rows-only record (real rows-only driver
-            # records carry err='no_oracle' + spark_rows, not rows_match)
-            # — same criterion as tools/make_ledger.py
+            # hash green, or — ONLY for queries that currently have no
+            # oracle — a rows-only record (real rows-only driver records
+            # carry err='no_oracle' + spark_rows, not rows_match). A query
+            # that gained an oracle after an early rows-only grade stays
+            # stale until hash-green — same criterion as
+            # tools/make_ledger.py (ADVICE r9).
+            rows_only_ok = (
+                q in registry._REGISTRY
+                and registry._REGISTRY[q].oracle is None
+            )
             green = v.get("hash_match") is True or (
-                v.get("err") == "no_oracle"
+                rows_only_ok
+                and v.get("err") == "no_oracle"
                 and v.get("spark_rows") is not None
             )
             if green:
