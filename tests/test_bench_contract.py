@@ -7,18 +7,27 @@ the driver grades."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 
+RATIO = {
+    "ref": "bench_local_r09.json",
+    "med": 2.79,
+    "p90": 41.2,
+    "max": 70.21,
+    "max_q": "user_lifetime_incremental",
+}
 
-def _lines(n_front=50, name_len=24, probe="PROBE x=OK", n_total=186):
+
+def _lines(n_front=50, name_len=24, probe="PROBE x=OK", n_total=186, **kw):
     names = [f"q{'x' * name_len}{i:03d}" for i in range(n_total)]
     timings = {n: 1.234 for n in names}
     return bench.build_stdout_lines(
-        timings, names[:n_front], probe, 0.1, 21.2
+        timings, names[:n_front], probe, 0.1, 21.2, **kw
     )
 
 
@@ -64,3 +73,49 @@ def test_probe_budget_reserve_matches_shedding_budget():
     probe, line = _lines(probe=probe_in)
     assert probe == probe_in  # healthy probes are never cut
     assert len(json.loads(line)["queries"]) == 50
+
+
+def test_load_and_ratio_ride_in_the_parsed_payload():
+    """VERDICT r9 item 4: loadavg samples + the driver/committed-local
+    ratio summary must land in the driver-parsed JSON line so a
+    stall-inflated record is adjudicable from the record itself."""
+    probe, line = _lines(load=[8.8, 2.1], ratio_summary=RATIO)
+    assert len(probe) + len(line) + 2 <= 2000
+    payload = json.loads(line)
+    assert payload["load"] == [8.8, 2.1]
+    assert payload["ratio"]["med"] == 2.79
+    assert payload["ratio"]["max_q"] == "user_lifetime_incremental"
+    assert payload["ratio"]["ref"] == "bench_local_r09.json"
+
+
+def test_new_fields_are_priced_into_the_shedding_budget():
+    """With the diagnostics present, an oversized window still sheds
+    loudly and the line stays parseable — the new fields must never
+    push the contract line past the driver's capture."""
+    probe, line = _lines(
+        name_len=120, load=[1.0, 1.0], ratio_summary=RATIO
+    )
+    assert len(probe) + len(line) + 2 <= 2000
+    payload = json.loads(line)
+    assert payload["dropped"] > 0
+    assert "load" in payload and "ratio" in payload
+
+
+def test_pathological_ratio_query_name_is_clamped():
+    """A 200-char max_q name must not eat the graded timings: it is
+    clamped to 40 chars before pricing."""
+    r = dict(RATIO, max_q="q" * 200)
+    probe, line = _lines(load=[1.0, 1.0], ratio_summary=r)
+    payload = json.loads(line)
+    assert payload["ratio"]["max_q"] == "q" * 40
+    assert len(payload["queries"]) + payload.get("dropped", 0) == 50
+
+
+def test_stall_ratios_skips_sub50ms_reference_entries():
+    """Ratios on sub-50 ms committed entries are timer noise, not stall
+    evidence — stall_ratios must skip them and summarize the rest."""
+    ratios, summary = bench.stall_ratios({"a": 1.0, "b": 2.0, "c": 9.0})
+    # the repo carries at least one committed bench_local_r*.json; the
+    # synthetic names are absent from it, so the dict must be empty and
+    # the summary None (no divide-by-tiny blowups)
+    assert ratios == {} and summary is None

@@ -170,3 +170,50 @@ def test_spread_small_scan_widens_only_narrow_plans(spark):
     wide = spark.range(100).repartition(16)
     untouched = spread_small_scan(wide, min_parts=8)
     assert untouched is wide  # same object: no shuffle added
+
+
+def test_multi_row_group_file_scans_with_parallel_nonempty_partitions(
+    spark, tmp_path
+):
+    """Write-side half of the spread_small_scan story (VERDICT r9 item
+    6). The helper's known limit is that it counts SPLITS, not
+    non-empty partitions: a single-row-group file larger than
+    maxPartitionBytes passes the guard yet scans single-threaded. The
+    write-side contract that prevents this is row groups <=
+    parquet.block.size, which every Spark sink enforces — this repo has
+    NO hand-built (pyarrow/pandas-written) fixture parquet, so no local
+    artifact can violate it (documented no-op for existing files). This
+    test pins the property the contract buys: a multi-row-group file
+    scans with MULTIPLE non-empty partitions, i.e. the parallelism is
+    real, not just split-count cosmetics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "chunked.parquet")
+    # ~8 MB of rows in 8 row groups via an explicit row_group_size cap —
+    # the pyarrow analog of a Spark sink's parquet.block.size chunking
+    tbl = pa.table({"id": pa.array(range(200_000), type=pa.int64()),
+                    "payload": pa.array(["x" * 40] * 200_000)})
+    pq.write_table(tbl, path, row_group_size=25_000)
+    assert pq.ParquetFile(path).num_row_groups == 8
+
+    # force byte-range splitting well below the file size so the scan
+    # planner produces several splits over the one file
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+        df = spark.read.parquet(path)
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    nonempty = [r for r in per_part if r["count"] > 0]
+    assert len(nonempty) > 1, (
+        "a multi-row-group file must scan with >1 NON-EMPTY partition; "
+        f"got {per_part}"
+    )
+    assert sum(r["count"] for r in nonempty) == 200_000

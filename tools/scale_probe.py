@@ -14,11 +14,13 @@ superlinear term that small-SF correctness runs can't see.
 Usage: python tools/scale_probe.py [M] [--once] [query ...]  (default M=10)
 Writes nothing to the repo; fixtures land in /tmp/scale_probe_sf/.
 
-``--once`` runs each query ONCE per scale with no warm pass — for
-stateful streaming queries whose single 100× run takes minutes (the
-session-window job is 427 s at 100×; the min-of-3 protocol would need
-~an hour per query). Single-shot ratios are upper bounds: the 1× side
-pays cold codegen that the big side amortizes.
+``--once`` runs the big side ONCE — for stateful streaming queries whose
+single 100× run takes minutes (the session-window job is 427 s at 100×;
+the min-of-3 protocol would need ~an hour per query). The CHEAP 1× side
+is still warmed first (one untimed pass) so the measured ratio is a
+genuine upper bound on warm scaling: without that warm pass the cold 1×
+run pays codegen/first-touch that the later big run amortizes, inflating
+t_small and making the ratio an optimistic UNDERstatement (ADVICE r9).
 """
 
 from __future__ import annotations
@@ -241,15 +243,19 @@ def main() -> None:
         fn = qs[n]
         t_small, t_big, r1, rm = float("inf"), float("inf"), 0, 0
         if once:
-            # single-shot: one cold run per scale (upper-bound ratio);
-            # for stateful jobs whose one 100x run takes minutes
+            # single-shot big side, but warm the CHEAP 1x side first so
+            # t_small doesn't carry cold codegen/first-touch costs that
+            # the long big run amortizes — otherwise the ratio
+            # UNDERstates warm scaling (ADVICE r9). With the 1x side
+            # warm and the big side cold, the ratio is an upper bound.
+            run(fn(spark, BASE))
             t0 = time.time()
             r1 = run(fn(spark, BASE))
             t_small = time.time() - t0
             t0 = time.time()
             rm = run(fn(spark, OUT))
             t_big = time.time() - t0
-            print(f"[single-shot] {n}", flush=True)
+            print(f"[single-shot, 1x warmed] {n}", flush=True)
         else:
             # warm both paths once so neither side pays first-touch costs
             # (codegen compile, shuffle-service spin-up, OS page cache),
