@@ -29,9 +29,6 @@ Parity rules baked in here (hard-won, see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
-import functools
-from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,52 +38,18 @@ from .functions import curation, dedup, similarity, text
 from .session import tune
 from .sources.readers import read_events, read_table
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# DuckDB result dtypes with no Spark twin: the driver's value hash is
-# dtype-sensitive, so an oracle column binding to one of these mismatches
-# even when every value is equal (root cause of the 8 permanent r6/r7
-# reds — SUM(BIGINT) -> HUGEINT). Single source of truth for all three
-# guards: tests/test_registry_coverage.py (pytest sweep),
-# tools/check_oracle.py (local mirror gate), bench.py (in-driver probe).
-FORBIDDEN_ORACLE_DTYPES: tuple[str, ...] = (
-    "HUGEINT",
-    "INT128",
-    "UTINYINT",
-    "USMALLINT",
-    "UINTEGER",
-    "UBIGINT",
+# The registry machinery lives in registry_core so the queries/
+# subpackage can register entries without a circular import (round-10
+# trim); re-exported here so every existing consumer keeps working.
+from .registry_core import (  # noqa: F401
+    FORBIDDEN_ORACLE_DTYPES,
+    Entry,
+    QueryFn,
+    _REGISTRY,
+    oracle_sql,
+    queries,
+    register,
 )
-
-
-@dataclass(frozen=True)
-class Entry:
-    fn: QueryFn
-    oracle: str | None  # None → driver records a weaker rows-only check
-
-
-_REGISTRY: dict[str, Entry] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        @functools.wraps(fn)  # keep name/docstring for tools/make_catalog
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tune(spark)
-            return fn(spark, sf_dir)
-
-        _REGISTRY[name] = Entry(wrapped, oracle)
-        return wrapped
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: e.fn for name, e in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
 
 
 # ---------------------------------------------------------------------------
@@ -3930,6682 +3893,21 @@ def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_count"), "token")
     )
-
-
 # ---------------------------------------------------------------------------
-# Round-4 additions: warehouse/time-series/data-mixing surface — dataset
-# split, temperature mixing, calendar gap-fill, batch interval join, CDC
-# merge, SCD2 history. All oracle-backed, registered outside the graded
-# window (round-5 rotation candidates).
+# T85+ query blocks (93 entries) live in the queries/ subpackage
+# (round-10 trim of this module; VERDICT r9 item 8). Import order here
+# IS registration order for those entries; _reorder_registry() below
+# then fixes the graded front-50, so the window is layout-independent.
 # ---------------------------------------------------------------------------
-
-_DATASET_SPLIT_ORACLE = """
-WITH b AS (
-  SELECT doc_id, lang,
-         CAST(CAST(('0x' || substr(md5('11#' || doc_id), 1, 8)) AS BIGINT) % 100
-              AS INT) AS bucket
-  FROM documents
+from .queries import (  # noqa: E402,F401
+    ann as _q_ann,
+    behavior as _q_behavior,
+    corpus as _q_corpus,
+    olap_deep as _q_olap_deep,
+    sampling as _q_sampling,
+    sketches as _q_sketches,
+    warehouse as _q_warehouse,
 )
-SELECT doc_id, lang, bucket,
-       CASE WHEN bucket < 90 THEN 'train'
-            WHEN bucket < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM b
-ORDER BY doc_id
-"""
-
-
-@register("dataset_split", _DATASET_SPLIT_ORACLE)
-def dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-bucket train/val/test membership (90/5/5) —
-    stable under repartitioning, reruns, and corpus growth within a
-    bucket."""
-    return curation.dataset_split(read_table(spark, sf_dir, "documents"))
-
-
-_LANG_MIX_ORACLE = """
-WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
-s AS (SELECT lang, n, pow(n::DOUBLE / n_total, 0.7) AS _s, n_total FROM c, t),
-z AS (SELECT sum(_s) AS _z FROM s)
-SELECT lang,
-       CAST(n AS BIGINT) AS n_docs,
-       round(_s / _z, 4) AS weight,
-       CAST(floor(_s / _z * n_total + 0.5) AS BIGINT) AS expected_docs
-FROM s, z
-ORDER BY lang
-"""
-
-
-@register("language_mix_weights", _LANG_MIX_ORACLE)
-def language_mix_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-0.7 language mixing weights (p_l ∝ share^T) — the
-    multilingual data-balancing step; |langs|-row math, ROUND(4) guards
-    the only float risk (pow + tiny sum)."""
-    return curation.language_mix_weights(
-        read_table(spark, sf_dir, "documents"), temperature=0.7
-    )
-
-
-_GAPFILL_ORACLE = """
-WITH daily AS (
-  SELECT o_orderdate::DATE AS day,
-         round(sum(o_totalprice), 2) AS revenue,
-         count(*) AS n_orders
-  FROM orders WHERE o_totalprice > 450000 GROUP BY 1
-),
-bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
-calendar AS (
-  SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
-                                INTERVAL 1 DAY))::DATE AS day
-  FROM bounds
-),
-f AS (
-  SELECT c.day, d.revenue, d.n_orders
-  FROM calendar c LEFT JOIN daily d USING (day)
-),
-w AS (
-  SELECT day, revenue, n_orders,
-    last_value(revenue IGNORE NULLS) OVER
-      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS prev_rev,
-    last_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS) OVER
-      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS prev_day,
-    first_value(revenue IGNORE NULLS) OVER
-      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-      AS next_rev,
-    first_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS) OVER
-      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-      AS next_day
-  FROM f
-)
-SELECT day, revenue,
-       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
-       revenue IS NULL AS is_gap,
-       CASE WHEN revenue IS NOT NULL THEN revenue
-            WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN
-              ((CAST(floor(prev_rev * 100 + 0.5) AS BIGINT)
-                  * (date_diff('day', prev_day, next_day)
-                     - date_diff('day', prev_day, day))
-                + CAST(floor(next_rev * 100 + 0.5) AS BIGINT)
-                  * date_diff('day', prev_day, day))
-               // date_diff('day', prev_day, next_day)) / 100.0
-            ELSE COALESCE(prev_rev, next_rev) END AS revenue_filled
-FROM w
-ORDER BY day
-"""
-
-
-@register("daily_revenue_gapfill", _GAPFILL_ORACLE)
-def daily_revenue_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar densification + linear interpolation of a sparse daily
-    revenue series (high-value orders only, so the fixture actually has
-    gaps). The unpartitioned fill window is bounded by calendar length,
-    not data size."""
-    from .operators import olap
-
-    return olap.daily_revenue_gapfill(read_table(spark, sf_dir, "orders"))
-
-
-_INTERVAL_JOIN_ORACLE = """
-SELECT p.event_id AS anchor_id,
-       CAST(count(*) AS BIGINT) AS prior_events,
-       round(sum(e.value), 2) AS prior_value
-FROM events p
-JOIN events e
-  ON e.user_id = p.user_id
- AND e.ts >= p.ts - INTERVAL 24 HOURS
- AND e.ts < p.ts
-WHERE p.event_type = 'purchase'
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("purchase_context_interval_join", _INTERVAL_JOIN_ORACLE)
-def purchase_context_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch interval join: per purchase event, the same user's activity
-    in the prior 24 h. Day-bucket equi-join + exact refine — never a
-    nested-loop theta join; the oracle states the same semantics as a
-    plain inequality join."""
-    events = read_events(spark, sf_dir)
-    anchors = events.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("anchor_id"),
-        "user_id",
-        F.col("ts").alias("anchor_ts"),
-    )
-    return relational.interval_activity_join(events, anchors, hours_before=24)
-
-
-_CDC_MERGE_ORACLE = """
-WITH changes AS (
-  SELECT o_orderkey, 'P' AS o_orderstatus,
-         ((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 105) // 100)
-           / 100.0 AS o_totalprice, 'U' AS op, 1 AS _seq
-  FROM orders WHERE o_orderkey % 7 = 0
-  UNION ALL
-  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
-  FROM orders WHERE o_orderkey % 97 = 0
-),
-u AS (
-  SELECT o_orderkey, o_orderstatus, o_totalprice, 'B' AS op, -1 AS _seq
-  FROM orders
-  UNION ALL SELECT * FROM changes
-),
-r AS (
-  SELECT *, row_number() OVER
-    (PARTITION BY o_orderkey ORDER BY _seq DESC, op DESC) AS _rn
-  FROM u
-)
-SELECT o_orderkey, o_orderstatus,
-       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS o_totalprice
-FROM r WHERE _rn = 1 AND op <> 'D'
-ORDER BY o_orderkey
-"""
-
-
-@register("orders_cdc_merge", _CDC_MERGE_ORACLE)
-def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE-INTO semantics with DataFrame ops: a deterministic CDC batch
-    (price-bump updates on keys ≡0 mod 7, deletes on ≡0 mod 97) applied
-    to the orders base — latest-seq-wins per key, single shuffle."""
-    orders = read_table(spark, sf_dir, "orders")
-    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.lit("P").alias("o_orderstatus"),
-        # 5% bump in exact integer cents — engine-portable, unlike
-        # round(x*1.05, 2) which half-rounds differently per engine
-        (
-            F.expr(
-                "(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 105)"
-                " div 100"
-            )
-            / 100.0
-        ).alias("o_totalprice"),
-        F.lit("U").alias("op"),
-        F.lit(1).cast("long").alias("_seq"),
-    )
-    deletes = orders.where(F.col("o_orderkey") % 97 == 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.lit("D").alias("op"),
-        F.lit(2).cast("long").alias("_seq"),
-    )
-    return relational.cdc_merge(orders, updates.unionByName(deletes))
-
-
-_SCD2_ORACLE = """
-WITH base AS (
-  SELECT o_custkey, o_orderdate::DATE AS order_date,
-         CASE WHEN o_totalprice < 50000 THEN 'small'
-              WHEN o_totalprice < 200000 THEN 'medium'
-              ELSE 'large' END AS value_band,
-         o_orderdate AS ots, o_orderkey
-  FROM orders
-),
-flag AS (
-  SELECT *, CASE WHEN lag(value_band) OVER w IS NULL
-                   OR lag(value_band) OVER w <> value_band
-                 THEN 1 ELSE 0 END AS chg
-  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY ots, o_orderkey)
-),
-ver AS (
-  SELECT o_custkey, order_date, value_band,
-         sum(chg) OVER
-           (PARTITION BY o_custkey ORDER BY ots, o_orderkey) AS version
-  FROM flag
-),
-g AS (
-  SELECT o_custkey, version, value_band, min(order_date) AS valid_from
-  FROM ver GROUP BY 1, 2, 3
-)
-SELECT o_custkey, CAST(version AS INT) AS version, value_band, valid_from,
-       lead(valid_from) OVER wv AS valid_to,
-       lead(valid_from) OVER wv IS NULL AS is_current
-FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
-ORDER BY o_custkey, version
-"""
-
-
-@register("customer_value_scd2", _SCD2_ORACLE)
-def customer_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 dimension-history rebuild: per-customer contiguous
-    [valid_from, valid_to) periods of order value band via
-    gaps-and-islands (lag + running change count, one sort per key)."""
-    return relational.scd2_value_band_history(read_table(spark, sf_dir, "orders"))
-
-
-_USER_LIFETIME_ORACLE = """
-SELECT user_id,
-       CAST(count(*) AS BIGINT) AS total_events,
-       CAST(sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
-            AS BIGINT) / 100.0 AS total_spend,
-       CAST(count(DISTINCT ts::DATE) AS BIGINT) AS active_days,
-       min(ts) AS first_seen,
-       max(ts) AS last_seen
-FROM events
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("user_lifetime_incremental", _USER_LIFETIME_ORACLE)
-def user_lifetime_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance: the user-lifetime mart
-    computed from (history partials ∪ new-day partials) — the daily
-    pipeline path that never rescans history — while the oracle computes
-    the SAME mart with a direct full scan. Green = the re-aggregable
-    state design (counts, exact cents, min/max, day-keyed rows) loses
-    nothing across the incremental boundary."""
-    events = read_events(spark, sf_dir)
-    cutoff = F.lit("2024-01-25").cast("date")
-    base = marts.user_lifetime_partials(events.where(F.to_date("ts") < cutoff))
-    delta = marts.user_lifetime_partials(events.where(F.to_date("ts") >= cutoff))
-    return marts.user_lifetime_rollup(base.unionByName(delta))
-
-
-_LINEITEM_STATS_ORACLE = """
-SELECT l_returnflag,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-       round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-       round(stddev_pop(l_extendedprice), 2) AS price_stddev,
-       round(var_pop(l_quantity), 4) AS qty_var
-FROM lineitem
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("lineitem_stats_by_flag", _LINEITEM_STATS_ORACLE)
-def lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment statistical aggregates per group: Pearson correlation,
-    population covariance/variance/stddev — single map-side-combinable
-    hash aggregate (co-moment partials merge associatively, so the shuffle
-    carries |groups| rows). ROUND bounds the partition-order float drift
-    (relative error ~1e-11, far inside 2-4 decimals)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-                "qty_price_corr"
-            ),
-            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
-                "qty_price_covar"
-            ),
-            F.round(F.stddev_pop("l_extendedprice"), 2).alias("price_stddev"),
-            F.round(F.var_pop("l_quantity"), 4).alias("qty_var"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-def _zorder_oracle() -> str:
-    from .functions.layout import z_value_sql
-
-    z = z_value_sql("user_bucket", "minute_of_day", 11)
-    return f"""
-WITH keyed AS (
-  SELECT event_id,
-         user_id % 1024 AS user_bucket,
-         (hour(ts) * 60 + minute(ts)) AS minute_of_day
-  FROM events
-),
-z AS (SELECT *, CAST(({z}) AS BIGINT) AS z_key FROM keyed)
-SELECT CAST(z_key >> 14 AS BIGINT) AS z_prefix,
-       CAST(count(*) AS BIGINT) AS n_events,
-       min(user_bucket) AS user_lo,
-       max(user_bucket) AS user_hi,
-       min(minute_of_day) AS minute_lo,
-       max(minute_of_day) AS minute_hi
-FROM z
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("zorder_box_stats", _zorder_oracle())
-def zorder_box_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) layout evidence: per z-prefix group (≈ one written
-    file), the (user_bucket, minute_of_day) bounding box — tight on BOTH
-    dimensions, which is what makes parquet min/max row-group pruning
-    serve two-column predicates after a z-ordered write. Pure integer
-    shift/AND/OR interleave, identical in both engines."""
-    from .functions.layout import zorder_box_stats
-
-    return zorder_box_stats(read_events(spark, sf_dir))
-
-
-_VALUE_MEDIAN_UDAF_ORACLE = """
-SELECT event_type,
-       median(value) AS median_value,
-       CAST(count(*) AS BIGINT) AS n_values
-FROM events
-WHERE value IS NOT NULL
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("value_median_udaf", _VALUE_MEDIAN_UDAF_ORACLE)
-def value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDAF surface (SURVEY §2.11): per-type interpolated median via an
-    Arrow-vectorized GROUPED_AGG pandas UDF — the extension point for
-    aggregates Catalyst lacks — checked against DuckDB's native
-    median()/quantile_cont(0.5). pandas' interpolated median has the
-    identical semantics, and halving a two-double sum is exact, so the
-    cross-engine comparison is sound without rounding."""
-    from .functions import udx
-
-    return udx.value_median_by_type(read_events(spark, sf_dir))
-
-
-_RECONCILE_ORACLE = """
-WITH premium AS (
-  SELECT o_orderdate::DATE AS day, count(*) AS n_premium,
-         round(sum(o_totalprice), 2) AS premium_revenue
-  FROM orders WHERE o_totalprice > 450000 GROUP BY 1
-),
-urgent AS (
-  SELECT o_orderdate::DATE AS day, count(*) AS n_urgent
-  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
-)
-SELECT COALESCE(p.day, u.day) AS day,
-       CAST(COALESCE(p.n_premium, 0) AS BIGINT) AS n_premium,
-       COALESCE(p.premium_revenue, 0.0) AS premium_revenue,
-       CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent,
-       (p.day IS NOT NULL AND u.day IS NOT NULL) AS in_both
-FROM premium p FULL OUTER JOIN urgent u ON p.day = u.day
-ORDER BY 1
-"""
-
-
-@register("daily_reconciliation_full_outer", _RECONCILE_ORACLE)
-def daily_reconciliation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER join surface: reconcile two independently-produced daily
-    series (premium-order revenue vs urgent-order counts) keeping days
-    present in EITHER — the mismatch-hunting report shape that inner/left
-    joins silently corrupt. One sort-merge full-outer on the day key after
-    two map-side-combinable aggregates."""
-    orders = read_table(spark, sf_dir, "orders")
-    premium = (
-        orders.where(F.col("o_totalprice") > 450000)
-        .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(
-            F.count("*").alias("n_premium"),
-            F.round(F.sum("o_totalprice"), 2).alias("premium_revenue"),
-        )
-    )
-    urgent = (
-        orders.where(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.count("*").alias("n_urgent"))
-    )
-    p, u = premium.alias("p"), urgent.alias("u")
-    return (
-        p.join(u, F.col("p.day") == F.col("u.day"), "full_outer")
-        .select(
-            F.coalesce("p.day", "u.day").alias("day"),
-            F.coalesce("n_premium", F.lit(0)).cast("long").alias("n_premium"),
-            F.coalesce("premium_revenue", F.lit(0.0)).alias("premium_revenue"),
-            F.coalesce("n_urgent", F.lit(0)).cast("long").alias("n_urgent"),
-            (F.col("p.day").isNotNull() & F.col("u.day").isNotNull()).alias(
-                "in_both"
-            ),
-        )
-        .orderBy("day")
-    )
-
-
-def _static_assign_cte() -> str:
-    """Shared oracle CTE chain ``c → e → ac → assign`` replaying the
-    static-quantizer assignment (functions/ivf_centroids.py literals):
-    sequential-fold cosine to every centroid, argmax with centroid-id
-    tie-break. RAW cosine comparison in both engines (like the LSH
-    sign-of-dot: a flip needs two centroid cosines within ~1e-15 —
-    vanishing, and the driver would surface it loudly)."""
-    from .functions.ivf_centroids import CENTROIDS
-
-    rows = ",\n    ".join(
-        "({}, [{}])".format(i, ", ".join(repr(v) for v in c))
-        for i, c in enumerate(CENTROIDS)
-    )
-    return f"""c(centroid_id, cvec) AS (
-  VALUES
-    {rows}
-),
-e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-ac AS (
-  SELECT e.vec_id, c.centroid_id,
-         list_sum(list_transform(list_zip(e.emb, c.cvec), x -> x[1] * x[2]))
-         / (SQRT(list_sum(list_transform(e.emb, x -> x * x)))
-            * SQRT(list_sum(list_transform(c.cvec, x -> x * x)))) AS cos
-  FROM e CROSS JOIN c
-),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY cos DESC, centroid_id) AS rn
-    FROM ac
-  ) WHERE rn = 1
-)"""
-
-
-def _ivf_static_oracle(k: int = 10, n_probe: int = 4) -> str:
-    """IVF oracle: static assignment + probe selection + exact rerank,
-    all from the committed centroid literals; output ROUND(6)."""
-    return f"""
-WITH {_static_assign_cte()},
-probes AS (
-  SELECT centroid_id FROM ac WHERE vec_id = 0
-  ORDER BY cos DESC, centroid_id LIMIT {n_probe}
-),
-q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
-sims AS (
-  SELECT e.vec_id, e.label,
-         ROUND(
-           list_sum(list_transform(list_zip(e.emb, q.qemb), x -> x[1] * x[2]))
-           / (SQRT(list_sum(list_transform(e.emb, x -> x * x)))
-              * SQRT(list_sum(list_transform(q.qemb, x -> x * x)))), 6)
-           AS cosine_sim
-  FROM e
-  JOIN assign USING (vec_id)
-  CROSS JOIN q
-  WHERE assign.centroid_id IN (SELECT centroid_id FROM probes)
-)
-SELECT vec_id, label, cosine_sim FROM sims
-ORDER BY cosine_sim DESC, vec_id
-LIMIT {k}
-"""
-
-
-@register("ivf_topk_static", _ivf_static_oracle())
-def ivf_topk_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search with the offline-trained static coarse quantizer — the
-    production serving path (train once on a sample, pin the centroids,
-    probe n_probe/16 of the corpus per query), fully oracle-checked
-    end-to-end unlike the refit-per-run `ivf_topk`."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk_static(
-        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4
-    )
-
-
-def _semantic_dedup_static_oracle(threshold: float = 0.7) -> str:
-    """SemDeDup oracle over the static quantizer: per-cell pairs with
-    sequential-fold cosine ≥ threshold (the same raw-float cut
-    `similarity._exact_pair_cosine` applies), keep-lowest-id rule."""
-    return f"""
-WITH {_static_assign_cte()},
-pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2
-  FROM assign a
-  JOIN assign b
-    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  JOIN e ea ON ea.vec_id = a.vec_id
-  JOIN e eb ON eb.vec_id = b.vec_id
-  WHERE list_sum(list_transform(list_zip(ea.emb, eb.emb), x -> x[1] * x[2]))
-        / (SQRT(list_sum(list_transform(ea.emb, x -> x * x)))
-           * SQRT(list_sum(list_transform(eb.emb, x -> x * x))))
-        >= {threshold}
-),
-drops AS (SELECT v2 AS vec_id, min(v1) AS duplicate_of FROM pairs GROUP BY 1)
-SELECT a.vec_id,
-       a.centroid_id AS cluster_id,
-       d.duplicate_of IS NULL AS keep,
-       d.duplicate_of
-FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
-ORDER BY a.vec_id
-"""
-
-
-@register("semantic_dedup_static", _semantic_dedup_static_oracle())
-def semantic_dedup_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup served from the offline-trained static quantizer —
-    deterministic end-to-end (assignment, per-cell pairing, keep rule),
-    so unlike the refit-per-run `semantic_dedup` the whole operator is
-    SQL-oracle-checked."""
-    return curation.semantic_dedup_static(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.7
-    )
-
-
-# The refit entry's oracle is the STATIC-quantizer SQL minus the cluster
-# column: refit k-means relabels clusters arbitrarily, but the keep /
-# duplicate_of DECISIONS are quantizer-robust (a cos ≥ 0.7 near-dup pair
-# co-locates in any reasonable cell assignment of this corpus — observed
-# stable across refit runs). Anchor-asserted like _CLUSTER_REPS_ORACLE so
-# base-oracle drift fails loudly.
-_SEMANTIC_REFIT_ANCHOR = """SELECT a.vec_id,
-       a.centroid_id AS cluster_id,
-       d.duplicate_of IS NULL AS keep,
-       d.duplicate_of"""
-assert _SEMANTIC_REFIT_ANCHOR in _semantic_dedup_static_oracle(), (
-    "_semantic_dedup_static_oracle tail drifted; update _SEMANTIC_REFIT_ANCHOR"
-)
-_SEMANTIC_DEDUP_REFIT_ORACLE = _semantic_dedup_static_oracle().replace(
-    _SEMANTIC_REFIT_ANCHOR,
-    """SELECT a.vec_id,
-       d.duplicate_of IS NULL AS keep,
-       d.duplicate_of""",
-)
-
-
-@register("semantic_dedup", _SEMANTIC_DEDUP_REFIT_ORACLE)
-def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style embedding dedup with a refit-per-run k-means: seeded
-    spherical k-means cells, per-cell GEMM cosine pairs, keep-lowest-id.
-
-    The cluster LABELS are float-iterative (no oracle — dropped from the
-    output); the keep/duplicate_of decisions are hashed against the
-    independently-computed static-quantizer SQL. That is a weak-form
-    check by design: it asserts the refit reproduces the same dedup
-    DECISIONS as the deterministic serving-shape twin
-    (`semantic_dedup_static`), not that the refit itself is
-    deterministic. On the driver fixtures the corpus has NO within-cell
-    pair at cos ≥ 0.7 (verified), so this hash check pins the
-    no-false-positive side — a refit that hallucinates even one dup goes
-    red; the drop/keep-rule side is exercised by pytest on synthetic
-    near-dup corpora (tests/test_curation.py, recall floor vs
-    brute-force pairs)."""
-    return curation.semantic_dedup(
-        read_table(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.7
-    ).drop("cluster_id")
-
-
-_JACCARD_PREFIX_ORACLE = """
-WITH t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex AS (
-  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS cnt FROM sh
-),
-pairs AS (
-  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-         CAST(COUNT(*) AS BIGINT) AS common,
-         a.cnt + b.cnt - COUNT(*) AS un
-  FROM ex a
-  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-)
-SELECT doc_id_1, doc_id_2, common,
-       ROUND(CAST(common AS DOUBLE) / CAST(un AS DOUBLE), 6) AS jaccard
-FROM pairs
-WHERE common * 5 >= un * 4
-ORDER BY doc_id_1, doc_id_2
-"""
-
-
-@register("jaccard_prefix_pairs", _JACCARD_PREFIX_ORACLE)
-def jaccard_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 4/5 via lossless AllPairs prefix + PPJoin
-    positional filtering — the oracle runs the BRUTE-FORCE all-pairs
-    join, so a green row proves the pruning dropped nothing (the scale
-    claim, verified). 4/5 is a production near-dup threshold: the
-    indexed prefix is ~n/5 of each document (vs n/2 at t=1/2, where the
-    candidate self-join re-approaches all-pairs — that regime stays as a
-    pytest stress case, tests/test_dedup.py)."""
-    return dedup.jaccard_prefix_pairs(
-        read_table(spark, sf_dir, "documents"),
-        k=3,
-        threshold_num=4,
-        threshold_den=5,
-        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
-
-
-_HEAVY_HITTERS_ORACLE = """
-WITH toks AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-nz AS (SELECT token FROM toks WHERE token <> ''),
-tot AS (SELECT COUNT(*) AS n FROM nz)
-SELECT token,
-       CAST(COUNT(*) AS BIGINT) AS freq,
-       ROUND(COUNT(*) * 100.0 / CAST(t.n AS DOUBLE), 4) AS share_pct
-FROM nz, tot t
-GROUP BY token, t.n
-HAVING COUNT(*) * 200 > t.n
-ORDER BY freq DESC, token
-"""
-
-
-@register("token_heavy_hitters", _HEAVY_HITTERS_ORACLE)
-def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact tokens with frequency > n/200 via Misra–Gries sketch-then-
-    verify: pass 1 collapses each partition to ≤200 candidate counters
-    (mapInPandas), pass 2 re-counts candidates exactly behind a broadcast
-    semi-join — the long tail never shuffles. Output is exact, so the
-    plain GROUP BY/HAVING oracle applies."""
-    from .functions import sketch
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
-    ).where(F.col("token") != "")
-    return sketch.heavy_hitters(toks, k=200)
-
-
-_WEIGHTED_SAMPLE_ORACLE = """
-SELECT doc_id, lang, source, n_chars AS weight
-FROM (
-  SELECT doc_id, lang, source, n_chars,
-         ln(CAST(CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) + 1 AS DOUBLE)
-            / CAST(4294967297 AS DOUBLE))
-           / CAST(n_chars AS DOUBLE) AS k
-  FROM documents
-  ORDER BY k DESC, doc_id
-  LIMIT 100
-)
-ORDER BY doc_id
-"""
-
-
-@register("weighted_doc_sample", _WEIGHTED_SAMPLE_ORACLE)
-def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 weighted sample (Efraimidis–Spirakis A-ES, weight =
-    n_chars) drawn from md5-hash uniforms — a pure function of doc_id, so
-    the DuckDB oracle replays the identical draw. Global top-m is a
-    TakeOrderedAndProject: no corpus shuffle."""
-    return curation.weighted_sample(
-        read_table(spark, sf_dir, "documents"),
-        m=100,
-        weight_col="n_chars",
-        carry_cols=("lang", "source"),
-    )
-
-
-_SESSION_EXPIRY_ORACLE = """
-WITH g AS (
-  SELECT user_id, ts,
-         date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-m AS (
-  SELECT user_id, ts,
-         SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
-  FROM g
-),
-s AS (
-  SELECT user_id, seq, MIN(ts) AS session_start, MAX(ts) AS last_ts,
-         CAST(COUNT(*) AS BIGINT) AS event_count,
-         MAX(seq) OVER (PARTITION BY user_id) AS max_seq
-  FROM m GROUP BY user_id, seq
-),
-wm AS (
-  SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm_ms FROM events
-)
-SELECT user_id, session_start,
-       last_ts + INTERVAL 30 MINUTE AS session_end,
-       event_count
-FROM s, wm
-WHERE seq < max_seq
-   OR (epoch_us(last_ts) // 1000) + 1800000 < wm_ms
-ORDER BY user_id, session_start
-"""
-
-
-@register("streaming_session_expiry", _SESSION_EXPIRY_ORACLE)
-def streaming_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization as a custom stateful operator with
-    EventTimeTimeout (applyInPandasWithState): a session closed by a
-    LATER event of the same user emits immediately (in-batch, watermark-
-    independent); each user's final session emits only when the watermark
-    fires its timeout in the post-drain no-data batch. The oracle encodes
-    both paths at Spark's ms watermark granularity: non-final sessions
-    unconditionally, final ones iff expiry < max ts − 1 h — the rest are
-    withheld on BOTH sides."""
-    from .streaming import jobs
-
-    return jobs.run_streaming_session_expiry(spark, sf_dir, gap_minutes=30)
-
-
-_ROLLUP_ORACLE = """
-SELECT CAST(ts AS DATE) AS event_date, event_type,
-       CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid,
-       COUNT(*) AS event_count
-FROM events
-GROUP BY ROLLUP(1, 2)
-ORDER BY gid, event_date ASC NULLS FIRST, event_type ASC NULLS FIRST
-"""
-
-
-@register("traffic_rollup", _ROLLUP_ORACLE)
-def traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(date, type) + grouping_id — the hierarchy subset of CUBE
-    (Expand factor levels+1, not 2^levels) with the bitmask that tells a
-    subtotal row from a NULL key; both engines encode it identically."""
-    from .operators import olap
-
-    return olap.traffic_rollup(read_events(spark, sf_dir))
-
-
-_STREAM_SLIDING_ORACLE = """
-WITH k AS (SELECT unnest(range(0, 4)) AS i),
-w AS (
-  SELECT make_timestamp(
-           ((epoch_us(ts) // 900000000) * 900000000) - i * 900000000
-         ) AS window_start
-  FROM events, k
-)
-SELECT window_start,
-       window_start + INTERVAL 1 HOUR AS window_end,
-       CAST(COUNT(*) AS BIGINT) AS event_count
-FROM w
-GROUP BY window_start
-ORDER BY window_start
-"""
-
-
-@register("streaming_sliding_traffic", _STREAM_SLIDING_ORACLE)
-def streaming_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 h duration / 15 min slide): each event counted
-    in 4 overlapping windows. The oracle replays Spark's epoch-aligned
-    window assignment arithmetically — start = slide-bucket(ts) − i·slide
-    for i in 0..3, every one valid because duration = 4 slides."""
-    from .streaming import jobs
-
-    return jobs.run_streaming_sliding_traffic(spark, sf_dir)
-
-
-def _hll_oracle() -> str:
-    """Full HLL replay in SQL: 60-bit md5 hash, integer bucket/rho split,
-    exact scaled register sum — see ``functions/sketch.py`` (hll_sketch /
-    hll_estimate) for the design. Hash-compared columns are INTEGER-ONLY
-    (exact_users, v_zero, sum_scaled): the ln()-derived estimate was the
-    only transcendental in any hashed column repo-wide and a last-ulp
-    libm difference between the JVM's log and DuckDB's flipped ROUND(x,2)
-    on a boundary row in the driver environment (CORRECTNESS_r05's sole
-    reds). The estimate itself is tolerance-checked in pytest
-    (tests/test_analytics_marts.py::TestHllEstimates) from this same
-    integer state."""
-    from .functions.sketch import _HLL_W_MOD, HLL_M
-
-    scale = _HLL_W_MOD * 2  # 2^53
-    return f"""
-WITH h AS (
-  SELECT CAST(ts AS DATE) AS event_date,
-         CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
-              AS BIGINT) AS hv
-  FROM events
-),
-b AS (
-  SELECT event_date, hv // {_HLL_W_MOD} AS bucket, hv % {_HLL_W_MOD} AS w FROM h
-),
-r AS (
-  SELECT event_date, bucket,
-         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_rho
-  FROM b GROUP BY 1, 2
-),
-d AS (
-  SELECT event_date,
-         {HLL_M} - COUNT(*) AS v_zero,
-         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_rho))
-           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS BIGINT) AS sum_scaled
-  FROM r GROUP BY 1
-),
-ex AS (
-  SELECT CAST(ts AS DATE) AS event_date,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
-  FROM events GROUP BY 1
-)
-SELECT d.event_date, exact_users, v_zero, sum_scaled
-FROM d JOIN ex ON d.event_date = ex.event_date
-ORDER BY 1
-"""
-
-
-@register("hll_distinct_daily", _hll_oracle())
-def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-portable HyperLogLog distinct-users-per-day, value-hash-
-    checked on the full INTEGER register state (v_zero, scaled register
-    sum) — the fully oracled analog of the rows-only
-    ``approx_distinct_daily`` (Spark's built-in HLL sketch hashes
-    differently than any other engine's; this one is a pure function of
-    md5, so DuckDB replays it bit-for-bit). Exact count_distinct rides
-    along for the error comparison. The ln()-derived estimate is
-    deliberately NOT in the output: it is a pure function of the hashed
-    integers but the one libm call makes ROUND(x,2) engine-dependent at
-    the last ulp (the only r05 driver reds); pytest tolerance-checks it
-    from this state instead (only sqrt is IEEE-754 correctly rounded
-    across libms — see ab_conversion_ztest)."""
-    from .functions import sketch
-
-    ev = read_events(spark, sf_dir).select("event_date", "user_id")
-    # Each HLL query builds its own registers from the scan. Do NOT share
-    # a cached finest-grain register base across the HLL trio without new
-    # measurements: the r8 A/B (docs/SCALING.md "Cross-query base
-    # sharing") measured the shared variant at 12–16 s vs ~10 s direct —
-    # the cache materialization barrier breaks partial-agg fusion and
-    # only amortizes at ≈5+ consumers at this scale.
-    regs = sketch.hll_sketch(ev, ["event_date"], "user_id")
-    est = sketch.hll_estimate(regs, ["event_date"])
-    exact = ev.groupBy("event_date").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_users")
-    )
-    return (
-        exact.join(est, "event_date")
-        .select("event_date", "exact_users", "v_zero", "sum_scaled")
-        .orderBy("event_date")
-    )
-
-
-_BLOOM_JOIN_ORACLE = """
-SELECT p_partkey, p_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS line_count
-FROM part
-JOIN lineitem ON p_partkey = l_partkey
-WHERE p_brand = 'Brand#19'
-GROUP BY 1, 2
-ORDER BY 1
-"""
-
-
-@register("bloom_pruned_brand_revenue", _BLOOM_JOIN_ORACLE)
-def bloom_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dimension-filtered fact join with an EXPLICIT Bloom runtime filter:
-    the selected parts build a portable md5 Bloom filter; lineitem is
-    pruned scan-side before the broadcast join. The oracle is the PLAIN
-    join — false positives are removed by the join, and a false negative
-    (the bug class Bloom pruning can introduce) would drop rows and
-    hash-mismatch."""
-    from .functions import sketch
-
-    dim = (
-        read_table(spark, sf_dir, "part")
-        .where(F.col("p_brand") == "Brand#19")
-        .select("p_partkey", "p_name")
-    )
-    bloom = sketch.bloom_build(dim.select("p_partkey"), "p_partkey")
-    fact = read_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice", "l_discount"
-    )
-    pruned = sketch.bloom_prune(fact, "l_partkey", bloom)
-    return (
-        pruned.join(F.broadcast(dim), pruned["l_partkey"] == dim["p_partkey"])
-        .groupBy("p_partkey", "p_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count("*").alias("line_count"),
-        )
-        .orderBy("p_partkey")
-    )
-
-
-_EWMA_ORACLE = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS event_date,
-         CAST(COUNT(*) AS DOUBLE) AS c
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-),
-a AS (
-  SELECT event_type,
-         list(event_date ORDER BY event_date) AS dates,
-         list(c ORDER BY event_date) AS vals
-  FROM daily GROUP BY 1
-),
-e AS (
-  SELECT event_type, dates, vals,
-         unnest(range(1, len(vals) + 1)) AS d
-  FROM a
-)
-SELECT event_type,
-       dates[d] AS event_date,
-       CAST(vals[d] AS BIGINT) AS event_count,
-       ROUND(list_reduce(vals[1:d],
-             (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4) AS ewma
-FROM e
-ORDER BY event_type, event_date
-"""
-
-
-@register("ewma_daily_traffic", _EWMA_ORACLE)
-def ewma_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive exponential smoothing as an explicit left fold over the
-    date-sorted series — both engines run the IDENTICAL fold, so every
-    intermediate double matches bit-for-bit (a window formulation would
-    leave accumulation structure engine-defined)."""
-    from .functions import stats
-
-    return stats.ewma_daily_counts(read_events(spark, sf_dir), alpha=0.2)
-
-
-_SMALL_QTY_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_weekly_small_qty_revenue
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand = 'Brand#23'
-  AND l_quantity < (
-    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = p_partkey
-  )
-"""
-
-
-@register("small_quantity_revenue", _SMALL_QTY_ORACLE)
-def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: CORRELATED scalar subquery (per-part average
-    quantity) filtering the outer join — exercises Catalyst's subquery
-    decorrelation into a per-key aggregate + join. Quantities are
-    integer-valued doubles, so the per-part AVG is exact in both engines
-    and the 0.2· boundary cannot diverge."""
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q17")
-    read_table(spark, sf_dir, "part").createOrReplaceTempView("p_q17")
-    return spark.sql(
-        """
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2)
-                 AS avg_weekly_small_qty_revenue
-        FROM l_q17
-        JOIN p_q17 ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#23'
-          AND l_quantity < (
-            SELECT 0.2 * AVG(l_quantity) FROM l_q17 l2
-            WHERE l2.l_partkey = p_partkey
-          )
-        """
-    )
-
-
-_DUP_CHAIN_ORACLE = """
-WITH RECURSIVE t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-),
-rare AS (
-  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
-),
-ex AS (
-  SELECT doc_id, shingle,
-         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-pairs AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a
-    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  ) WHERE jaccard >= 0.2
-),
-reach(s, n, d) AS (
-  SELECT doc_id_1, doc_id_2, 1 FROM pairs
-  UNION ALL
-  SELECT r.s, p.doc_id_2, r.d + 1
-  FROM reach r JOIN pairs p ON r.n = p.doc_id_1
-)
-SELECT s AS doc_id,
-       CAST(COUNT(DISTINCT n) AS BIGINT) AS reachable,
-       CAST(MAX(d) AS BIGINT) AS max_depth
-FROM reach GROUP BY s ORDER BY s
-"""
-
-
-@register("dup_chain_stats", _DUP_CHAIN_ORACLE)
-def dup_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECURSIVE CTE (Spark 4 WITH RECURSIVE) walking the near-dup pair
-    graph: per chain head, how many docs it transitively reaches and the
-    longest hop count. Termination is by CONSTRUCTION, not fixpoint:
-    canonical pairs satisfy doc_id_1 < doc_id_2, so every recursive step
-    strictly increases the frontier id and path length is bounded by the
-    id chain (Spark's recursive CTE supports UNION ALL only — a cyclic
-    edge set would need the fixpoint UNION form DuckDB also offers).
-
-    Path-multiplicity hazard, HANDLED: a bare UNION ALL walk enumerates
-    PATHS, so a dense diamond lattice multiplies rows combinatorially.
-    The recursive step therefore emits SELECT DISTINCT — per-step
-    frontier dedup. That is exact, not an approximation: every row of
-    iteration i carries d = i, so no (s, n, d) tuple can recur across
-    iterations, and within an iteration the duplicates are precisely the
-    multiple same-length paths to the same node; the final aggregate
-    (COUNT(DISTINCT n), MAX(d)) depends only on the SET of (s, n, d)
-    tuples, which DISTINCT preserves bit-for-bit. Frontier size is thus
-    bounded by pairs² · diameter (polynomial), not path count
-    (exponential). Note cluster-pruning would NOT fix this: every edge
-    of the pair graph is cluster-internal by definition (clusters ARE
-    its connected components), so a semi-join against `dedup_clusters`
-    labels is a no-op — the dedup has to happen inside the walk."""
-    pairs = _ngram_pairs_shared(spark, sf_dir)
-    # MATERIALIZE the edge list before the walk: a recursive CTE
-    # re-evaluates its base view's plan on every iteration, so a lazy
-    # view here re-runs the whole shingle-scan + pair join per hop
-    # (measured 5×6 s at sf0.1). The edge list is tiny relative to the
-    # corpus (|E| ≈ dup pairs, 256 at sf0.1); one eager localCheckpoint
-    # turns O(iters × corpus-scan) into O(corpus-scan + iters × |E|).
-    # On a real cluster with dynamic allocation, checkpoint to reliable
-    # storage (or write the edge list to a table) instead — localCheckpoint
-    # blocks live in executor memory.
-    edges = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("dup_pairs_rcte")
-    return spark.sql(
-        """
-        WITH RECURSIVE reach(s, n, d) AS (
-          SELECT doc_id_1, doc_id_2, 1 FROM dup_pairs_rcte
-          UNION ALL
-          SELECT DISTINCT r.s, p.doc_id_2, r.d + 1
-          FROM reach r JOIN dup_pairs_rcte p ON r.n = p.doc_id_1
-        )
-        SELECT s AS doc_id,
-               COUNT(DISTINCT n) AS reachable,
-               CAST(MAX(d) AS BIGINT) AS max_depth
-        FROM reach GROUP BY s ORDER BY s
-        """
-    )
-
-
-# NOTE: jobs.run_streaming_user_state_tws (Spark 4 transformWithState,
-# typed ValueState) is implemented and unit-tested behind an import gate,
-# but NOT registered: the TWS python driver worker requires the
-# `google.protobuf` package (its state-server protocol), which this
-# container does not ship and cannot install. tests/test_streaming.py
-# skips the test when protobuf is absent; on a normal cluster the same
-# _STREAM_STATE_ORACLE grades it.
-
-
-_VARIANT_ORACLE = """
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-       ROUND(SUM(value), 2) AS v_sum,
-       CAST(MAX(user_id) AS BIGINT) AS id_max
-FROM events
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("variant_props_stats", _VARIANT_ORACLE)
-def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VARIANT path: ``parse_json`` the props payload AND a
-    constructed nested document, extract typed values with
-    ``variant_get`` ($.k, $.u.v, $.u.id), aggregate. The oracle computes
-    the same values from the base columns — green means the
-    parse→variant→path-extract round trip loses nothing."""
-    ev = read_events(spark, sf_dir)
-    doc = F.to_json(
-        F.struct(
-            F.struct(
-                F.col("user_id").alias("id"), F.col("value").alias("v")
-            ).alias("u"),
-            F.col("event_type").alias("t"),
-        )
-    )
-    extracted = ev.withColumn("_doc", doc).select(
-        "event_type",
-        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("_k"),
-        F.expr("variant_get(parse_json(_doc), '$.u.v', 'double')").alias("_v"),
-        F.expr("variant_get(parse_json(_doc), '$.u.id', 'long')").alias("_id"),
-    )
-    return (
-        extracted.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("_k").alias("k_sum"),
-            F.round(F.sum("_v"), 2).alias("v_sum"),
-            F.max("_id").alias("id_max"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_SQL_UDF_ORACLE = """
-SELECT CAST(ts AS DATE) AS event_date,
-       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
-       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
-       ROUND(CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 0
-                  THEN NULL
-                  ELSE CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
-                       / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
-             END, 4) AS view_to_purchase_rate
-FROM events
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("sql_udf_funnel_rate", _SQL_UDF_ORACLE)
-def sql_udf_funnel_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 SQL UDF (CREATE FUNCTION … RETURN <expr>): the guard-
-    against-zero rate lives in an engine-registered SQL function, not a
-    copy-pasted CASE — Catalyst inlines the body, so the plan (and the
-    oracle, which inlines it manually) is identical to the raw
-    expression."""
-    spark.sql(
-        """
-        CREATE OR REPLACE TEMPORARY FUNCTION safe_rate(num DOUBLE, den DOUBLE)
-        RETURNS DOUBLE
-        RETURN CASE WHEN den = 0 THEN NULL ELSE num / den END
-        """
-    )
-    read_events(spark, sf_dir).createOrReplaceTempView("ev_sqludf")
-    # ROUND sits in an OUTER projection: inlining the UDF body inside the
-    # aggregate rewrites round's scale literal into a non-foldable
-    # aggregate output reference (DATATYPE_MISMATCH.NON_FOLDABLE_INPUT)
-    return spark.sql(
-        """
-        SELECT event_date, views, purchases,
-               ROUND(rate_raw, 4) AS view_to_purchase_rate
-        FROM (
-          SELECT event_date,
-                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-                 safe_rate(
-                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE),
-                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
-                 ) AS rate_raw
-          FROM ev_sqludf
-          GROUP BY event_date
-        )
-        ORDER BY event_date
-        """
-    )
-
-
-_ANOMALY_ORACLE = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS event_date,
-         CAST(COUNT(*) AS BIGINT) AS event_count
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-),
-w AS (
-  SELECT event_type, event_date, event_count,
-         median(event_count) OVER trail AS trail_median,
-         COUNT(*) OVER trail AS trail_n
-  FROM daily
-  WINDOW trail AS (PARTITION BY event_type ORDER BY event_date
-                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-)
-SELECT event_type, event_date, event_count,
-       CAST(trail_median AS BIGINT) AS trail_median,
-       (event_count * 2 > trail_median * 3
-        OR event_count * 2 < trail_median) AS is_anomaly
-FROM w
-WHERE trail_n = 7
-ORDER BY event_type, event_date
-"""
-
-
-@register("daily_volume_anomalies", _ANOMALY_ORACLE)
-def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume anomaly flags against the TRAILING 7-day median (frame
-    excludes the current row, so a spike can't mask itself): a day is
-    anomalous when count > 1.5× or < 0.5× the median. Median of 7
-    integers is the exact middle value and the 1.5×/0.5× tests are
-    integer inequalities (2c > 3m / 2c < m) — no float boundary exists
-    anywhere, unlike a z-score formulation."""
-    from pyspark.sql import Window
-
-    daily = (
-        read_events(spark, sf_dir)
-        .where(F.col("ts").isNotNull())
-        .groupBy("event_type", "event_date")
-        .agg(F.count("*").alias("event_count"))
-    )
-    trail = (
-        Window.partitionBy("event_type")
-        .orderBy("event_date")
-        .rowsBetween(-7, -1)
-    )
-    w = daily.select(
-        "event_type",
-        "event_date",
-        "event_count",
-        F.expr("percentile(event_count, 0.5)").over(trail).alias("_med"),
-        F.count("*").over(trail).alias("_n"),
-    )
-    return (
-        w.where(F.col("_n") == 7)
-        .select(
-            "event_type",
-            "event_date",
-            "event_count",
-            F.col("_med").cast("long").alias("trail_median"),
-            (
-                (F.col("event_count") * 2 > F.col("_med").cast("long") * 3)
-                | (F.col("event_count") * 2 < F.col("_med").cast("long"))
-            ).alias("is_anomaly"),
-        )
-        .orderBy("event_type", "event_date")
-    )
-
-
-_TRY_ARITH_ORACLE = """
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_uncastable,
-       CAST(SUM(CASE WHEN (CASE WHEN CAST(EXTRACT(hour FROM ts) AS BIGINT) = 0
-                                THEN NULL
-                                ELSE user_id / CAST(EXTRACT(hour FROM ts) AS BIGINT)
-                           END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_by_zero_rows
-FROM events
-WHERE ts IS NOT NULL
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("try_arithmetic_stats", _TRY_ARITH_ORACLE)
-def try_arithmetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error-tolerant expression surface: ``try_cast`` on a JSON-extracted
-    string and ``try_divide`` by a sometimes-zero denominator count their
-    NULL outcomes instead of failing the job — the ANSI-safe pattern for
-    dirty data. The oracle spells out the same semantics with
-    TRY_CAST + an explicit zero guard."""
-    ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
-    return (
-        ev.select(
-            "event_type",
-            F.expr(
-                "try_cast(get_json_object(props, '$.k') AS BIGINT)"
-            ).alias("_k"),
-            F.expr("try_divide(user_id, event_hour)").alias("_d"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias(
-                "k_uncastable"
-            ),
-            F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0)).alias(
-                "div_by_zero_rows"
-            ),
-        )
-        .orderBy("event_type")
-    )
-
-
-_LOG_ODDS_ORACLE = """
-WITH toks AS (
-  SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-nz AS (SELECT lang, token FROM toks WHERE token <> ''),
-lt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a FROM nz GROUP BY 1, 2),
-t AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1),
-lg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS in_total FROM nz GROUP BY 1),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_total FROM nz),
-j AS (
-  SELECT lt.lang, lt.token, lt.a,
-         t.c - lt.a AS b, lg.in_total,
-         n.corpus_total - lg.in_total AS out_total
-  FROM lt JOIN t USING (token) JOIN lg USING (lang), n
-  WHERE t.c >= 5
-),
-scored AS (
-  SELECT lang, token, a,
-         (ln((a + 0.5::DOUBLE) / (in_total - a + 0.5::DOUBLE))
-            - ln((b + 0.5::DOUBLE) / (out_total - b + 0.5::DOUBLE)))
-           / sqrt(1.0::DOUBLE / (a + 0.5::DOUBLE)
-                  + 1.0::DOUBLE / (b + 0.5::DOUBLE)) AS z
-  FROM j
-),
-rk AS (
-  SELECT lang, token, a, z,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY z DESC, token) AS r
-  FROM scored
-)
-SELECT lang, token, a, ROUND(z, 4) AS z_score
-FROM rk WHERE r <= 5
-ORDER BY lang, z_score DESC, token
-"""
-
-
-@register("lang_distinctive_terms", _LOG_ODDS_ORACLE)
-def lang_distinctive_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monroe et al. weighted log-odds (Haldane prior) z-scores — the
-    corpus-analysis statistic for 'which tokens characterize this
-    slice'; every input is an exact integer aggregate so both engines
-    evaluate the identical closed form."""
-    return text.lang_distinctive_terms(
-        read_table(spark, sf_dir, "documents"), min_global=5, top_k=5
-    )
-
-
-_SURPRISAL_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-nz AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k FROM nz GROUP BY 1, 2),
-t AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_n FROM nz),
-terms AS (
-  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
-         list(k * ln(c) ORDER BY token) AS term_list
-  FROM dt JOIN t USING (token) GROUP BY doc_id
-),
-s AS (
-  SELECT doc_id, n_tokens,
-         list_reduce(list_prepend(0.0::DOUBLE, term_list),
-                     (acc, x) -> acc + x) AS sum_ln
-  FROM terms
-)
-SELECT doc_id, n_tokens,
-       ROUND(ln(CAST(n.corpus_n AS DOUBLE))
-             - sum_ln / CAST(n_tokens AS DOUBLE), 4) AS surprisal
-FROM s, n
-ORDER BY doc_id
-"""
-
-
-@register("doc_surprisal", _SURPRISAL_ORACLE)
-def doc_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean unigram surprisal per document — the perplexity-proxy quality
-    score, with the per-doc float sum computed as a token-ordered fold so
-    the oracle replays the identical accumulation order."""
-    return text.doc_surprisal(read_table(spark, sf_dir, "documents"))
-
-
-_INCR_DEDUP_ORACLE = """
-WITH t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
-ex AS (
-  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-cross_pairs AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           CAST(COUNT(*) AS DOUBLE)
-             / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE) AS jaccard
-    FROM ex a
-    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  )
-  WHERE jaccard >= 0.6 AND doc_id_1 < 400 AND doc_id_2 >= 400
-),
-incoming AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
-existing_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
-flags AS (
-  SELECT i.doc_id,
-         (i.h IN (SELECT h FROM existing_h)) AS is_exact,
-         (i.doc_id IN (SELECT doc_id_2 FROM cross_pairs)) AS is_near
-  FROM incoming i
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
-       CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
-       CAST(SUM(CASE WHEN is_near AND NOT is_exact THEN 1 ELSE 0 END) AS BIGINT)
-         AS near_dups,
-       CAST(SUM(CASE WHEN NOT is_near AND NOT is_exact THEN 1 ELSE 0 END) AS BIGINT)
-         AS novel
-FROM flags
-"""
-
-
-@register("incremental_dedup_report", _INCR_DEDUP_ORACLE)
-def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION dedup shape: an incoming batch (doc_id ≥ 400)
-    checked against the existing corpus (doc_id < 400) — exact dups via a
-    content-hash semi-join against the existing hash index, near-dups via
-    shingle-blocked exact Jaccard restricted to CROSS pairs (canonical
-    ordering puts existing<incoming automatically). At 100 TB only the
-    incoming side is new work: the hash index and shingle postings are
-    incremental structures, not per-run rebuilds."""
-    docs = read_table(spark, sf_dir, "documents")
-    incoming = docs.where(F.col("doc_id") >= 400).select(
-        "doc_id", F.md5("text").alias("_h")
-    )
-    existing_h = (
-        docs.where(F.col("doc_id") < 400).select(F.md5("text").alias("_h")).distinct()
-    )
-    exact = incoming.join(existing_h, "_h", "left_semi").select("doc_id")
-    pairs = _ngram_pairs_shared(spark, sf_dir).where(
-        F.col("jaccard") >= 0.6
-    )
-    near = (
-        pairs.where((F.col("doc_id_1") < 400) & (F.col("doc_id_2") >= 400))
-        .select(F.col("doc_id_2").alias("doc_id"))
-        .distinct()
-    )
-    flags = (
-        incoming.select("doc_id")
-        .join(exact.withColumn("_e", F.lit(True)), "doc_id", "left")
-        .join(near.withColumn("_n", F.lit(True)), "doc_id", "left")
-        .select(
-            F.coalesce("_e", F.lit(False)).alias("is_exact"),
-            F.coalesce("_n", F.lit(False)).alias("is_near"),
-        )
-    )
-    return flags.agg(
-        F.count("*").alias("n_incoming"),
-        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).alias("exact_dups"),
-        F.sum(
-            F.when(F.col("is_near") & ~F.col("is_exact"), 1).otherwise(0)
-        ).alias("near_dups"),
-        F.sum(
-            F.when(~F.col("is_near") & ~F.col("is_exact"), 1).otherwise(0)
-        ).alias("novel"),
-    )
-
-
-# anchor text rewritten below; if the base oracle's tail ever drifts the
-# replace would silently no-op and this oracle would degrade to the base
-# cluster-label query — assert the anchor so drift fails loudly instead
-_CLUSTER_REPS_ANCHOR = """SELECT doc_id, MIN(r) AS cluster_id
-FROM reach
-GROUP BY 1
-ORDER BY 1
-"""
-assert _CLUSTER_REPS_ANCHOR in _DEDUP_CLUSTERS_ORACLE, (
-    "_DEDUP_CLUSTERS_ORACLE tail drifted; update _CLUSTER_REPS_ANCHOR"
-)
-_CLUSTER_REPS_ORACLE = (
-    _DEDUP_CLUSTERS_ORACLE.replace(
-        _CLUSTER_REPS_ANCHOR,
-        """, labels AS (
-  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
-),
-m AS (
-  SELECT l.cluster_id, d.doc_id, d.n_chars
-  FROM labels l JOIN documents d USING (doc_id)
-),
-sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS members FROM m GROUP BY 1),
-r2 AS (
-  SELECT cluster_id, doc_id, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY cluster_id
-                            ORDER BY n_chars DESC, doc_id) AS rk
-  FROM m
-)
-SELECT r2.cluster_id, sz.members,
-       r2.doc_id AS rep_doc_id, r2.n_chars AS rep_n_chars
-FROM r2 JOIN sz USING (cluster_id)
-WHERE rk = 1 AND sz.members > 1
-ORDER BY cluster_id
-""",
-    )
-)
-
-
-@register("cluster_representatives", _CLUSTER_REPS_ORACLE)
-def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware canonical selection: within each near-dup cluster
-    keep the LONGEST document (tie → lowest id) instead of the arbitrary
-    min-id — the rule real corpus curation uses (keep the best copy, not
-    the first seen). Composition: star-contraction CC → broadcast-sized
-    label join → per-cluster argmax window."""
-    from pyspark.sql import Window
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = _ngram_pairs_shared(spark, sf_dir)
-    labels, _rounds = dedup.dedup_clusters_star(docs, pairs)
-    m = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
-    sz = m.groupBy("cluster_id").agg(F.count("*").alias("members"))
-    rk = F.row_number().over(
-        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
-    )
-    return (
-        m.withColumn("_rk", rk)
-        .where(F.col("_rk") == 1)
-        .join(sz, "cluster_id")
-        .where(F.col("members") > 1)
-        .select(
-            "cluster_id",
-            "members",
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("n_chars").alias("rep_n_chars"),
-        )
-        .orderBy("cluster_id")
-    )
-
-
-_SKEW_REPORT_ORACLE = """
-WITH k AS (
-  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
-),
-hist AS (
-  SELECT CAST(length(bin(cnt)) AS BIGINT) AS log2_bucket,
-         CAST(COUNT(*) AS BIGINT) AS n_keys,
-         CAST(SUM(cnt) AS BIGINT) AS rows_covered
-  FROM k GROUP BY 1
-)
-SELECT log2_bucket, n_keys, rows_covered
-FROM hist
-ORDER BY log2_bucket
-"""
-
-
-@register("join_key_skew_report", _SKEW_REPORT_ORACLE)
-def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew diagnostic for a join key: per-key counts bucketed by bit
-    length (⌊log2⌋+1 — integer-exact in both engines via binary-string
-    length, like the HLL rho). The histogram is what decides salting /
-    AQE-skew-join settings BEFORE a 100 TB join is launched."""
-    k = (
-        read_table(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("cnt"))
-    )
-    return (
-        k.select(F.length(F.conv(F.col("cnt"), 10, 2)).cast("long").alias("log2_bucket"), "cnt")
-        .groupBy("log2_bucket")
-        .agg(
-            F.count("*").alias("n_keys"),
-            F.sum("cnt").alias("rows_covered"),
-        )
-        .orderBy("log2_bucket")
-    )
-
-
-def _pq_oracle() -> str:
-    """Full PQ replay: codebook VALUES, expanded-form argmax per
-    (vec, subvector), code-string + reconstruction error with the same
-    sequential folds (`list_reduce` with a 0.0 prepend == F.aggregate
-    with 0.0 init)."""
-    from .functions.pq_codebooks import CODEBOOKS, M, SUB_DIM
-
-    rows = []
-    for m in range(M):
-        for k, cvec in enumerate(CODEBOOKS[m]):
-            hn = 0.0
-            for v in cvec:
-                hn += v * v
-            rows.append(
-                "({}, {}, [{}], {!r})".format(
-                    m, k, ", ".join(repr(v) for v in cvec), hn / 2.0
-                )
-            )
-    values = ",\n    ".join(rows)
-    return f"""
-WITH cb(m, code, cvec, hn) AS (
-  VALUES
-    {values}
-),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-s AS (
-  SELECT vec_id, m, code,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(list_zip(emb[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}], cvec),
-                          x -> x[1] * x[2])),
-           (a, b) -> a + b) - hn AS score,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(list_zip(emb[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}], cvec),
-                          x -> (x[1] - x[2]) * (x[1] - x[2]))),
-           (a, b) -> a + b) AS se
-  FROM e CROSS JOIN cb
-),
-best AS (
-  SELECT vec_id, m, code, se,
-         ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                            ORDER BY score DESC, code) AS rn
-  FROM s
-),
-agg AS (
-  SELECT vec_id,
-         array_to_string(list(code ORDER BY m), ',') AS pq_codes,
-         list(se ORDER BY m) AS ses
-  FROM best WHERE rn = 1 GROUP BY 1
-)
-SELECT vec_id, pq_codes,
-       ROUND(list_reduce(list_prepend(0.0::DOUBLE, ses), (a, b) -> a + b), 6)
-         AS recon_err
-FROM agg
-ORDER BY vec_id
-"""
-
-
-@register("pq_encode_static", _pq_oracle())
-def pq_encode_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization against the offline-trained static codebooks
-    — codes AND reconstruction errors value-hash-checked end to end (the
-    quantizer family's fourth member: int8 scalar, IVF coarse, SemDeDup
-    cells, PQ codes)."""
-    return similarity.pq_encode_static(read_table(spark, sf_dir, "embeddings"))
-
-
-def _pq_adc_oracle(k: int = 10) -> str:
-    """ADC replay: LUT from the un-quantized query (vec_id 0), code
-    assignment as in the encode oracle, rank on the RAW summed distance
-    with vec_id tie-break, round only the emitted column."""
-    from .functions.pq_codebooks import CODEBOOKS, M, SUB_DIM
-
-    rows = []
-    for m in range(M):
-        for kk, cvec in enumerate(CODEBOOKS[m]):
-            hn = 0.0
-            for v in cvec:
-                hn += v * v
-            rows.append(
-                "({}, {}, [{}], {!r})".format(
-                    m, kk, ", ".join(repr(v) for v in cvec), hn / 2.0
-                )
-            )
-    values = ",\n    ".join(rows)
-    return f"""
-WITH cb(m, code, cvec, hn) AS (
-  VALUES
-    {values}
-),
-e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-s AS (
-  SELECT vec_id, m, code,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(list_zip(emb[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}], cvec),
-                          x -> x[1] * x[2])),
-           (a, b) -> a + b) - hn AS score
-  FROM e CROSS JOIN cb
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                              ORDER BY score DESC, code) AS rn
-    FROM s
-  ) WHERE rn = 1
-),
-lut AS (
-  SELECT cb.m, cb.code,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(
-             list_zip(q.emb[cb.m*{SUB_DIM}+1 : cb.m*{SUB_DIM}+{SUB_DIM}], cb.cvec),
-             x -> (x[1] - x[2]) * (x[1] - x[2]))),
-           (a, b) -> a + b) AS qse
-  FROM cb CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q
-),
-adc AS (
-  SELECT c.vec_id,
-         list_reduce(list_prepend(0.0::DOUBLE, list(l.qse ORDER BY c.m)),
-                     (a, b) -> a + b) AS adc_raw
-  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
-  GROUP BY c.vec_id
-)
-SELECT adc.vec_id, e.label, ROUND(adc_raw, 6) AS adc_dist
-FROM adc JOIN e ON adc.vec_id = e.vec_id
-ORDER BY adc_raw, adc.vec_id
-LIMIT {k}
-"""
-
-
-@register("pq_adc_topk", _pq_adc_oracle())
-def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ search via asymmetric distance: a 64-entry query lookup table
-    scores every encoded vector from its 8 code ids alone — the scan
-    never re-reads the vectors. Fully oracle-checked ranking."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.pq_adc_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
-
-
-_RETENTION_ORACLE = """
-WITH firsts AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
-  FROM events WHERE ts IS NOT NULL GROUP BY 1
-),
-actives AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-  FROM events WHERE ts IS NOT NULL
-),
-offsets(day_offset) AS (VALUES (0), (1), (3), (7)),
-cohort_sizes AS (
-  SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS cohort_users
-  FROM firsts GROUP BY 1
-),
-ret AS (
-  SELECT f.cohort_date, o.day_offset,
-         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
-  FROM firsts f
-  CROSS JOIN offsets o
-  JOIN actives a
-    ON a.user_id = f.user_id
-   AND a.d = f.cohort_date + CAST(o.day_offset AS INTEGER)
-  GROUP BY 1, 2
-)
-SELECT s.cohort_date, r.day_offset, s.cohort_users, r.active_users,
-       ROUND(r.active_users * 100.0 / CAST(s.cohort_users AS DOUBLE), 2)
-         AS retention_pct
-FROM ret r JOIN cohort_sizes s USING (cohort_date)
-ORDER BY s.cohort_date, r.day_offset
-"""
-
-
-@register("retention_cohorts", _RETENTION_ORACLE)
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic cohort retention: users grouped by first-seen date, the
-    share still active at day +0/+1/+3/+7 — two aggregations (firsts,
-    actives) + a broadcast-sized offsets table; no window over the raw
-    log, so the plan is shuffle-light at any scale."""
-    ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
-    firsts = ev.groupBy("user_id").agg(F.min("event_date").alias("cohort_date"))
-    # distinct column names on the self-join leg — both frames descend
-    # from the same scan, so `actives["user_id"] == firsts["user_id"]`
-    # would collapse to a trivially-true predicate (Spark WARNs and the
-    # join becomes a cross product against the wrong leg)
-    actives = ev.select(
-        F.col("user_id").alias("active_user"),
-        F.col("event_date").alias("d"),
-    ).distinct()
-    offsets = spark.createDataFrame([(0,), (1,), (3,), (7,)], "day_offset int")
-    sizes = firsts.groupBy("cohort_date").agg(
-        F.count("*").alias("cohort_users")
-    )
-    ret = (
-        firsts.crossJoin(F.broadcast(offsets))
-        .join(
-            actives,
-            (F.col("active_user") == F.col("user_id"))
-            & (
-                F.col("d")
-                == F.date_add(F.col("cohort_date"), F.col("day_offset"))
-            ),
-        )
-        .groupBy("cohort_date", "day_offset")
-        .agg(F.count_distinct("user_id").alias("active_users"))
-    )
-    return (
-        ret.join(sizes, "cohort_date")
-        .select(
-            "cohort_date",
-            "day_offset",
-            "cohort_users",
-            "active_users",
-            F.round(
-                F.col("active_users") * 100.0
-                / F.col("cohort_users").cast("double"),
-                2,
-            ).alias("retention_pct"),
-        )
-        .orderBy("cohort_date", "day_offset")
-    )
-
-
-_FIRST_TOUCH_ORACLE = """
-WITH v AS (
-  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
-),
-p AS (
-  SELECT user_id, ts AS purchase_ts, value FROM events
-  WHERE event_type = 'purchase'
-),
-j AS (
-  SELECT p.user_id, p.purchase_ts, p.value, v.view_ts
-  FROM p JOIN v ON p.user_id = v.user_id
-   AND p.purchase_ts >= v.view_ts
-   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
-)
-SELECT user_id, purchase_ts,
-       MIN(view_ts) AS first_view_ts,
-       CAST(COUNT(*) AS BIGINT) AS touches,
-       CAST(date_diff('second', MIN(view_ts), purchase_ts) // 60 AS BIGINT)
-         AS lag_minutes,
-       ROUND(value, 2) AS purchase_value
-FROM j
-GROUP BY user_id, purchase_ts, value
-ORDER BY user_id, purchase_ts
-"""
-
-
-@register("first_touch_attribution", _FIRST_TOUCH_ORACLE)
-def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-touch marketing attribution: each purchase credits the
-    EARLIEST view inside its 30-minute lookback (vs the interval join's
-    all-pairs credit) — an interval join collapsed by per-purchase
-    argmin, still one shuffle keyed by user."""
-    ev = read_events(spark, sf_dir)
-    # view leg carries a renamed key: both legs descend from the same
-    # scan, so p["user_id"] == v["user_id"] is a trivially-true
-    # self-reference (Spark WARN) rather than an equi-join condition
-    v = ev.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts")
-    )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("purchase_ts"), "value"
-    )
-    j = p.join(
-        v,
-        (F.col("user_id") == F.col("view_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
-        ),
-    ).drop("view_user")
-    return (
-        j.groupBy("user_id", "purchase_ts", "value")
-        .agg(
-            F.min("view_ts").alias("first_view_ts"),
-            F.count("*").alias("touches"),
-        )
-        .select(
-            "user_id",
-            "purchase_ts",
-            "first_view_ts",
-            "touches",
-            F.expr(
-                "(unix_timestamp(purchase_ts) - unix_timestamp(first_view_ts))"
-                " div 60"
-            ).alias("lag_minutes"),
-            F.round("value", 2).alias("purchase_value"),
-        )
-        .orderBy("user_id", "purchase_ts")
-    )
-
-
-_STRATIFIED_ORACLE = """
-SELECT doc_id, lang FROM (
-  SELECT doc_id, lang,
-         ROW_NUMBER() OVER (
-           PARTITION BY lang
-           ORDER BY md5('strat#' || CAST(doc_id AS VARCHAR)), doc_id
-         ) AS rk
-  FROM documents
-)
-WHERE rk <= 10
-ORDER BY lang, doc_id
-"""
-
-
-@register("stratified_sample_per_lang", _STRATIFIED_ORACLE)
-def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-allocation stratified sampling: exactly 10 docs per language
-    ranked by a salted md5 — deterministic (re-runs and the oracle pick
-    the identical rows) where TABLESAMPLE or rand() never could be.
-    Per-stratum top-n is a bounded window, no global pass."""
-    from pyspark.sql import Window
-
-    docs = read_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))),
-            "doc_id",
-        )
-    )
-    return (
-        docs.withColumn("_rk", rk)
-        .where(F.col("_rk") <= 10)
-        .select("doc_id", "lang")
-        .orderBy("lang", "doc_id")
-    )
-
-
-def _hll_weekly_oracle() -> str:
-    """Weekly HLL by MERGING the daily register tables (max per bucket)
-    — never re-hashing the events — vs the exact weekly distinct.
-    Hash-compared columns are integer-only (see _hll_oracle)."""
-    from .functions.sketch import _HLL_W_MOD, HLL_M
-
-    scale = _HLL_W_MOD * 2
-    return f"""
-WITH h AS (
-  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
-         CAST(ts AS DATE) AS event_date,
-         user_id,
-         CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
-              AS BIGINT) AS hv
-  FROM events
-),
-daily_regs AS (
-  SELECT week_start, event_date,
-         hv // {_HLL_W_MOD} AS bucket,
-         MAX(CASE WHEN hv % {_HLL_W_MOD} = 0 THEN 53
-                  ELSE 53 - length(bin(hv % {_HLL_W_MOD})) END) AS m_rho
-  FROM h GROUP BY 1, 2, 3
-),
-weekly_regs AS (
-  SELECT week_start, bucket, MAX(m_rho) AS m_rho
-  FROM daily_regs GROUP BY 1, 2
-),
-d AS (
-  SELECT week_start,
-         {HLL_M} - COUNT(*) AS v_zero,
-         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_rho))
-           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS BIGINT) AS sum_scaled
-  FROM weekly_regs GROUP BY 1
-),
-ex AS (
-  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
-  FROM events GROUP BY 1
-)
-SELECT d.week_start, exact_users, v_zero, sum_scaled
-FROM d JOIN ex ON d.week_start = ex.week_start
-ORDER BY 1
-"""
-
-
-@register("hll_weekly_rollup", _hll_weekly_oracle())
-def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The re-aggregation property that justifies carrying sketches at
-    all: weekly distinct-user estimates computed by MERGING the daily HLL
-    register tables (max per bucket) — the events are hashed once at
-    daily grain, and any coarser rollup (week, month, all-time) is a
-    256-row-per-group aggregate, never a re-scan. Exact weekly distinct
-    rides along; the merge is value-hash-checked on its integer register
-    state, the ln()-derived estimate is pytest-tolerance-checked (libm
-    portability — see hll_distinct_daily)."""
-    from .functions import sketch
-
-    ev = read_events(spark, sf_dir).select(
-        F.date_trunc("week", "ts").cast("date").alias("week_start"),
-        "event_date",
-        "user_id",
-    )
-    daily = sketch.hll_sketch(ev, ["week_start", "event_date"], "user_id")
-    weekly = daily.groupBy("week_start", "bucket").agg(
-        F.max("m_rho").alias("m_rho")
-    )
-    est = sketch.hll_estimate(weekly, ["week_start"])
-    exact = ev.groupBy("week_start").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_users")
-    )
-    return (
-        exact.join(est, "week_start")
-        .select("week_start", "exact_users", "v_zero", "sum_scaled")
-        .orderBy("week_start")
-    )
-
-
-_BASKET_ORACLE = """
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-part_orders AS (
-  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord FROM items GROUP BY 1
-),
-tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
-pairs AS (
-  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
-         CAST(COUNT(*) AS BIGINT) AS support
-  FROM items a
-  JOIN items b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 3
-)
-SELECT p.part_1, p.part_2, p.support,
-       ROUND(CAST(p.support AS DOUBLE) * t.n
-             / (CAST(o1.n_ord AS DOUBLE) * o2.n_ord), 4) AS lift
-FROM pairs p
-JOIN part_orders o1 ON o1.l_partkey = p.part_1
-JOIN part_orders o2 ON o2.l_partkey = p.part_2
-CROSS JOIN tot t
-ORDER BY p.support DESC, p.part_1, p.part_2
-"""
-
-
-@register("basket_pairs", _BASKET_ORACLE)
-def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence: part pairs bought in the same order
-    with support ≥ 3 and their lift (support·N / (n₁·n₂), exact integer
-    inputs to one double expression). The self-join is keyed by order —
-    pair volume is Σ(items-per-order choose 2), bounded by basket size,
-    never parts²."""
-    items = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
-    tot = items.agg(F.count_distinct("l_orderkey").alias("n"))
-    a = items.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
-    )
-    pairs = (
-        a.join(b.hint("shuffle_hash"), "_o")
-        .where(F.col("part_1") < F.col("part_2"))
-        .groupBy("part_1", "part_2")
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 3)
-    )
-    return (
-        pairs.join(
-            part_orders.select(
-                F.col("l_partkey").alias("part_1"), F.col("n_ord").alias("_n1")
-            ),
-            "part_1",
-        )
-        .join(
-            part_orders.select(
-                F.col("l_partkey").alias("part_2"), F.col("n_ord").alias("_n2")
-            ),
-            "part_2",
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "part_1",
-            "part_2",
-            "support",
-            F.round(
-                F.col("support").cast("double")
-                * F.col("n")
-                / (F.col("_n1").cast("double") * F.col("_n2")),
-                4,
-            ).alias("lift"),
-        )
-        .orderBy(F.desc("support"), "part_1", "part_2")
-    )
-
-
-_RFM_ORACLE = """
-WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
-p AS (
-  SELECT user_id,
-         date_diff('day', MAX(CAST(ts AS DATE)), m.as_of) AS recency_days,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
-  FROM events, maxd m
-  WHERE event_type = 'purchase'
-  GROUP BY user_id, m.as_of
-),
-scored AS (
-  SELECT user_id, recency_days, frequency, monetary_cents,
-         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
-         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
-         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
-  FROM p
-)
-SELECT user_id, recency_days, frequency, monetary_cents,
-       r_score, f_score, m_score,
-       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
-         || CAST(m_score AS VARCHAR) AS rfm_segment
-FROM scored
-ORDER BY user_id
-"""
-
-
-@register("rfm_segments", _RFM_ORACLE)
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation: recency (days since last purchase as of
-    the log's max date), frequency, monetary in EXACT integer cents, each
-    scored into quintiles with a user_id tie-break (an un-tiebroken NTILE
-    over equal keys is engine-nondeterministic — the classic silent
-    mismatch), concatenated into the familiar '555'-style segment.
-
-    The quintiles come from :func:`operators.windows.global_ntile` — the
-    range-partition + offset form of NTILE — NOT a global ``Window.orderBy``
-    (which would sort every customer ever on ONE task at 100 TB; Spark
-    emits its "Moving all data to a single partition" warning for exactly
-    that plan). The oracle keeps the plain SQL NTILE: with a total order
-    the two are bit-identical, which is the point of the rewrite.
-
-    Plan shape: the per-user table is MATERIALIZED once (localCheckpoint;
-    on a cluster, persist or write it — RFM is inherently multi-pass) and
-    the three metrics are scored INDEPENDENTLY from it, then joined back
-    on user_id. Chaining the three global_ntile calls instead would
-    double the lineage at every level (each call references its input in
-    two branches), re-planning the events aggregation up to 8× — measured
-    5× slower at sf0.1."""
-    from .operators.windows import global_ntile
-
-    ev = read_events(spark, sf_dir)
-    maxd = ev.agg(F.max("event_date").alias("as_of"))
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .crossJoin(F.broadcast(maxd))
-        .groupBy("user_id", "as_of")
-        .agg(
-            F.datediff(F.first("as_of"), F.max("event_date")).alias(
-                "recency_days"
-            ),
-            F.count("*").alias("frequency"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "monetary_cents"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    scores = {
-        "r_score": [F.asc("recency_days"), F.asc("user_id")],
-        "f_score": [F.desc("frequency"), F.asc("user_id")],
-        "m_score": [F.desc("monetary_cents"), F.asc("user_id")],
-    }
-    scored = p
-    for out_col, order in scores.items():
-        s = global_ntile(p, 5, order, out_col=out_col).select(
-            "user_id", out_col
-        )
-        scored = scored.join(s, "user_id")
-    return scored.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        "r_score",
-        "f_score",
-        "m_score",
-        F.concat(
-            F.col("r_score").cast("string"),
-            F.col("f_score").cast("string"),
-            F.col("m_score").cast("string"),
-        ).alias("rfm_segment"),
-    ).orderBy("user_id")
-
-
-def _ivf_pq_oracle(k: int = 10, n_probe: int = 4, shortlist: int = 50) -> str:
-    """End-to-end IVFPQ replay: coarse probe (shared assignment CTE) →
-    ADC shortlist on raw distances → exact-cosine rerank; each stage
-    reuses the component oracles' exact idioms."""
-    from .functions.pq_codebooks import CODEBOOKS, M, SUB_DIM
-
-    rows = []
-    for m in range(M):
-        for kk, cvec in enumerate(CODEBOOKS[m]):
-            hn = 0.0
-            for v in cvec:
-                hn += v * v
-            rows.append(
-                "({}, {}, [{}], {!r})".format(
-                    m, kk, ", ".join(repr(v) for v in cvec), hn / 2.0
-                )
-            )
-    values = ",\n    ".join(rows)
-    return f"""
-WITH {_static_assign_cte()},
-probes AS (
-  SELECT centroid_id FROM ac WHERE vec_id = 0
-  ORDER BY cos DESC, centroid_id LIMIT {n_probe}
-),
-cand AS (
-  SELECT e.vec_id, e.label, e.emb
-  FROM e JOIN assign USING (vec_id)
-  WHERE assign.centroid_id IN (SELECT centroid_id FROM probes)
-),
-cb(m, code, cvec, hn) AS (
-  VALUES
-    {values}
-),
-s AS (
-  SELECT cand.vec_id, cb.m, cb.code,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(
-             list_zip(cand.emb[cb.m*{SUB_DIM}+1 : cb.m*{SUB_DIM}+{SUB_DIM}], cb.cvec),
-             x -> x[1] * x[2])),
-           (a, b) -> a + b) - cb.hn AS score
-  FROM cand CROSS JOIN cb
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                              ORDER BY score DESC, code) AS rn
-    FROM s
-  ) WHERE rn = 1
-),
-lut AS (
-  SELECT cb.m, cb.code,
-         list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(
-             list_zip(q.emb[cb.m*{SUB_DIM}+1 : cb.m*{SUB_DIM}+{SUB_DIM}], cb.cvec),
-             x -> (x[1] - x[2]) * (x[1] - x[2]))),
-           (a, b) -> a + b) AS qse
-  FROM cb CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q
-),
-adc AS (
-  SELECT c.vec_id,
-         list_reduce(list_prepend(0.0::DOUBLE, list(l.qse ORDER BY c.m)),
-                     (a, b) -> a + b) AS adc_raw
-  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
-  GROUP BY c.vec_id
-  ORDER BY adc_raw, c.vec_id
-  LIMIT {shortlist}
-),
-rer AS (
-  SELECT cand.vec_id, cand.label,
-         list_sum(list_transform(list_zip(cand.emb, q.qemb), x -> x[1] * x[2]))
-         / (SQRT(list_sum(list_transform(cand.emb, x -> x * x)))
-            * SQRT(list_sum(list_transform(q.qemb, x -> x * x)))) AS sim_raw
-  FROM adc JOIN cand USING (vec_id)
-  CROSS JOIN (SELECT emb AS qemb FROM e WHERE vec_id = 0) q
-)
-SELECT vec_id, label, ROUND(sim_raw, 6) AS cosine_sim
-FROM rer
-ORDER BY sim_raw DESC, vec_id
-LIMIT {k}
-"""
-
-
-@register("ivf_pq_topk", _ivf_pq_oracle())
-def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full ANN serving stack (FAISS IVFPQ shape): coarse probe →
-    ADC shortlist → exact rerank, end-to-end oracle-checked — each tier
-    cuts scan volume an order of magnitude and each is individually
-    oracled by its component query."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_pq_topk(
-        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4, shortlist=50
-    )
-
-
-_SPAN_DEDUP_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-g AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           range(1, greatest(len(toks) - 7, 1) + 1),
-           i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
-                                     1, 15)) AS BIGINT))) AS span_h
-  FROM t
-),
-sd AS (SELECT span_h FROM g GROUP BY span_h HAVING COUNT(DISTINCT doc_id) >= 2),
-tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_spans FROM g GROUP BY 1),
-sh AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_spans
-  FROM g JOIN sd USING (span_h) GROUP BY 1
-)
-SELECT doc_id, total_spans,
-       COALESCE(sh.shared_spans, 0) AS shared_spans,
-       ROUND(COALESCE(sh.shared_spans, 0) * 1.0 / total_spans, 6)
-         AS shared_fraction
-FROM tot LEFT JOIN sh USING (doc_id)
-ORDER BY doc_id
-"""
-
-
-@register("span_dedup_stats", _SPAN_DEDUP_ORACLE)
-def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document span-level duplication (fixed-window exact-substring
-    dedup, Lee et al. 2022): per document, the fraction of its 8-token
-    sliding windows that appear verbatim in >=2 documents. The third
-    dedup axis alongside whole-doc similarity (Jaccard/MinHash/SimHash)
-    and intra-doc repetition (`doc_repetition`): catches boilerplate,
-    quotations and syndicated passages that neither of those sees. Scan-
-    side window explode + two hash aggregations + a LEFT SEMI join
-    against the shared-span set - no pairwise term at any corpus size.
-    Spans travel as 60-bit md5-prefix digests (8 bytes), never raw
-    strings — the shuffle-width fix for the heaviest r05 bench entry;
-    both engines hash identically (see cross_doc_span_stats)."""
-    return dedup.cross_doc_span_stats(
-        read_table(spark, sf_dir, "documents"), span=8, min_docs=2
-    )
-
-
-_SPLIT_LEAKAGE_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-),
-rare AS (
-  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
-),
-ex AS (
-  SELECT doc_id, shingle,
-         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-pairs AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a
-    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  ) WHERE jaccard >= 0.5
-),
-sp AS (
-  SELECT doc_id_1, doc_id_2,
-         CASE WHEN b1 < 90 THEN 'train' WHEN b1 < 95 THEN 'val' ELSE 'test' END AS s1,
-         CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val' ELSE 'test' END AS s2
-  FROM (
-    SELECT doc_id_1, doc_id_2,
-           CAST(CAST(('0x' || substr(md5('11#' || doc_id_1), 1, 8)) AS BIGINT) % 100 AS INT) AS b1,
-           CAST(CAST(('0x' || substr(md5('11#' || doc_id_2), 1, 8)) AS BIGINT) % 100 AS INT) AS b2
-    FROM pairs
-  )
-)
-SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
-       CAST(COUNT(*) AS BIGINT) AS dup_pairs,
-       least(s1, s2) <> greatest(s1, s2) AS is_leakage
-FROM sp
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-@register("split_leakage_report", _SPLIT_LEAKAGE_ORACLE)
-def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test LEAKAGE audit: near-dup pairs (Jaccard >= 1/2 over
-    df-capped 3-shingles) whose members fall in DIFFERENT hash-bucket
-    splits — the contamination mode dataset_split alone cannot see (the
-    split is clean by construction, but near-duplicate CONTENT still
-    crosses the boundary and inflates eval scores).
-
-    Scale shape: split membership is a pure hash of doc_id
-    (curation.split_exprs), so both pair sides compute it ROW-LOCALLY on
-    the tiny pair table — the corpus-sized split table is never joined,
-    never shuffled."""
-    from .functions.curation import split_exprs
-
-    pairs = _ngram_pairs_shared(spark, sf_dir).where(
-        F.col("jaccard") >= 0.5
-    )
-    _, s1 = split_exprs(F.col("doc_id_1"))
-    _, s2 = split_exprs(F.col("doc_id_2"))
-    tagged = pairs.select(s1.alias("s1"), s2.alias("s2"))
-    return (
-        tagged.groupBy(
-            F.least("s1", "s2").alias("split_a"),
-            F.greatest("s1", "s2").alias("split_b"),
-        )
-        .agg(F.count("*").alias("dup_pairs"))
-        .select(
-            "split_a",
-            "split_b",
-            "dup_pairs",
-            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
-        )
-        .orderBy("split_a", "split_b")
-    )
-
-
-def _inference_oracle() -> str:
-    """Replays the linear probe with the committed weight literals and a
-    sequential list_sum fold — bit-identical to the UDF's dimension-major
-    accumulation (see functions/udx.py)."""
-    from .functions.udx import INFERENCE_BIAS, INFERENCE_WEIGHTS
-
-    w = ", ".join(repr(v) for v in INFERENCE_WEIGHTS)
-    return f"""
-WITH w(wv) AS (SELECT [{w}]),
-s AS (
-  SELECT e.vec_id, e.label,
-         {INFERENCE_BIAS!r} + list_sum(
-           list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), w.wv),
-                          x -> x[1] * x[2])) AS raw
-  FROM embeddings e, w
-)
-SELECT vec_id, label, ROUND(raw, 6) AS score, raw > 0.0 AS positive
-FROM s ORDER BY vec_id
-"""
-
-
-@register("embedding_inference", _inference_oracle())
-def embedding_inference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch inference over embeddings (scalar pandas UDF, Arrow batches,
-    dimension-major accumulation for bit parity with the SQL fold) — the
-    quality-classifier / reward-model scoring pass of a training-data
-    pipeline, with the linear-probe weights committed as literals so the
-    entire pass is oracle-checked end to end."""
-    from .functions import udx
-
-    return udx.embedding_inference(read_table(spark, sf_dir, "embeddings"))
-
-
-_TRIANGLE_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
-ex AS (
-  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-pairs AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a
-    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  ) WHERE jaccard >= 0.2
-),
-tri AS (
-  SELECT p1.doc_id_1 AS a, p1.doc_id_2 AS b, p2.doc_id_2 AS c
-  FROM pairs p1
-  JOIN pairs p2 ON p2.doc_id_1 = p1.doc_id_2
-  JOIN pairs p3 ON p3.doc_id_1 = p1.doc_id_1 AND p3.doc_id_2 = p2.doc_id_2
-),
-member AS (
-  SELECT a AS doc_id FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri
-)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles
-FROM member GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("dup_triangles", _TRIANGLE_ORACLE)
-def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle participation counts on the near-dup graph — the classic
-    distributed graph-analytics join (a dense triangle neighborhood
-    means template/boilerplate families rather than chance pairs).
-
-    Canonical-ordered edges (doc_id_1 < doc_id_2) make each triangle
-    a < b < c appear EXACTLY once in the 3-way join — no /6 correction,
-    no direction dedup. Scale shape: two shuffle joins keyed on node ids
-    over the (tiny vs corpus) edge list; the edge list is materialized
-    once (same localCheckpoint rationale as `dup_chain_stats` — it feeds
-    three join branches)."""
-    pairs = _ngram_pairs_shared(spark, sf_dir)
-    e = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
-    return dedup.triangle_counts(e)
-
-
-_LINEAR_ATTR_ORACLE = """
-WITH p AS (
-  SELECT user_id, ts AS p_ts, event_id AS p_id,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-),
-t AS (
-  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type
-  FROM events WHERE event_type IN ('view', 'click', 'add_to_cart')
-),
-j AS (
-  SELECT p.p_id, p.cents, t.t_ts, t.t_id, t.event_type AS channel
-  FROM p LEFT JOIN t
-    ON t.user_id = p.user_id
-   AND t.t_ts < p.p_ts
-   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
-),
-r AS (
-  SELECT p_id, cents, t_id, channel,
-         CASE WHEN t_id IS NULL THEN NULL
-              ELSE ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
-         END AS rk,
-         COUNT(t_id) OVER (PARTITION BY p_id) AS n
-  FROM j
-),
-s AS (
-  SELECT COALESCE(channel, '(none)') AS channel, p_id,
-         CASE WHEN t_id IS NULL THEN cents
-              ELSE cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
-         END AS share_cents,
-         CASE WHEN t_id IS NULL THEN 0 ELSE 1 END AS is_touch
-  FROM r
-)
-SELECT channel,
-       ROUND(SUM(share_cents) / 100.0, 2) AS attributed_revenue,
-       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS conversions,
-       CAST(SUM(is_touch) AS BIGINT) AS touches
-FROM s GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("linear_attribution", _LINEAR_ATTR_ORACLE)
-def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear multi-touch attribution over a 7-day lookback: each
-    purchase's revenue splits EQUALLY across the user's preceding
-    view/click/add_to_cart touches; purchases with no touch in the
-    window report under '(none)'. The equal split is EXACT integer-cents
-    arithmetic with largest-remainder allocation (cents div n, the first
-    cents % n touches by time get the extra cent) — revenue is conserved
-    to the cent, and both engines replay the identical division, so the
-    whole operator hash-matches (a float split would drift in the sum).
-
-    Scale shape: the purchase×touch expansion is an equi-join on user_id
-    with the time-range predicate as a join filter — per-user bounded,
-    no global term; the per-purchase rank windows key on p_id (bounded
-    by one user's 7-day activity). Complements `first_touch_attribution`
-    (100 %-to-first) with the spread-credit model."""
-    from pyspark.sql import Window
-
-    ev = read_events(spark, sf_dir)
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("p_id"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    t = ev.where(
-        F.col("event_type").isin("view", "click", "add_to_cart")
-    ).select(
-        F.col("user_id").alias("t_user"),
-        F.col("ts").alias("t_ts"),
-        F.col("event_id").alias("t_id"),
-        F.col("event_type").alias("channel"),
-    )
-    j = p.join(
-        t,
-        (F.col("t_user") == F.col("user_id"))
-        & (F.col("t_ts") < F.col("p_ts"))
-        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
-        "left",
-    )
-    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
-    r = j.select(
-        "p_id",
-        "cents",
-        "t_id",
-        "channel",
-        F.when(
-            F.col("t_id").isNotNull(), F.row_number().over(w)
-        ).alias("rk"),
-        F.count("t_id").over(Window.partitionBy("p_id")).alias("n"),
-    )
-    share = F.when(F.col("t_id").isNull(), F.col("cents")).otherwise(
-        F.expr("cents div n")
-        + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
-    )
-    s_df = r.select(
-        F.coalesce("channel", F.lit("(none)")).alias("channel"),
-        "p_id",
-        share.alias("share_cents"),
-        F.when(F.col("t_id").isNull(), 0).otherwise(1).alias("is_touch"),
-    )
-    return (
-        s_df.groupBy("channel")
-        .agg(
-            F.round(F.sum("share_cents") / 100.0, 2).alias(
-                "attributed_revenue"
-            ),
-            F.count_distinct("p_id").alias("conversions"),
-            F.sum("is_touch").alias("touches"),
-        )
-        .orderBy("channel")
-    )
-
-
-_VALUE_QUARTILES_ORACLE = """
-WITH q AS (
-  SELECT event_type, value,
-         NTILE(4) OVER (PARTITION BY event_type
-                        ORDER BY value, event_id) AS quartile
-  FROM events WHERE value IS NOT NULL
-)
-SELECT event_type, quartile, CAST(COUNT(*) AS BIGINT) AS n,
-       MIN(value) AS min_value, MAX(value) AS max_value
-FROM q GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-@register("value_quartiles_per_type", _VALUE_QUARTILES_ORACLE)
-def value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile discretization (feature binning) of value within each
-    event type — quartile label per event, rolled up to (type, quartile)
-    count + bounds.
-
-    Buckets come from :func:`operators.windows.grouped_ntile`: the
-    partitioned-window NTILE idiom still funnels each GROUP through one
-    reducer (a hot event type at 100 TB = billions of rows on one task);
-    the grouped range-partition + offset form splits big groups across
-    contiguous order ranges and stays bit-identical to the SQL window,
-    which the oracle runs."""
-    from .operators.windows import grouped_ntile
-
-    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
-    binned = grouped_ntile(
-        ev.select("event_type", "value", "event_id"),
-        4,
-        ["event_type"],
-        ["value", "event_id"],
-        out_col="quartile",
-    )
-    return (
-        binned.groupBy("event_type", "quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("event_type", "quartile")
-    )
-
-
-_ROLLING_ACTIVE_ORACLE = """
-WITH d AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-),
-bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
-win AS (
-  SELECT user_id, day + CAST(i AS INTEGER) AS window_end
-  FROM d, (SELECT unnest(range(0, 7)) AS i)
-),
-wau AS (
-  SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
-  FROM win, bounds b
-  WHERE window_end <= b.hi
-  GROUP BY 1
-),
-dau AS (
-  SELECT day AS window_end, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1
-)
-SELECT w.window_end, dau.dau, w.wau,
-       dau.dau * 1000000 // w.wau AS stickiness_ppm
-FROM wau w JOIN dau USING (window_end)
-ORDER BY window_end
-"""
-
-
-@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE)
-def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT rolling 7-day active users (WAU) per day plus the DAU/WAU
-    stickiness ratio — the engagement mart every product dashboard runs.
-
-    Exact sliding COUNT DISTINCT cannot use a window frame (distinct
-    does not decompose over frames); the scalable exact form is BOUNDED
-    EXPANSION: each distinct (user, day) row replicates into the ≤ 7
-    windows it belongs to, then one distinct-count per window — a 7×
-    row expansion of the already-collapsed daily-user table, shuffled
-    once on the window key, at any scale. (The approximate tier for
-    wider windows is the mergeable-HLL rollup, `hll_weekly_rollup`.)"""
-    ev = read_events(spark, sf_dir)
-    d = ev.select("user_id", "event_date").distinct()
-    hi = d.agg(F.max("event_date").alias("hi"))
-    win = (
-        d.select(
-            "user_id",
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-            "event_date",
-        )
-        .select(
-            "user_id", F.date_add("event_date", F.col("i")).alias("window_end")
-        )
-        .crossJoin(F.broadcast(hi))
-        .where(F.col("window_end") <= F.col("hi"))
-    )
-    wau = win.groupBy("window_end").agg(
-        F.count_distinct("user_id").alias("wau")
-    )
-    dau = d.groupBy(F.col("event_date").alias("window_end")).agg(
-        F.count("*").alias("dau")
-    )
-    # stickiness rides as exact integer ppm (dau·10⁶ div wau) — a
-    # ROUND(dau/wau, 4) DOUBLE is the cross-engine decimal-rounding
-    # hazard that cost three r6 queries their driver grade
-    return (
-        wau.join(dau, "window_end")
-        .select(
-            "window_end",
-            "dau",
-            "wau",
-            F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
-        )
-        .orderBy("window_end")
-    )
-
-
-_EDIT_DIST_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
-ex AS (
-  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-pairs AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a
-    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  ) WHERE jaccard >= 0.5
-)
-SELECT p.doc_id_1, p.doc_id_2,
-       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_distance,
-       CAST(length(d1.text) AS BIGINT) AS len_1,
-       CAST(length(d2.text) AS BIGINT) AS len_2
-FROM pairs p
-JOIN documents d1 ON d1.doc_id = p.doc_id_1
-JOIN documents d2 ON d2.doc_id = p.doc_id_2
-ORDER BY doc_id_1, doc_id_2
-"""
-
-
-@register("near_dup_edit_distances", _EDIT_DIST_ORACLE)
-def near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level verification tier for near-dup candidates: exact
-    Levenshtein distance on each Jaccard ≥ 1/2 candidate pair (both
-    engines implement the same integer DP, so the distances hash-match).
-
-    Edit distance is O(len²) per pair — NEVER a first pass. Its place in
-    the stack is exactly this shape: a shingle/LSH tier prunes the
-    corpus² space to candidate pairs, then the quadratic verifier runs
-    on those few (with texts joined in per pair). Spark 3.5+'s
-    ``levenshtein(l, r, threshold)`` bounds the DP when only a cutoff is
-    needed; the unbounded form here keeps the exact distances the oracle
-    recomputes."""
-    pairs = (
-        _ngram_pairs_shared(spark, sf_dir)
-        .where(F.col("jaccard") >= 0.5)
-        .select("doc_id_1", "doc_id_2")
-    )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d1 = docs.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("text").alias("_t1")
-    )
-    d2 = docs.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("text").alias("_t2")
-    )
-    return (
-        pairs.join(d1, "doc_id_1")
-        .join(d2, "doc_id_2")
-        .select(
-            "doc_id_1",
-            "doc_id_2",
-            F.levenshtein("_t1", "_t2").cast("long").alias("edit_distance"),
-            F.length("_t1").cast("long").alias("len_1"),
-            F.length("_t2").cast("long").alias("len_2"),
-        )
-        .orderBy("doc_id_1", "doc_id_2")
-    )
-
-
-_PSI_ORACLE = """
-WITH v AS (
-  SELECT CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 'a' ELSE 'b' END AS half,
-         CAST(least(floor(value / 25), 9) AS INTEGER) AS bin
-  FROM events WHERE value IS NOT NULL
-),
-grid AS (
-  SELECT h.half, b.bin
-  FROM (SELECT unnest(['a', 'b']) AS half) h,
-       (SELECT unnest(range(0, 10)) AS bin) b
-),
-c AS (
-  SELECT g.half, g.bin,
-         COALESCE(n.cnt, 0) AS raw_cnt,
-         COALESCE(n.cnt, 0) + 1 AS cnt
-  FROM grid g LEFT JOIN (
-    SELECT half, bin, COUNT(*) AS cnt FROM v GROUP BY 1, 2
-  ) n ON n.half = g.half AND n.bin = g.bin
-),
-t AS (SELECT half, SUM(cnt) AS tot, SUM(raw_cnt) AS raw_tot FROM c GROUP BY 1),
-pq AS (
-  SELECT a.bin,
-         a.cnt / ta.tot AS p,
-         b.cnt / tb.tot AS q
-  FROM c a JOIN c b ON b.bin = a.bin AND a.half = 'a' AND b.half = 'b'
-  JOIN t ta ON ta.half = 'a' JOIN t tb ON tb.half = 'b'
-),
-terms AS (
-  SELECT list_transform(
-           list_sort(list(ROW(bin, (p - q) * ln(p / q)))),
-           x -> x[2]) AS xs
-  FROM pq
-)
-SELECT (SELECT CAST(raw_tot AS BIGINT) FROM t WHERE half = 'a') AS n_first,
-       (SELECT CAST(raw_tot AS BIGINT) FROM t WHERE half = 'b') AS n_last,
-       ROUND(list_reduce(list_prepend(0.0::DOUBLE, xs), (acc, x) -> acc + x), 4)
-         AS psi
-FROM terms
-"""
-
-
-@register("value_drift_psi", _PSI_ORACLE)
-def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between the log's first and second half
-    — the standard production drift monitor for a feature/score
-    distribution (PSI < 0.1 stable, > 0.25 shifted).
-
-    Built for exact cross-engine replay: FIXED equal-width bins (value
-    div 25, capped at bin 9 — data-derived quantile bins would make the
-    binning itself float-sensitive), exact integer counts over a
-    completed half × bin grid, add-one smoothing so empty bins stay
-    finite, and the PSI sum folded SEQUENTIALLY over bins ascending (the
-    same fold trick as EWMA/doc_surprisal) with one ROUND(4) at the end
-    riding over any last-ulp ln() difference. Two tiny aggregations over
-    the event scan; the 20-cell grid is the only joined state."""
-    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
-    v = ev.select(
-        F.when(F.col("event_date") <= F.lit("2024-01-15"), "a")
-        .otherwise("b")
-        .alias("half"),
-        F.least(F.floor(F.col("value") / 25), F.lit(9))
-        .cast("int")
-        .alias("bin"),
-    )
-    counts = v.groupBy("half", "bin").agg(F.count("*").alias("cnt"))
-    grid = (
-        spark.range(10)
-        .select(F.col("id").cast("int").alias("bin"))
-        .crossJoin(
-            spark.createDataFrame([("a",), ("b",)], "half string")
-        )
-    )
-    c = (
-        grid.join(counts, ["half", "bin"], "left")
-        .select(
-            "half",
-            "bin",
-            F.coalesce("cnt", F.lit(0)).alias("raw_cnt"),
-            (F.coalesce("cnt", F.lit(0)) + 1).alias("cnt"),
-        )
-    )
-    t = c.groupBy("half").agg(
-        F.sum("cnt").alias("tot"), F.sum("raw_cnt").alias("raw_tot")
-    )
-    a = c.where(F.col("half") == "a").select(
-        "bin", F.col("cnt").alias("cnt_a")
-    )
-    b = c.where(F.col("half") == "b").select(
-        "bin", F.col("cnt").alias("cnt_b")
-    )
-    ta = t.where(F.col("half") == "a").select(
-        F.col("tot").alias("tot_a"), F.col("raw_tot").alias("n_first")
-    )
-    tb = t.where(F.col("half") == "b").select(
-        F.col("tot").alias("tot_b"), F.col("raw_tot").alias("n_last")
-    )
-    pq = (
-        a.join(b, "bin")
-        .crossJoin(F.broadcast(ta))
-        .crossJoin(F.broadcast(tb))
-        .select(
-            "bin",
-            (F.col("cnt_a") / F.col("tot_a")).alias("p"),
-            (F.col("cnt_b") / F.col("tot_b")).alias("q"),
-            "n_first",
-            "n_last",
-        )
-    )
-    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
-    folded = pq.groupBy("n_first", "n_last").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("bin"), term.alias("term")))
-        ).alias("_t")
-    )
-    psi = F.aggregate(
-        F.transform(F.col("_t"), lambda s: s["term"]),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return folded.select(
-        F.col("n_first").cast("long").alias("n_first"),
-        F.col("n_last").cast("long").alias("n_last"),
-        F.round(psi, 4).alias("psi"),
-    )
-
-
-_TOPN_CHURN_ORACLE = """
-WITH rev AS (
-  SELECT CAST(l_shipdate AS DATE) AS day, l_partkey,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
-  FROM lineitem
-  GROUP BY 1, 2
-),
-m AS (
-  SELECT day, l_partkey FROM (
-    SELECT day, l_partkey,
-           ROW_NUMBER() OVER (PARTITION BY day
-                              ORDER BY cents DESC, l_partkey) AS rk
-    FROM rev
-  ) WHERE rk <= 5
-),
-days AS (SELECT DISTINCT day FROM m),
-entered AS (
-  SELECT t.day, COUNT(*) AS entered
-  FROM m t LEFT JOIN m y
-    ON y.l_partkey = t.l_partkey AND y.day + 1 = t.day
-  WHERE y.l_partkey IS NULL GROUP BY 1
-),
-exited AS (
-  SELECT y.day + 1 AS day, COUNT(*) AS exited
-  FROM m y
-  JOIN days d ON d.day = y.day + 1
-  LEFT JOIN m t ON t.l_partkey = y.l_partkey AND t.day = y.day + 1
-  WHERE t.l_partkey IS NULL GROUP BY 1
-)
-SELECT d.day,
-       CAST(COALESCE(e.entered, 0) AS BIGINT) AS entered,
-       CAST(COALESCE(x.exited, 0) AS BIGINT) AS exited,
-       CAST(5 - COALESCE(e.entered, 0) AS BIGINT) AS stayed
-FROM days d
-LEFT JOIN entered e ON e.day = d.day
-LEFT JOIN exited x ON x.day = d.day
-ORDER BY d.day
-"""
-
-
-@register("daily_topn_churn", _TOPN_CHURN_ORACLE)
-def daily_topn_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leaderboard churn: each ship-day's top-5 parts by exact-cents
-    revenue, and how many entered / exited / stayed vs the previous
-    day's board — the day-over-day ranking-stability mart.
-
-    The per-day top-5 is the ``row_number <= k`` idiom, which Spark
-    compiles to Partial+Final WindowGroupLimit: at most 5 rows per day
-    per input partition ever reach the shuffle, so a day with a hundred
-    million active parts costs the same as one with fifty (the plan
-    snapshot pins the node). Membership diffs are two anti-joins on the
-    tiny (days × 5) board table. Sparse calendars work unchanged: a day
-    with no prior-day board simply enters all five seats."""
-    from pyspark.sql import Window
-
-    li = read_table(spark, sf_dir, "lineitem")
-    rev = (
-        li.select(
-            F.to_date("l_shipdate").alias("day"),
-            "l_partkey",
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("_c"),
-        )
-        .groupBy("day", "l_partkey")
-        .agg(F.sum("_c").alias("cents"))
-    )
-    w = Window.partitionBy("day").orderBy(F.desc("cents"), "l_partkey")
-    m = (
-        rev.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 5)
-        .select("day", "l_partkey")
-    )
-    days = m.select("day").distinct()
-    y = m.select(
-        F.date_add("day", 1).alias("day"),
-        F.col("l_partkey").alias("_prev_pk"),
-    )
-    entered = (
-        m.join(
-            y,
-            (y["day"] == m["day"]) & (y["_prev_pk"] == m["l_partkey"]),
-            "left_anti",
-        )
-        .groupBy("day")
-        .agg(F.count("*").alias("entered"))
-    )
-    exited = (
-        y.join(days, "day", "left_semi")
-        .join(
-            m,
-            (m["day"] == y["day"]) & (m["l_partkey"] == y["_prev_pk"]),
-            "left_anti",
-        )
-        .groupBy("day")
-        .agg(F.count("*").alias("exited"))
-    )
-    return (
-        days.join(entered, "day", "left")
-        .join(exited, "day", "left")
-        .select(
-            "day",
-            F.coalesce("entered", F.lit(0)).alias("entered"),
-            F.coalesce("exited", F.lit(0)).alias("exited"),
-            (F.lit(5) - F.coalesce("entered", F.lit(0))).alias("stayed"),
-        )
-        .orderBy("day")
-    )
-
-
-_AB_ZTEST_ORACLE = """
-WITH u AS (
-  SELECT user_id,
-         CASE WHEN CAST(CAST(('0x' || substr(md5('ab1#' || user_id), 1, 8))
-                            AS BIGINT) % 2 AS INT) = 0
-              THEN 'A' ELSE 'B' END AS variant,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY 1
-),
-g AS (
-  SELECT variant,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(converted) AS BIGINT) AS conv
-  FROM u GROUP BY 1
-),
-w AS (
-  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
-         a.conv / CAST(a.n AS DOUBLE) AS p_a,
-         b.conv / CAST(b.n AS DOUBLE) AS p_b,
-         (a.conv + b.conv) / CAST(a.n + b.n AS DOUBLE) AS p_pool
-  FROM (SELECT * FROM g WHERE variant = 'A') a,
-       (SELECT * FROM g WHERE variant = 'B') b
-)
-SELECT n_a, conv_a, n_b, conv_b,
-       ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
-       ROUND((p_a - p_b)
-             / SQRT(p_pool * (1 - p_pool)
-                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
-             4) AS z_score,
-       ABS((p_a - p_b)
-           / SQRT(p_pool * (1 - p_pool)
-                  * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))))
-         >= 1.96 AS significant
-FROM w
-"""
-
-
-@register("ab_conversion_ztest", _AB_ZTEST_ORACLE)
-def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test on user conversion between experiment arms —
-    the A/B readout mart. Arm assignment is the PRODUCTION idiom: a
-    salted md5 hash of user_id mod 2 (deterministic, stable under
-    re-runs and partitioning — the same property dataset_split relies
-    on), conversion = the user purchased at least once.
-
-    Float discipline: counts and the pooled/arm rates are exact integer
-    divisions (identical bits in both engines) and the only
-    transcendental is SQRT — which IEEE 754 requires correctly rounded,
-    so unlike ln/exp the z-score matches BIT-FOR-BIT before its display
-    rounding; `significant` thresholds the raw statistic."""
-    from .functions.hashing import md5_prefix_long
-
-    ev = read_events(spark, sf_dir)
-    u = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted")
-    )
-    u = u.select(
-        F.when(md5_prefix_long("ab1", F.col("user_id")) % 2 == 0, "A")
-        .otherwise("B")
-        .alias("variant"),
-        "converted",
-    )
-    g = u.groupBy("variant").agg(
-        F.count("*").alias("n"), F.sum("converted").alias("conv")
-    )
-    a = g.where(F.col("variant") == "A").select(
-        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
-    )
-    b = g.where(F.col("variant") == "B").select(
-        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
-    )
-    w = a.crossJoin(b).select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        (F.col("conv_a") / F.col("n_a").cast("double")).alias("p_a"),
-        (F.col("conv_b") / F.col("n_b").cast("double")).alias("p_b"),
-        (
-            (F.col("conv_a") + F.col("conv_b"))
-            / (F.col("n_a") + F.col("n_b")).cast("double")
-        ).alias("p_pool"),
-    )
-    z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
-        F.col("p_pool")
-        * (1 - F.col("p_pool"))
-        * (
-            1 / F.col("n_a").cast("double")
-            + 1 / F.col("n_b").cast("double")
-        )
-    )
-    return w.select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        F.round("p_a", 6).alias("rate_a"),
-        F.round("p_b", 6).alias("rate_b"),
-        F.round(z, 4).alias("z_score"),
-        (F.abs(z) >= 1.96).alias("significant"),
-    )
-
-
-_ITEM_SIM_ORACLE = """
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-part_orders AS (
-  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord FROM items GROUP BY 1
-),
-pairs AS (
-  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
-         CAST(COUNT(*) AS BIGINT) AS support
-  FROM items a
-  JOIN items b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-),
-sym AS (
-  SELECT part_1 AS part_id, part_2 AS partner_id, support FROM pairs
-  UNION ALL
-  SELECT part_2 AS part_id, part_1 AS partner_id, support FROM pairs
-),
-scored AS (
-  SELECT s.part_id, s.partner_id, s.support,
-         CAST(s.support AS DOUBLE)
-           / SQRT(CAST(o1.n_ord * o2.n_ord AS DOUBLE)) AS cos_raw
-  FROM sym s
-  JOIN part_orders o1 ON o1.l_partkey = s.part_id
-  JOIN part_orders o2 ON o2.l_partkey = s.partner_id
-),
-ranked AS (
-  SELECT part_id, partner_id, support,
-         ROUND(cos_raw, 6) AS cosine,
-         ROW_NUMBER() OVER (PARTITION BY part_id
-                            ORDER BY support DESC, partner_id) AS rk
-  FROM scored
-)
-SELECT part_id, partner_id, support, cosine, CAST(rk AS INT) AS rk
-FROM ranked WHERE rk <= 3
-ORDER BY part_id, rk
-"""
-
-
-@register("item_similarity_topk", _ITEM_SIM_ORACLE)
-def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item collaborative-filtering neighbors: for every part, its
-    top-3 most-similar parts by basket co-occurrence cosine
-    (support / √(n₁·n₂)) — the classic "customers also bought" mart.
-
-    Scale shape: the pair space is keyed by order (Σ basket-choose-2,
-    never parts²) like basket_pairs; the support ≥ 2 floor drops the
-    singleton-pair long tail BEFORE the symmetrize/union doubles it; the
-    per-item top-3 is the row_number ≤ k idiom Spark compiles to
-    Partial+Final WindowGroupLimit, so at most 3 rows per part per input
-    partition reach the final shuffle. Float discipline: ordering uses
-    only integers (support desc, partner asc); the cosine is one
-    DOUBLE division by an IEEE-correctly-rounded SQRT of an exact
-    integer product, so it hash-matches the oracle bit-for-bit."""
-    from pyspark.sql import Window
-
-    items = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
-    a = items.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
-    )
-    pairs = (
-        a.join(b.hint("shuffle_hash"), "_o")
-        .where(F.col("part_1") < F.col("part_2"))
-        .groupBy("part_1", "part_2")
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
-    )
-    sym = pairs.select(
-        F.col("part_1").alias("part_id"),
-        F.col("part_2").alias("partner_id"),
-        "support",
-    ).unionByName(
-        pairs.select(
-            F.col("part_2").alias("part_id"),
-            F.col("part_1").alias("partner_id"),
-            "support",
-        )
-    )
-    scored = (
-        sym.join(
-            part_orders.select(
-                F.col("l_partkey").alias("part_id"),
-                F.col("n_ord").alias("_n1"),
-            ),
-            "part_id",
-        )
-        .join(
-            part_orders.select(
-                F.col("l_partkey").alias("partner_id"),
-                F.col("n_ord").alias("_n2"),
-            ),
-            "partner_id",
-        )
-        .select(
-            "part_id",
-            "partner_id",
-            "support",
-            (
-                F.col("support").cast("double")
-                / F.sqrt((F.col("_n1") * F.col("_n2")).cast("double"))
-            ).alias("_cos"),
-        )
-    )
-    w = Window.partitionBy("part_id").orderBy(F.desc("support"), "partner_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select(
-            "part_id",
-            "partner_id",
-            "support",
-            F.round("_cos", 6).alias("cosine"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-        .orderBy("part_id", "rk")
-    )
-
-
-_REV_CONC_ORACLE = """
-WITH pc AS (
-  SELECT o_custkey,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-  FROM orders GROUP BY 1
-),
-r AS (
-  SELECT o_custkey, cents,
-         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn
-  FROM pc
-),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(cents) AS HUGEINT) AS total
-  FROM pc
-),
-a AS (
-  SELECT s.n, s.total,
-         SUM(CASE WHEN rn <= (s.n * 1 + 99) // 100
-                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t1,
-         SUM(CASE WHEN rn <= (s.n * 5 + 99) // 100
-                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t5,
-         SUM(CASE WHEN rn <= (s.n * 10 + 99) // 100
-                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t10,
-         SUM(CASE WHEN rn <= (s.n * 25 + 99) // 100
-                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t25,
-         SUM(CASE WHEN rn <= (s.n * 50 + 99) // 100
-                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t50,
-         SUM(CAST(s.n - rn + 1 AS HUGEINT) * cents) AS s1
-  FROM r, s GROUP BY s.n, s.total
-)
-SELECT CAST(n AS BIGINT) AS n_customers,
-       CAST(total AS BIGINT) AS total_cents,
-       CAST((t1 * 1000000) // total AS BIGINT) AS top1_ppm,
-       CAST((t5 * 1000000) // total AS BIGINT) AS top5_ppm,
-       CAST((t10 * 1000000) // total AS BIGINT) AS top10_ppm,
-       CAST((t25 * 1000000) // total AS BIGINT) AS top25_ppm,
-       CAST((t50 * 1000000) // total AS BIGINT) AS top50_ppm,
-       CAST(((2 * s1 - (n + 1) * total) * 1000000) // (n * total)
-            AS BIGINT) AS gini_ppm
-FROM a
-"""
-
-
-@register("revenue_concentration", _REV_CONC_ORACLE)
-def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer revenue concentration: the share of total order revenue
-    captured by the top 1 / 5 / 10 / 25 / 50 % of customers, plus the
-    exact Gini coefficient — the whale-dependence / inequality mart.
-
-    All-integer discipline: revenue is exact cents, shares and Gini are
-    reported in parts-per-million via integer floor division, and the
-    Gini uses the closed-form rank formula
-    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on ascending index
-    i = n − rn + 1 — no float ever enters, so the oracle matches exactly
-    at any scale. Accumulators are DECIMAL(38,0) (Spark) / HUGEINT
-    (DuckDB): Σ(i·xᵢ) exceeds BIGINT around n ≈ 10⁹ customers.
-
-    Scale shape: the global descending rank comes from
-    global_row_number's range-partition + broadcast-offset pattern —
-    per-customer rows are range-shuffled once and never concentrated on
-    a single task (the unpartitioned-ROW_NUMBER shape this mart would
-    naively use is the classic scale-killer; the plan audit pins its
-    absence)."""
-    from .operators.windows import global_row_number
-
-    pc = (
-        read_table(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
-        )
-        .groupBy("o_custkey")
-        .agg(F.sum("_c").alias("cents"))
-    )
-    ranked = global_row_number(pc, [F.desc("cents"), "o_custkey"], "rn")
-    stats = pc.agg(
-        F.count("*").alias("_n"),
-        F.sum("cents").cast("decimal(38,0)").alias("_total"),
-    )
-    j = ranked.crossJoin(F.broadcast(stats))
-    dec = "decimal(38,0)"
-
-    def _top(p: int) -> F.Column:
-        k = F.expr(f"(_n * {p} + 99) div 100")
-        return F.sum(
-            F.when(F.col("rn") <= k, F.col("cents").cast(dec)).otherwise(
-                F.lit(0).cast(dec)
-            )
-        ).alias(f"_t{p}")
-
-    a = j.groupBy("_n", "_total").agg(
-        _top(1),
-        _top(5),
-        _top(10),
-        _top(25),
-        _top(50),
-        F.sum(
-            (F.col("_n") - F.col("rn") + 1).cast(dec) * F.col("cents")
-        ).alias("_s1"),
-    )
-    ppm = [
-        F.expr(f"(_t{p} * 1000000) div _total").alias(f"top{p}_ppm")
-        for p in (1, 5, 10, 25, 50)
-    ]
-    return a.select(
-        F.col("_n").alias("n_customers"),
-        F.col("_total").cast("long").alias("total_cents"),
-        *ppm,
-        F.expr(
-            "((2 * _s1 - (_n + 1) * _total) * 1000000) div (_n * _total)"
-        ).alias("gini_ppm"),
-    )
-
-
-_BENFORD_ORACLE = """
-WITH c AS (
-  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_totalprice > 0
-),
-d AS (
-  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM c GROUP BY 1
-),
-t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM d),
-e(digit, exp_ppm) AS (
-  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
-         (6, 66947), (7, 57992), (8, 51153), (9, 45757)
-)
-SELECT e.digit,
-       COALESCE(d.cnt, 0) AS cnt,
-       CAST(COALESCE(d.cnt, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
-       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
-       CAST(COALESCE(d.cnt, 0) * 1000000 // t.total - e.exp_ppm
-            AS BIGINT) AS dev_ppm,
-       CAST(((COALESCE(d.cnt, 0) * 1000000 // t.total - e.exp_ppm)
-             * (COALESCE(d.cnt, 0) * 1000000 // t.total - e.exp_ppm))
-            // e.exp_ppm AS BIGINT) AS chi_ppm
-FROM e LEFT JOIN d ON d.digit = e.digit CROSS JOIN t
-ORDER BY e.digit
-"""
-
-
-@register("benford_screen", _BENFORD_ORACLE)
-def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit screening of order totals — the classic fraud /
-    data-fabrication smoke test: observed leading-digit frequencies
-    against the Benford expectation log₁₀(1+1/d), with per-digit
-    deviation and a χ²-style score.
-
-    The nine expected probabilities are pinned as integer ppm LITERALS
-    (301030 … 45757), so no transcendental is ever evaluated in either
-    engine and every output column is exact integer arithmetic
-    (floor-division ppm) — hash-stable at any scale. The leading digit
-    comes from the exact-cents integer's decimal string, not the float.
-    One narrow scan → 9-group aggregate → broadcast against a 9-row
-    literal grid; nothing here grows with data volume except the scan."""
-    grid = spark.createDataFrame(
-        [
-            (1, 301030),
-            (2, 176091),
-            (3, 124939),
-            (4, 96910),
-            (5, 79181),
-            (6, 66947),
-            (7, 57992),
-            (8, 51153),
-            (9, 45757),
-        ],
-        "digit int, exp_ppm int",
-    )
-    d = (
-        read_table(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") > 0)
-        .select(
-            F.substring(
-                F.round(F.col("o_totalprice") * 100)
-                .cast("long")
-                .cast("string"),
-                1,
-                1,
-            )
-            .cast("int")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count("*").alias("cnt"))
-    )
-    t = d.agg(F.sum("cnt").alias("_total"))
-    obs = F.expr("coalesce(cnt, 0) * 1000000 div _total")
-    dev = obs - F.col("exp_ppm")
-    return (
-        grid.join(d, "digit", "left")
-        .crossJoin(F.broadcast(t))
-        .select(
-            "digit",
-            F.coalesce("cnt", F.lit(0)).alias("cnt"),
-            obs.alias("obs_ppm"),
-            F.col("exp_ppm").cast("long").alias("exp_ppm"),
-            dev.alias("dev_ppm"),
-            F.expr(
-                "((coalesce(cnt, 0) * 1000000 div _total - exp_ppm)"
-                " * (coalesce(cnt, 0) * 1000000 div _total - exp_ppm))"
-                " div exp_ppm"
-            ).alias("chi_ppm"),
-        )
-        .orderBy("digit")
-    )
-
-
-_ABC_ORACLE = """
-WITH pr AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS BIGINT) AS cents
-  FROM lineitem GROUP BY 1
-),
-c AS (
-  SELECT l_partkey, cents,
-         SUM(CAST(cents AS HUGEINT))
-           OVER (ORDER BY cents DESC, l_partkey) AS cum,
-         (SELECT CAST(SUM(cents) AS HUGEINT) FROM pr) AS total
-  FROM pr
-),
-k AS (
-  SELECT l_partkey, cents,
-         CASE WHEN cum * 100 <= total * 80 THEN 'A'
-              WHEN cum * 100 <= total * 95 THEN 'B'
-              ELSE 'C' END AS abc_class
-  FROM c
-)
-SELECT abc_class,
-       CAST(COUNT(*) AS BIGINT) AS n_parts,
-       CAST(SUM(cents) AS BIGINT) AS class_cents,
-       CAST((SUM(CAST(cents AS HUGEINT)) * 1000000)
-            // (SELECT CAST(SUM(cents) AS HUGEINT) FROM pr)
-            AS BIGINT) AS share_ppm,
-       MIN(cents) AS min_cents,
-       MAX(cents) AS max_cents
-FROM k GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("abc_inventory_classes", _ABC_ORACLE)
-def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto / ABC inventory classification: parts ranked by discounted
-    revenue, class A = parts inside the first 80 % of cumulative revenue,
-    B = next 15 %, C = the tail — the classic stock-priority mart,
-    reported as per-class part counts, revenue, and ppm share.
-
-    The running total comes from distributed_prefix_sum's
-    range-partition + broadcast-offset pattern (inclusive frame), so the
-    descending revenue order is never concentrated on one task — the
-    naive `SUM() OVER (ORDER BY …)` with no partition is exactly the
-    single-task shape the plan audit forbids. Class boundaries are exact
-    integer cross-multiplications (cum·100 ≤ total·80), never float
-    percentages; HUGEINT/DECIMAL(38) guards the cum·100 product at
-    catalog scale."""
-    from .operators.windows import distributed_prefix_sum
-
-    pr = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_partkey",
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-            )
-            .cast("long")
-            .alias("_c"),
-        )
-        .groupBy("l_partkey")
-        .agg(F.sum("_c").alias("cents"))
-    )
-    cum = distributed_prefix_sum(
-        pr.select(
-            "l_partkey", "cents", F.col("cents").cast("decimal(38,0)").alias("_v")
-        ),
-        [F.desc("cents"), "l_partkey"],
-        "_v",
-        out_col="cum",
-        exclusive=False,
-    )
-    total = pr.agg(F.sum("cents").cast("decimal(38,0)").alias("_total"))
-    k = cum.crossJoin(F.broadcast(total)).select(
-        "cents",
-        F.when(F.col("cum") * 100 <= F.col("_total") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("_total") * 95, "B")
-        .otherwise("C")
-        .alias("abc_class"),
-        "_total",
-    )
-    return (
-        k.groupBy("abc_class", "_total")
-        .agg(
-            F.count("*").alias("n_parts"),
-            F.sum("cents").alias("class_cents"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).alias("_cc"),
-            F.min("cents").alias("min_cents"),
-            F.max("cents").alias("max_cents"),
-        )
-        .select(
-            "abc_class",
-            "n_parts",
-            "class_cents",
-            F.expr("(_cc * 1000000) div _total").alias("share_ppm"),
-            "min_cents",
-            "max_cents",
-        )
-        .orderBy("abc_class")
-    )
-
-
-_HIST_QUANTILE_ORACLE = """
-WITH c AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(date_trunc('week', ts) AS DATE) AS week_start,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL
-),
-daily AS (
-  SELECT day, week_start,
-         LEAST(cents // 1000, 63) AS bin,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM c GROUP BY 1, 2, 3
-),
-weekly AS (
-  SELECT week_start, bin, SUM(cnt) AS cnt
-  FROM daily GROUP BY 1, 2
-),
-cum AS (
-  SELECT week_start, bin, cnt,
-         SUM(cnt) OVER (PARTITION BY week_start ORDER BY bin) AS cum,
-         SUM(cnt) OVER (PARTITION BY week_start) AS total
-  FROM weekly
-),
-est AS (
-  SELECT week_start, CAST(MAX(total) AS BIGINT) AS n_events,
-         CAST(MIN(CASE WHEN cum * 100 >= total * 50
-                       THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p50_cents,
-         CAST(MIN(CASE WHEN cum * 100 >= total * 95
-                       THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p95_cents,
-         CAST(MIN(CASE WHEN cum * 100 >= total * 99
-                       THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p99_cents
-  FROM cum GROUP BY 1
-),
-exact AS (
-  SELECT week_start,
-         quantile_cont(cents, 0.5) AS exact_p50_cents,
-         quantile_cont(cents, 0.95) AS exact_p95_cents,
-         quantile_cont(cents, 0.99) AS exact_p99_cents
-  FROM c GROUP BY 1
-)
-SELECT e.week_start, e.n_events,
-       e.est_p50_cents, e.est_p95_cents, e.est_p99_cents,
-       x.exact_p50_cents, x.exact_p95_cents, x.exact_p99_cents
-FROM est e JOIN exact x ON x.week_start = e.week_start
-ORDER BY e.week_start
-"""
-
-
-@register("histogram_quantile_rollup", _HIST_QUANTILE_ORACLE)
-def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable histogram-sketch quantiles: daily 64-bin fixed-edge
-    histograms of event value (exact cents, $10 bins) are rolled up into
-    weekly sketches by plain register addition — the same
-    merge-by-addition property hll_weekly_rollup demonstrates for
-    distinct counts, here for quantiles (the production shape of
-    approx-quantile serving: sketch once at ingest grain, re-aggregate
-    to any coarser grain without rescanning raw data). The weekly p50 /
-    p95 / p99 are read off the merged histogram's cumulative counts with
-    exact integer cross-multiplication (cum·100 ≥ q·total), reported as
-    the bin's inclusive upper edge; exact per-week percentiles ride
-    along for the error audit (Spark `percentile` ↔ DuckDB
-    `quantile_cont` interpolate identically).
-
-    Scale shape: the sketch state is ≤ 64 rows per day regardless of
-    event volume; the rollup and the bin cumsum shuffle only
-    (weeks × 64) rows, and the only windows are partitioned by week.
-    The exact-percentile audit column is the one full-data pass — at
-    true 100 TB scale it would be sampled or dropped, while the sketch
-    path's cost is unchanged."""
-    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
-    c = ev.select(
-        F.to_date("ts").alias("day"),
-        F.date_trunc("week", "ts").cast("date").alias("week_start"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    daily = (
-        c.select(
-            "day",
-            "week_start",
-            F.least(F.expr("cents div 1000"), F.lit(63)).alias("bin"),
-        )
-        .groupBy("day", "week_start", "bin")
-        .agg(F.count("*").alias("cnt"))
-    )
-    weekly = daily.groupBy("week_start", "bin").agg(F.sum("cnt").alias("cnt"))
-    from pyspark.sql import Window
-
-    wcum = (
-        Window.partitionBy("week_start")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("week_start")
-    cum = weekly.select(
-        "week_start",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wtot).alias("total"),
-    )
-
-    def _est(q: int) -> F.Column:
-        return F.min(
-            F.when(
-                F.col("cum") * 100 >= F.col("total") * q,
-                (F.col("bin") + 1) * 1000,
-            )
-        ).alias(f"est_p{q}_cents")
-
-    est = cum.groupBy("week_start").agg(
-        F.max("total").alias("n_events"), _est(50), _est(95), _est(99)
-    )
-    exact = c.groupBy("week_start").agg(
-        F.expr("percentile(cents, 0.5D)").alias("exact_p50_cents"),
-        F.expr("percentile(cents, 0.95D)").alias("exact_p95_cents"),
-        F.expr("percentile(cents, 0.99D)").alias("exact_p99_cents"),
-    )
-    return (
-        est.join(exact, "week_start")
-        .select(
-            "week_start",
-            "n_events",
-            "est_p50_cents",
-            "est_p95_cents",
-            "est_p99_cents",
-            "exact_p50_cents",
-            "exact_p95_cents",
-            "exact_p99_cents",
-        )
-        .orderBy("week_start")
-    )
-
-
-_HOLT_ORACLE = """
-WITH d AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-  GROUP BY 1
-),
-arr AS (
-  SELECT list_sort(list(struct_pack(day := day, cents := cents))) AS sp FROM d
-),
-ex AS (
-  SELECT sp, unnest(range(1, len(sp)+1)) AS i FROM arr
-),
-folds AS (
-  SELECT sp, i,
-    list_reduce(
-      list_prepend(
-        [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
-        list_transform(list_slice(sp, 1, i-1),
-                       p -> [CAST(p.cents AS DOUBLE), 0.0::DOUBLE,
-                             0.0::DOUBLE])),
-      (acc, x) -> [
-        CASE WHEN acc[3] = 0.0::DOUBLE THEN x[1]
-             ELSE 0.5::DOUBLE * x[1]
-                  + 0.5::DOUBLE * (acc[1] + acc[2]) END,
-        CASE WHEN acc[3] = 0.0::DOUBLE THEN 0.0::DOUBLE
-             ELSE 0.3::DOUBLE * ((0.5::DOUBLE * x[1]
-                                  + 0.5::DOUBLE * (acc[1] + acc[2]))
-                                 - acc[1])
-                  + 0.7::DOUBLE * acc[2] END,
-        acc[3] + 1.0::DOUBLE]) AS acc
-  FROM ex
-),
-f AS (
-  SELECT sp[i].day AS day, sp[i].cents AS actual_cents,
-         CASE WHEN i = 1 THEN CAST(sp[1].cents AS DOUBLE)
-              ELSE acc[1] + acc[2] END AS fc
-  FROM folds
-)
-SELECT day, actual_cents,
-       CAST(FLOOR(fc) AS BIGINT) AS forecast_floor_cents,
-       CAST(FLOOR(ABS(CAST(actual_cents AS DOUBLE) - fc)) AS BIGINT)
-         AS abs_err_floor_cents
-FROM f ORDER BY day
-"""
-
-
-@register("holt_revenue_backtest", _HOLT_ORACLE)
-def holt_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt double-exponential-smoothing backtest of daily purchase
-    revenue: for every day, the one-step-ahead forecast from the level +
-    trend recurrence (α = 0.5, β = 0.3) fit on all PRIOR days, and its
-    absolute error — the walk-forward forecast-quality mart.
-
-    Scale shape: the only data-scale pass is the per-day exact-cents
-    aggregation; the smoothing folds run over the per-day ARRAY, whose
-    length is calendar-bounded (days, never rows), so the O(days²)
-    prefix refits cost microseconds at any data volume. Float
-    discipline: each forecast is a strictly sequential left-to-right
-    fold with identical literal coefficients and operand order in both
-    engines (the list_prepend-sentinel trick on the DuckDB side), so
-    every double matches bit-for-bit. Hash discipline (r6 driver red →
-    r7 fix): the driver environment's ROUND(double, 4) semantics differ
-    between engines (Spark rounds the exact BigDecimal expansion
-    HALF_UP; DuckDB scales by 10^4 first), so the hashed projection
-    carries only FLOOR-of-double BIGINTs — FLOOR is IEEE-exact on the
-    bit-identical fold output, no libm, no decimal-scaling ambiguity.
-    The 4-decimal forecast values are pytest-checked against a pure
-    Python replay of the recurrence instead
-    (tests/test_analytics_marts.py::TestHoltForecast). Two DuckDB
-    list_reduce hazards
-    found empirically force the shape here: (1) a list nested in a
-    struct accumulator silently resets each step, hence the per-prefix
-    refit instead of one forecast-accumulating fold; (2) struct_pack
-    accumulator fields are evaluated SEQUENTIALLY with in-place
-    mutation — a later field reading acc.l sees the value just written
-    by the earlier field — so the oracle's accumulator is a plain
-    [l, b, j] DOUBLE list, which is rebuilt atomically."""
-    d = (
-        read_events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.to_date("ts").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("_c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("_c").alias("cents"))
-    )
-    arr = d.agg(
-        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
-    )
-    fold = """
-      aggregate(
-        slice(s, 1, i - 1),
-        named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
-                     'j', 0),
-        (acc, x) -> named_struct(
-          'l', CASE WHEN acc.j = 0 THEN CAST(x.cents AS DOUBLE)
-                    ELSE 0.5D * CAST(x.cents AS DOUBLE)
-                         + 0.5D * (acc.l + acc.b) END,
-          'b', CASE WHEN acc.j = 0 THEN CAST(0.0 AS DOUBLE)
-                    ELSE 0.3D * ((0.5D * CAST(x.cents AS DOUBLE)
-                                  + 0.5D * (acc.l + acc.b))
-                                 - acc.l)
-                         + 0.7D * acc.b END,
-          'j', acc.j + 1),
-        acc -> acc.l + acc.b)
-    """
-    rows = arr.select(
-        F.expr(
-            f"""
-            inline(transform(sequence(1, size(s)), i -> struct(
-              element_at(s, i).day AS day,
-              element_at(s, i).cents AS actual_cents,
-              CASE WHEN i = 1 THEN CAST(element_at(s, 1).cents AS DOUBLE)
-                   ELSE {fold} END AS fc)))
-            """
-        )
-    )
-    return rows.select(
-        "day",
-        "actual_cents",
-        F.floor("fc").cast("long").alias("forecast_floor_cents"),
-        F.floor(
-            F.abs(F.col("actual_cents").cast("double") - F.col("fc"))
-        ).cast("long").alias("abs_err_floor_cents"),
-    ).orderBy("day")
-
-
-_WEEKDAY_ANOM_ORACLE = """
-WITH d AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-  GROUP BY 1
-),
-w AS (
-  SELECT day, cents, CAST(isodow(day) - 1 AS INT) AS weekday FROM d
-),
-base AS (
-  SELECT weekday,
-         CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS wd_med_x2
-  FROM w GROUP BY 1
-)
-SELECT w.day, w.weekday, w.cents,
-       b.wd_med_x2,
-       CAST((CAST(w.cents AS HUGEINT) * 2 - b.wd_med_x2) * 1000000
-            // b.wd_med_x2 AS BIGINT) AS dev_ppm,
-       ABS(CAST(w.cents AS HUGEINT) * 2 - b.wd_med_x2) * 1000000
-         >= CAST(150000 AS HUGEINT) * b.wd_med_x2 AS is_anomaly
-FROM w JOIN base b ON b.weekday = w.weekday
-ORDER BY w.day
-"""
-
-
-@register("weekday_seasonal_anomalies", _WEEKDAY_ANOM_ORACLE)
-def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonality-aware revenue anomaly screen: each day's purchase
-    revenue against the exact MEDIAN of its own weekday (Mondays vs the
-    Monday baseline, …), flagging days deviating ≥ 15 % — the
-    day-of-week-adjusted complement to daily_volume_anomalies' global
-    z-score (a quiet Sunday is normal; a Sunday-sized Tuesday is not).
-
-    Weekday parity trap: Spark's `weekday()` is 0 = Monday while
-    DuckDB's `dayofweek()` is 0 = Sunday — the oracle uses
-    `isodow() - 1` to match. The per-weekday median is the 7-group
-    exact percentile (Spark `percentile` ↔ DuckDB `quantile_cont`
-    interpolate identically); the broadcast of 7 baseline rows back
-    onto days is free at any scale, and the daily aggregation is the
-    only data-volume pass.
-
-    Hash discipline (r6 driver red → r7 fix): a median of BIGINT cents
-    is an integer or an exact half, so wd_med_x2 = 2·median is an exact
-    BIGINT; the deviation is then emitted as an exact signed integer
-    ppm via cross-multiplication ((2c − m2)·10⁶ div m2 — Spark `div`
-    and DuckDB `//` both truncate toward zero) instead of the r6
-    ROUND(DOUBLE, 2) whose decimal-scaling semantics differ between
-    engines. DECIMAL(38)/HUGEINT guards the ·10⁶ product at warehouse
-    scale; the float deviation lives in pytest
-    (tests/test_analytics_marts.py::TestAnomalyScreens)."""
-    d = (
-        read_events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.to_date("ts").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("_c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("_c").alias("cents"))
-        .withColumn("weekday", F.weekday("day").cast("int"))
-    )
-    base = d.groupBy("weekday").agg(
-        F.round(F.expr("percentile(cents, 0.5D)") * 2)
-        .cast("long")
-        .alias("wd_med_x2")
-    )
-    return (
-        d.join(F.broadcast(base), "weekday")
-        .select(
-            "day",
-            "weekday",
-            "cents",
-            "wd_med_x2",
-            F.expr(
-                "CAST((CAST(cents AS DECIMAL(38,0)) * 2 - wd_med_x2)"
-                " * 1000000 div wd_med_x2 AS BIGINT)"
-            ).alias("dev_ppm"),
-            F.expr(
-                "ABS(CAST(cents AS DECIMAL(38,0)) * 2 - wd_med_x2)"
-                " * 1000000 >= CAST(150000 AS DECIMAL(38,0)) * wd_med_x2"
-            ).alias("is_anomaly"),
-        )
-        .orderBy("day")
-    )
-
-
-_RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
-
-_RAKE_ORACLE = f"""
-WITH lists AS (
-  SELECT doc_id, string_split(text, ' ') AS l FROM documents
-),
-raw AS (
-  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM lists
-),
-toks AS (
-  SELECT doc_id, pos, l[pos] AS w,
-         l[pos] IN {_RAKE_STOPWORDS} AS is_stop
-  FROM raw
-),
-marked AS (
-  SELECT doc_id, pos, w, is_stop,
-         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos) AS phr_id
-  FROM toks
-),
-words AS (
-  SELECT doc_id, pos, w, phr_id FROM marked WHERE NOT is_stop
-),
-phrases AS (
-  SELECT doc_id, phr_id,
-         string_agg(w, ' ' ORDER BY pos) AS phrase,
-         CAST(COUNT(*) AS BIGINT) AS n_words
-  FROM words GROUP BY 1, 2
-),
-deg AS (
-  SELECT w.doc_id, w.w,
-         CAST(SUM(p.n_words) AS BIGINT) AS degree
-  FROM words w
-  JOIN phrases p ON p.doc_id = w.doc_id AND p.phr_id = w.phr_id
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT w.doc_id, w.phr_id,
-         CAST(SUM(d.degree) AS BIGINT) AS score
-  FROM words w
-  JOIN deg d ON d.doc_id = w.doc_id AND d.w = w.w
-  GROUP BY 1, 2
-),
-uniq AS (
-  SELECT p.doc_id, p.phrase,
-         MAX(s.score) AS score, MAX(p.n_words) AS n_words
-  FROM phrases p
-  JOIN scored s ON s.doc_id = p.doc_id AND s.phr_id = p.phr_id
-  GROUP BY 1, 2
-),
-ranked AS (
-  SELECT doc_id, phrase, score, n_words,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, phrase) AS rk
-  FROM uniq
-)
-SELECT doc_id, phrase, score, n_words, CAST(rk AS INT) AS rk
-FROM ranked WHERE rk <= 3
-ORDER BY doc_id, rk
-"""
-
-
-@register("rake_keyphrases", _RAKE_ORACLE)
-def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE-style keyphrase extraction (Rose et al. 2010), integer-scored:
-    candidate phrases are maximal stopword-free token runs; each word's
-    degree is the summed length of the phrases it occurs in (its
-    co-occurrence mass); a phrase scores the sum of its words' degrees;
-    top-3 phrases per document. The classic deg/freq ratio is replaced
-    by the pure-degree integer variant so ranking and score are exact in
-    both engines — no float ever enters.
-
-    Scale shape: every window and join is keyed by doc_id (phrase
-    segmentation is a per-doc cumulative count over positions — bounded
-    by document length, co-partitioned with the token explode), so the
-    whole pipeline shuffles on the document key and the per-doc top-3 is
-    the WindowGroupLimit idiom. Corpus growth adds partitions, never
-    per-task state."""
-    from pyspark.sql import Window
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
-    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPWORDS))
-    wmark = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    words = (
-        toks.withColumn(
-            "phr_id",
-            F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wmark),
-        )
-        .where(~F.col("is_stop"))
-        .select("doc_id", "pos", "w", "phr_id")
-    )
-    phrases = words.groupBy("doc_id", "phr_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-        ).alias("phrase"),
-        F.count("*").alias("n_words"),
-    )
-    deg = (
-        words.join(
-            phrases.select("doc_id", "phr_id", "n_words"),
-            ["doc_id", "phr_id"],
-        )
-        .groupBy("doc_id", "w")
-        .agg(F.sum("n_words").alias("degree"))
-    )
-    scored = (
-        words.join(deg, ["doc_id", "w"])
-        .groupBy("doc_id", "phr_id")
-        .agg(F.sum("degree").alias("score"))
-    )
-    uniq = (
-        phrases.join(scored, ["doc_id", "phr_id"])
-        .groupBy("doc_id", "phrase")
-        .agg(F.max("score").alias("score"), F.max("n_words").alias("n_words"))
-    )
-    wrank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "phrase")
-    return (
-        uniq.withColumn("rk", F.row_number().over(wrank))
-        .where(F.col("rk") <= 3)
-        .select(
-            "doc_id",
-            "phrase",
-            "score",
-            "n_words",
-            F.col("rk").cast("int").alias("rk"),
-        )
-        .orderBy("doc_id", "rk")
-    )
-
-
-_PEAK_CONC_ORACLE = """
-WITH s AS (
-  SELECT user_id, CAST(ts AS DATE) AS day,
-         MIN(ts) AS ts_start, MAX(ts) AS ts_end
-  FROM events WHERE user_id IS NOT NULL
-  GROUP BY 1, 2
-),
-deltas AS (
-  SELECT ts_start AS ts, 1 AS delta, user_id FROM s
-  UNION ALL
-  SELECT ts_end AS ts, -1 AS delta, user_id FROM s
-),
-run AS (
-  SELECT ts, delta, user_id,
-         SUM(delta) OVER (ORDER BY ts, delta DESC, user_id) AS conc
-  FROM deltas
-)
-SELECT CAST(ts AS DATE) AS day,
-       CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
-       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS user_days_started
-FROM run GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("peak_concurrency", _PEAK_CONC_ORACLE)
-def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily peak concurrent users — the sweep-line interval problem:
-    each user-day activity span (first event → last event of that user
-    that day) contributes +1 at its start and −1 at its end (inclusive
-    ends: the +1 sorts before the −1 at equal timestamps via delta
-    DESC), and the peak is the max of the running delta sum. The classic
-    SQL solution, `SUM(delta) OVER (ORDER BY ts)`, is the unpartitioned
-    single-task window — here it is distributed_prefix_sum's
-    range-partition + broadcast-offset pattern over the total order
-    (ts, delta DESC, user_id), exact at any scale. State per task is one
-    running integer; the day rollup is an ordinary aggregation."""
-    from .operators.windows import distributed_prefix_sum
-
-    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
-    s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.min("ts").alias("ts_start"), F.max("ts").alias("ts_end")
-    )
-    deltas = s.select(
-        F.col("ts_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
-    ).unionByName(
-        s.select(
-            F.col("ts_end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
-        )
-    )
-    run = distributed_prefix_sum(
-        deltas,
-        ["ts", F.desc("delta"), "user_id"],
-        "delta",
-        out_col="conc",
-        exclusive=False,
-    )
-    return (
-        run.groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.max("conc").alias("peak_concurrent"),
-            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
-                "user_days_started"
-            ),
-        )
-        .orderBy("day")
-    )
-
-
-def _hll_overlap_oracle() -> str:
-    """Pairwise segment-overlap state from the SAME portable HLL
-    registers the daily/weekly queries use: union = max-merge of the two
-    segments' registers. Hash-compared columns are INTEGER-ONLY (per-
-    segment and union v_zero / scaled register sums plus the exact
-    overlap); the ln()-derived estimates and the inclusion-exclusion
-    intersection are pytest-tolerance-checked from this state
-    (tests/test_analytics_marts.py::TestHllSegmentOverlap) — same libm
-    rationale as _hll_oracle."""
-    from .functions.sketch import _HLL_W_MOD, HLL_M
-
-    scale = _HLL_W_MOD * 2
-    return f"""
-WITH h AS (
-  SELECT event_type,
-         CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
-              AS BIGINT) AS hv
-  FROM events
-),
-regs AS (
-  SELECT event_type,
-         hv // {_HLL_W_MOD} AS bucket,
-         MAX(CASE WHEN hv % {_HLL_W_MOD} = 0 THEN 53
-                  ELSE 53 - length(bin(hv % {_HLL_W_MOD})) END) AS m_rho
-  FROM h GROUP BY 1, 2
-),
-seg_d AS (
-  SELECT event_type,
-         {HLL_M} - COUNT(*) AS v_zero,
-         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_rho))
-           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS BIGINT) AS sum_scaled
-  FROM regs GROUP BY 1
-),
-pairs AS (
-  SELECT a.event_type AS seg_a, b.event_type AS seg_b
-  FROM (SELECT DISTINCT event_type FROM regs) a
-  JOIN (SELECT DISTINCT event_type FROM regs) b
-    ON a.event_type < b.event_type
-),
-uni AS (
-  SELECT seg_a, seg_b, bucket, MAX(m_rho) AS m_rho FROM (
-    SELECT p.seg_a, p.seg_b, r.bucket, r.m_rho
-    FROM pairs p JOIN regs r ON r.event_type = p.seg_a
-    UNION ALL
-    SELECT p.seg_a, p.seg_b, r.bucket, r.m_rho
-    FROM pairs p JOIN regs r ON r.event_type = p.seg_b
-  ) GROUP BY 1, 2, 3
-),
-uni_d AS (
-  SELECT seg_a, seg_b,
-         {HLL_M} - COUNT(*) AS v_zero,
-         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_rho))
-           + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS BIGINT) AS sum_scaled
-  FROM uni GROUP BY 1, 2
-),
-du AS (SELECT DISTINCT event_type, user_id FROM events),
-exact AS (
-  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
-         CAST(COUNT(*) AS BIGINT) AS exact_intersect
-  FROM du a JOIN du b
-    ON a.user_id = b.user_id AND a.event_type < b.event_type
-  GROUP BY 1, 2
-)
-SELECT p.seg_a, p.seg_b,
-       da.v_zero AS v_zero_a, da.sum_scaled AS sum_scaled_a,
-       db.v_zero AS v_zero_b, db.sum_scaled AS sum_scaled_b,
-       u.v_zero AS v_zero_union, u.sum_scaled AS sum_scaled_union,
-       COALESCE(x.exact_intersect, 0) AS exact_intersect
-FROM pairs p
-JOIN seg_d da ON da.event_type = p.seg_a
-JOIN seg_d db ON db.event_type = p.seg_b
-JOIN uni_d u ON u.seg_a = p.seg_a AND u.seg_b = p.seg_b
-LEFT JOIN exact x ON x.seg_a = p.seg_a AND x.seg_b = p.seg_b
-ORDER BY p.seg_a, p.seg_b
-"""
-
-
-@register("hll_segment_overlap", _hll_overlap_oracle())
-def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience-overlap estimation from HLL sketches — set OPERATIONS on
-    the portable registers: for every event-type pair, the union
-    audience is the max-merge of the two segments' register tables
-    (the same 256-row-per-group fan-in hll_weekly_rollup uses for time
-    rollup, here across segments); intersection falls out by
-    inclusion-exclusion on the three estimates. Exact pairwise overlap
-    rides along for the error audit. Hash-compared columns are the
-    integer register state only (v_zero/sum_scaled per segment + union);
-    the ln()-derived estimates and the inclusion-exclusion intersection
-    are pytest-tolerance-checked from this state — libm portability,
-    see hll_distinct_daily.
-
-    This is the query shape behind "how many users did both X and Y"
-    dashboards at 100 TB: segments are sketched ONCE (one scan), then
-    any of the 2^k segment-combination cardinalities is answered from
-    k×256 integers without touching the raw data. The exact audit join
-    is user-keyed with fan-out bounded by the segment count per user."""
-    from .functions import sketch
-
-    ev = read_events(spark, sf_dir).select("event_type", "user_id")
-    regs = sketch.hll_sketch(ev, ["event_type"], "user_id")
-    seg_state = sketch.hll_estimate(regs, ["event_type"])
-    types = regs.select("event_type").distinct()
-    pairs = (
-        types.select(F.col("event_type").alias("seg_a"))
-        .join(
-            types.select(F.col("event_type").alias("seg_b")),
-            F.col("seg_a") < F.col("seg_b"),
-        )
-    )
-    regs_a = regs.select(
-        F.col("event_type").alias("seg_a"), "bucket", "m_rho"
-    )
-    regs_b = regs.select(
-        F.col("event_type").alias("seg_b"), "bucket", "m_rho"
-    )
-    uni = (
-        pairs.join(regs_a, "seg_a")
-        .unionByName(pairs.join(regs_b, "seg_b").select(pairs.columns + ["bucket", "m_rho"]))
-        .groupBy("seg_a", "seg_b", "bucket")
-        .agg(F.max("m_rho").alias("m_rho"))
-    )
-    uni_state = sketch.hll_estimate(uni, ["seg_a", "seg_b"]).select(
-        "seg_a",
-        "seg_b",
-        F.col("v_zero").alias("v_zero_union"),
-        F.col("sum_scaled").alias("sum_scaled_union"),
-    )
-    du = ev.distinct()
-    exact = (
-        du.select(F.col("event_type").alias("seg_a"), "user_id")
-        .join(du.select(F.col("event_type").alias("seg_b"), "user_id"), "user_id")
-        .where(F.col("seg_a") < F.col("seg_b"))
-        .groupBy("seg_a", "seg_b")
-        .agg(F.count("*").alias("exact_intersect"))
-    )
-    sa = seg_state.select(
-        F.col("event_type").alias("seg_a"),
-        F.col("v_zero").alias("v_zero_a"),
-        F.col("sum_scaled").alias("sum_scaled_a"),
-    )
-    sb = seg_state.select(
-        F.col("event_type").alias("seg_b"),
-        F.col("v_zero").alias("v_zero_b"),
-        F.col("sum_scaled").alias("sum_scaled_b"),
-    )
-    return (
-        pairs.join(sa, "seg_a")
-        .join(sb, "seg_b")
-        .join(uni_state, ["seg_a", "seg_b"])
-        .join(exact, ["seg_a", "seg_b"], "left")
-        .select(
-            "seg_a",
-            "seg_b",
-            "v_zero_a",
-            "sum_scaled_a",
-            "v_zero_b",
-            "sum_scaled_b",
-            "v_zero_union",
-            "sum_scaled_union",
-            F.coalesce("exact_intersect", F.lit(0)).alias("exact_intersect"),
-        )
-        .orderBy("seg_a", "seg_b")
-    )
-
-
-_CONTRASTIVE_ORACLE = """
-WITH n AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-),
-p AS (
-  SELECT a.vec_id AS anchor_id, b.vec_id AS partner_id, a.label,
-         ROUND(list_sum(list_transform(list_zip(a.e, b.e),
-                                       x -> x[1] * x[2]))
-               / (SQRT(list_sum(list_transform(a.e, x -> x * x)))
-                  * SQRT(list_sum(list_transform(b.e, x -> x * x)))),
-               6) AS c
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
-),
-pos AS (
-  SELECT anchor_id, partner_id, label, c, 1 AS rk FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-                                 ORDER BY c DESC, partner_id) AS rn
-    FROM p WHERE c >= 0.35
-  ) WHERE rn = 1
-),
-neg AS (
-  SELECT q.anchor_id, q.partner_id, q.label, q.c, q.rn AS rk FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-                                 ORDER BY c DESC, partner_id) AS rn
-    FROM p WHERE c < 0.35
-  ) q JOIN (SELECT DISTINCT anchor_id FROM pos) hp
-      ON hp.anchor_id = q.anchor_id
-  WHERE q.rn <= 2
-)
-SELECT anchor_id, partner_id, label, c AS cosine_sim,
-       'positive' AS role, CAST(rk AS INT) AS rk FROM pos
-UNION ALL
-SELECT anchor_id, partner_id, label, c AS cosine_sim,
-       'hard_negative' AS role, CAST(rk AS INT) AS rk FROM neg
-ORDER BY anchor_id, role DESC, rk
-"""
-
-
-@register("contrastive_pairs", _CONTRASTIVE_ORACLE)
-def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive training-pair mining for retrieval/embedding models:
-    every anchor with a near-dup (cosine ≥ 0.35 inside its label block)
-    emits its single best positive plus its 2 hardest negatives — the
-    highest-cosine same-block vectors BELOW the positive threshold
-    (similar enough to be confusable, labeled different). This is the
-    dataset-construction step behind contrastive fine-tuning (SimCSE/
-    DPR-style), expressed as one within-block pair join + two
-    WindowGroupLimit rankings.
-
-    Ranking floats cross-engine is safe here because the final cosine is
-    the module's sequential zip_with fold — bit-identical in both
-    engines — rounded to 6 before ranking, with partner_id as tiebreak.
-    Scale shape: candidates come from contrastive_shortlist's per-block
-    GEMM (top-4 per role per anchor, ±1e-6 threshold margin), so the
-    exact fold scores ≤ 8 pairs per anchor instead of the whole block —
-    the oracle stays the full-pair-set SQL spec, same prefilter+rerank
-    contract as embedding_near_dupes. At 100 TB blocks become IVF cells
-    / shards and the shortlist an ANN probe; the ranking downstream is
-    unchanged."""
-    from .functions import similarity
-    from .functions.similarity import _as_double, cosine_sim
-    from pyspark.sql import Window
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    cands = similarity.contrastive_shortlist(
-        emb, block_col="label", threshold=0.35
-    )
-    n = emb.select("vec_id", "label", _as_double("embedding").alias("e"))
-    a = n.select(
-        F.col("vec_id").alias("anchor_id"),
-        "label",
-        F.col("e").alias("_ea"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("partner_id"),
-        F.col("e").alias("_eb"),
-    )
-    p = (
-        cands.join(a, "anchor_id")
-        .join(b, "partner_id")
-        .select(
-            "anchor_id",
-            "partner_id",
-            "label",
-            cosine_sim(F.col("_ea"), F.col("_eb"), decimals=6).alias("c"),
-        )
-    )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("c"), "partner_id")
-    pos = (
-        p.where(F.col("c") >= 0.35)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            "partner_id",
-            "label",
-            "c",
-            F.lit(1).alias("rk"),
-        )
-    )
-    neg = (
-        p.where(F.col("c") < 0.35)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 2)
-        .join(
-            F.broadcast(pos.select("anchor_id").distinct()), "anchor_id"
-        )
-        .select(
-            "anchor_id",
-            "partner_id",
-            "label",
-            "c",
-            F.col("rn").alias("rk"),
-        )
-    )
-    out = pos.withColumn("role", F.lit("positive")).unionByName(
-        neg.withColumn("role", F.lit("hard_negative"))
-    )
-    return out.select(
-        "anchor_id",
-        "partner_id",
-        "label",
-        F.col("c").alias("cosine_sim"),
-        "role",
-        F.col("rk").cast("int").alias("rk"),
-    ).orderBy("anchor_id", F.desc("role"), "rk")
-
-
-_MATRYOSHKA_ORACLE = """
-WITH n AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e64,
-         list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS e16
-  FROM embeddings
-),
-q AS (SELECT * FROM n WHERE vec_id < 10),
-c AS (
-  SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
-         ROUND(list_sum(list_transform(list_zip(q.e64, n.e64),
-                                       x -> x[1] * x[2]))
-               / (SQRT(list_sum(list_transform(q.e64, x -> x * x)))
-                  * SQRT(list_sum(list_transform(n.e64, x -> x * x)))),
-               6) AS c64,
-         ROUND(list_sum(list_transform(list_zip(q.e16, n.e16),
-                                       x -> x[1] * x[2]))
-               / (SQRT(list_sum(list_transform(q.e16, x -> x * x)))
-                  * SQRT(list_sum(list_transform(n.e16, x -> x * x)))),
-               6) AS c16
-  FROM q JOIN n ON n.vec_id <> q.vec_id
-),
-r AS (
-  SELECT query_id, cand_id, c64, c16,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY c64 DESC, cand_id) AS rk64,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY c16 DESC, cand_id) AS rk16
-  FROM c
-),
-t64 AS (SELECT query_id, cand_id, rk64 FROM r WHERE rk64 <= 10),
-t16 AS (SELECT query_id, cand_id FROM r WHERE rk16 <= 10)
-SELECT a.query_id,
-       CAST(COUNT(b.cand_id) AS BIGINT) AS overlap_at_10,
-       CAST(MAX(CASE WHEN a.rk64 = 1 AND b.cand_id IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS top1_in_trunc10
-FROM t64 a
-LEFT JOIN t16 b ON b.query_id = a.query_id AND b.cand_id = a.cand_id
-GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("matryoshka_recall", _MATRYOSHKA_ORACLE)
-def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation audit (Kusupati et al. 2022): for each of 10
-    probe queries, how much of the exact top-10 neighbor set survives
-    when cosine is computed on only the first 16 of 64 dimensions —
-    overlap@10 plus whether the true top-1 is retained. This is the
-    measurement that decides whether a 4× cheaper truncated index is
-    good enough to serve as the ANN prefilter tier.
-
-    Both rankings use the bit-exact sequential fold (rounded to 1e-6,
-    cand_id tiebreak); the truncated vector is an array slice, no
-    re-embedding. Scale shape: probe-set × corpus is a broadcast of 10
-    query vectors against a scan — the per-query top-10 is
-    WindowGroupLimit, and the overlap join runs on 100 rows."""
-    from .functions.similarity import _as_double, cosine_sim
-    from pyspark.sql import Window
-
-    n = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        _as_double("embedding").alias("e64"),
-        F.slice(_as_double("embedding"), 1, 16).alias("e16"),
-    )
-    q = n.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e64").alias("_q64"),
-        F.col("e16").alias("_q16"),
-    )
-    c = (
-        F.broadcast(q)
-        .join(
-            n.select(
-                F.col("vec_id").alias("cand_id"), "e64", "e16"
-            ),
-            F.col("cand_id") != F.col("query_id"),
-        )
-        .select(
-            "query_id",
-            "cand_id",
-            cosine_sim(F.col("_q64"), F.col("e64"), decimals=6).alias("c64"),
-            cosine_sim(F.col("_q16"), F.col("e16"), decimals=6).alias("c16"),
-        )
-    )
-    w64 = Window.partitionBy("query_id").orderBy(F.desc("c64"), "cand_id")
-    w16 = Window.partitionBy("query_id").orderBy(F.desc("c16"), "cand_id")
-    r = c.withColumn("rk64", F.row_number().over(w64)).withColumn(
-        "rk16", F.row_number().over(w16)
-    )
-    t64 = r.where(F.col("rk64") <= 10).select("query_id", "cand_id", "rk64")
-    t16 = r.where(F.col("rk16") <= 10).select(
-        F.col("query_id").alias("_q16id"), F.col("cand_id").alias("_c16")
-    )
-    return (
-        t64.join(
-            t16,
-            (F.col("_q16id") == F.col("query_id"))
-            & (F.col("_c16") == F.col("cand_id")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.count("_c16").alias("overlap_at_10"),
-            F.max(
-                F.when(
-                    (F.col("rk64") == 1) & F.col("_c16").isNotNull(), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("top1_in_trunc10"),
-        )
-        .orderBy("query_id")
-    )
-
-
-_TEMPERATURE_MIX_ORACLE = """
-WITH c AS (
-  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
-),
-t AS (
-  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
-         list_reduce(
-           list_prepend(0.0::DOUBLE,
-             list_transform(list_sort(list(struct_pack(lang := lang,
-                                                       n := n_docs))),
-                            s -> SQRT(CAST(s.n AS DOUBLE)))),
-           (a, b) -> a + b) AS z
-  FROM c
-)
-SELECT c.lang, c.n_docs,
-       ROUND(SQRT(CAST(c.n_docs AS DOUBLE)) / t.z, 6) AS weight,
-       ROUND((SQRT(CAST(c.n_docs AS DOUBLE)) / t.z)
-             / (CAST(c.n_docs AS DOUBLE) / t.n_total), 4) AS boost
-FROM c, t
-ORDER BY c.lang
-"""
-
-
-@register("temperature_mix_weights", _TEMPERATURE_MIX_ORACLE)
-def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled language sampling weights (mT5/XLM-R corpus
-    mixing): w_l ∝ p_l^α with α = 1/2, which up-samples low-resource
-    languages; `boost` is each language's ratio vs proportional
-    sampling. α is pinned to 1/2 PRECISELY so the power is a SQRT —
-    IEEE-correctly-rounded in both engines, unlike pow/exp/ln with
-    arbitrary α — and the normalizer Σ√n is a sequential fold over the
-    lang-sorted count array, bit-identical cross-engine.
-
-    Scale shape: the only data pass is the per-language count; the fold
-    runs over the LANGUAGE list (bounded by the catalog, not the
-    corpus), and weights broadcast back onto the tiny count table."""
-    c = (
-        read_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    t = c.agg(
-        F.sum("n_docs").alias("n_total"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("lang", "n_docs"))),
-                lambda s: F.sqrt(s["n_docs"].cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("z"),
-    )
-    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
-    prop = F.col("n_docs").cast("double") / F.col("n_total")
-    return (
-        c.crossJoin(F.broadcast(t))
-        .select(
-            "lang",
-            "n_docs",
-            F.round(w, 6).alias("weight"),
-            F.round(w / prop, 4).alias("boost"),
-        )
-        .orderBy("lang")
-    )
-
-
-_MAD_ORACLE = """
-WITH d AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-  GROUP BY 1
-),
-m AS (
-  SELECT CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS med_x2
-  FROM d
-),
-dev AS (
-  SELECT d.day, d.cents, m.med_x2,
-         d.cents * 2 - m.med_x2 AS dev_x2
-  FROM d, m
-),
-s AS (
-  SELECT CAST(ROUND(quantile_cont(ABS(dev_x2), 0.5) * 2) AS BIGINT)
-    AS mad_x4
-  FROM dev
-)
-SELECT dev.day, dev.cents, dev.med_x2, s.mad_x4,
-       CAST(CAST(dev.dev_x2 AS HUGEINT) * 20000000000
-            // (14826 * CAST(s.mad_x4 AS HUGEINT)) AS BIGINT)
-         AS robust_z_ppm,
-       ABS(CAST(dev.dev_x2 AS HUGEINT)) * 20000
-         >= 44478 * CAST(s.mad_x4 AS HUGEINT) AS is_outlier
-FROM dev, s
-ORDER BY dev.day
-"""
-
-
-@register("mad_outlier_days", _MAD_ORACLE)
-def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust daily-revenue outliers via median absolute deviation: the
-    MAD-scaled z-score ((x − median) / (1.4826·MAD)) is immune to the
-    very outliers it hunts — a single whale day inflates a stddev-based
-    z enough to hide itself, but moves the median/MAD almost nothing.
-    Complements daily_volume_anomalies (classic z) and
-    weekday_seasonal_anomalies (seasonal baseline).
-
-    Both medians are the exact interpolated percentile (Spark
-    `percentile` ↔ DuckDB `quantile_cont`); 1.4826 is the usual
-    normal-consistency literal. The two median passes run over the
-    per-DAY table (calendar-bounded), broadcast back as one row.
-
-    Hash discipline (r6 driver red → r7 fix): a median of BIGINTs is
-    integer-or-half and the MAD of integer deviations is
-    integer-or-quarter, so med_x2 = 2·median and mad_x4 = 4·MAD are
-    exact BIGINTs; the z-score is then an exact signed integer ppm by
-    cross-multiplication — z·10⁶ = dev_x2·2·10¹⁰ div (14826·mad_x4),
-    with 1.4826 carried as the integer 14826 — replacing the r6
-    ROUND(DOUBLE, 4) whose decimal-scaling semantics differ between
-    engines (Spark `div` and DuckDB `//` both truncate toward zero).
-    DECIMAL(38)/HUGEINT guards the products at warehouse scale; the
-    float z lives in pytest
-    (tests/test_analytics_marts.py::TestAnomalyScreens)."""
-    d = (
-        read_events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.to_date("ts").alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("_c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("_c").alias("cents"))
-    )
-    m = d.agg(
-        F.round(F.expr("percentile(cents, 0.5D)") * 2)
-        .cast("long")
-        .alias("med_x2")
-    )
-    dev = d.crossJoin(F.broadcast(m)).withColumn(
-        "dev_x2", F.col("cents") * 2 - F.col("med_x2")
-    )
-    s = dev.agg(
-        F.round(F.expr("percentile(abs(dev_x2), 0.5D)") * 2)
-        .cast("long")
-        .alias("mad_x4")
-    )
-    return (
-        dev.crossJoin(F.broadcast(s))
-        .select(
-            "day",
-            "cents",
-            "med_x2",
-            "mad_x4",
-            F.expr(
-                "CAST(CAST(dev_x2 AS DECIMAL(38,0)) * 20000000000"
-                " div (14826 * CAST(mad_x4 AS DECIMAL(38,0)))"
-                " AS BIGINT)"
-            ).alias("robust_z_ppm"),
-            F.expr(
-                "ABS(CAST(dev_x2 AS DECIMAL(38,0))) * 20000"
-                " >= 44478 * CAST(mad_x4 AS DECIMAL(38,0))"
-            ).alias("is_outlier"),
-        )
-        .orderBy("day")
-    )
-
-
-_INTERSECT_ORACLE = """
-SELECT user_id FROM events
-WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '2024-01-01'
-INTERSECT
-SELECT user_id FROM events
-WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
-ORDER BY user_id
-"""
-
-
-@register("viewers_also_purchased", _INTERSECT_ORACLE)
-def viewers_also_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct set intersection) — completes the §2.7 set-op
-    family next to UNION ALL (`union_activity`) and EXCEPT
-    (`viewers_never_purchased`). Spark plans `intersect` as a left-semi
-    join over distincts — hash-shuffle on the key, no sort."""
-    events = read_events(spark, sf_dir).where(
-        F.col("event_date") == F.lit("2024-01-01")
-    )
-    viewers = events.where(F.col("event_type") == "view").select("user_id")
-    buyers = events.where(F.col("event_type") == "purchase").select("user_id")
-    return viewers.intersect(buyers).orderBy("user_id")
-
-
-def _uncertainty_oracle() -> str:
-    from .functions.udx import INFERENCE_BIAS, INFERENCE_WEIGHTS
-
-    w = ", ".join(repr(v) for v in INFERENCE_WEIGHTS)
-    return f"""
-WITH w(wv) AS (SELECT [{w}]),
-s AS (
-  SELECT e.vec_id, e.label,
-         ROUND({INFERENCE_BIAS!r} + list_sum(
-           list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), w.wv),
-                          x -> x[1] * x[2])), 6) AS score
-  FROM embeddings e, w
-)
-SELECT vec_id, label, score, ABS(score) AS margin
-FROM s ORDER BY ABS(score), vec_id
-LIMIT 20
-"""
-
-
-@register("uncertainty_sample", _uncertainty_oracle())
-def uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Active-learning batch selection: the 20 documents whose classifier
-    score sits closest to the decision boundary (smallest |margin| of
-    the linear probe's raw score) — the rows a labeling budget buys the
-    most from. Composes the oracle-pinned batch-inference pass
-    (embedding_inference: Arrow batches, dimension-major fold parity)
-    with a TakeOrderedAndProject top-k on the ROUNDED score, so
-    selection is bit-stable cross-engine. At 100 TB this is
-    score-at-scan-speed plus a k-row heap per partition — no shuffle of
-    the corpus."""
-    from .functions import udx
-
-    scored = udx.embedding_inference(read_table(spark, sf_dir, "embeddings"))
-    return (
-        scored.select(
-            "vec_id", "label", "score", F.abs("score").alias("margin")
-        )
-        .orderBy("margin", "vec_id")
-        .limit(20)
-    )
-
-
-_NEYMAN_ORACLE = """
-WITH g AS (
-  SELECT event_type,
-         CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(cents) AS HUGEINT) AS s1,
-         CAST(SUM(cents * cents) AS HUGEINT) AS s2
-  FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
-        FROM events WHERE value IS NOT NULL)
-  GROUP BY 1
-),
-sg AS (
-  SELECT event_type, n_rows,
-         SQRT((CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                 / CAST(n_rows AS DOUBLE))
-              / CAST(n_rows - 1 AS DOUBLE)) AS sigma
-  FROM g
-),
-z AS (
-  SELECT list_reduce(
-           list_prepend(0.0::DOUBLE,
-             list_transform(list_sort(list(struct_pack(t := event_type,
-                                                       w := CAST(n_rows AS DOUBLE) * sigma))),
-                            s -> s.w)),
-           (a, b) -> a + b) AS z
-  FROM sg
-)
-SELECT sg.event_type, sg.n_rows,
-       ROUND(sg.sigma, 6) AS sigma,
-       CAST(FLOOR(10000.0 * (CAST(sg.n_rows AS DOUBLE) * sg.sigma) / z.z)
-            AS BIGINT) AS alloc_n
-FROM sg, z
-ORDER BY sg.event_type
-"""
-
-
-@register("neyman_allocation", _NEYMAN_ORACLE)
-def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neyman-optimal sample allocation: splitting a 10,000-row labeling /
-    audit budget across event-type strata proportionally to N_h·σ_h —
-    the allocation that minimizes the variance of the estimated mean
-    (survey sampling 101), here over exact-cents event values. The
-    complement to stratified_sample_per_lang's equal-rate design.
-
-    Exactness: per-stratum moments are exact integer sums (HUGEINT /
-    DECIMAL(38) headroom noted for catalog scale); σ and the allocation
-    are one sqrt + divisions in pinned operand order, and the normalizer
-    Σ N_h·σ_h is a sequential fold over the type-sorted stratum list —
-    bounded by the type catalog, not the data."""
-    g = (
-        read_events(spark, sf_dir)
-        .where(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("_c"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("_c").cast("decimal(38,0)").alias("_s1"),
-            F.sum(F.col("_c") * F.col("_c")).cast("decimal(38,0)").alias("_s2"),
-        )
-    )
-    sigma = F.sqrt(
-        (
-            F.col("_s2").cast("double")
-            - F.col("_s1").cast("double")
-            * F.col("_s1").cast("double")
-            / F.col("n_rows").cast("double")
-        )
-        / (F.col("n_rows") - 1).cast("double")
-    )
-    sg = g.select("event_type", "n_rows", sigma.alias("sigma"))
-    z = sg.agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("event_type").alias("t"),
-                            (F.col("n_rows").cast("double") * F.col("sigma")).alias(
-                                "w"
-                            ),
-                        )
-                    )
-                ),
-                lambda s: s["w"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("z")
-    )
-    return (
-        sg.crossJoin(F.broadcast(z))
-        .select(
-            "event_type",
-            "n_rows",
-            F.round("sigma", 6).alias("sigma"),
-            F.floor(
-                10000.0
-                * (F.col("n_rows").cast("double") * F.col("sigma"))
-                / F.col("z")
-            )
-            .cast("long")
-            .alias("alloc_n"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_SEQ_FUNNEL_ORACLE = """
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'signup' GROUP BY 1
-),
-s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN s1 ON s1.user_id = e.user_id
-  WHERE e.event_type = 'click' AND e.ts > s1.t1
-  GROUP BY 1
-),
-s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN s2 ON s2.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-  GROUP BY 1
-),
-w AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
-)
-SELECT step, users, conv_ppm FROM (
-  SELECT '1_signup' AS step, n1 AS users,
-         CAST(1000000 AS BIGINT) AS conv_ppm FROM w
-  UNION ALL
-  SELECT '2_click', n2, n2 * 1000000 // NULLIF(n1, 0) FROM w
-  UNION ALL
-  SELECT '3_purchase', n3, n3 * 1000000 // NULLIF(n2, 0) FROM w
-) ORDER BY step
-"""
-
-
-@register("sequence_funnel", _SEQ_FUNNEL_ORACLE)
-def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-order sequence funnel (MATCH_RECOGNIZE-lite): users who
-    signed up, then CLICKED STRICTLY AFTER their first signup, then
-    PURCHASED STRICTLY AFTER that click — earliest-completion semantics
-    per step, with per-step survivors and step-over-step conversion in
-    integer ppm. Unlike funnel_daily (same-day count ratios), this is
-    the per-user ordered-path definition an experimentation platform
-    reports.
-
-    Each step is one filtered aggregation plus a user-keyed join against
-    the (shrinking) survivor set of the previous step — k steps cost k
-    passes that each read one event-type partition of the log and
-    shuffle only user-grain rows; no windows, no per-user event
-    buffering. Spark's CTE dedup reuses the scan; the survivor joins are
-    AQE-sized (the deeper sets get small enough to broadcast)."""
-    ev = read_events(spark, sf_dir)
-    s1 = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    w = (
-        s1.agg(F.count("*").alias("n1"))
-        .crossJoin(s2.agg(F.count("*").alias("n2")))
-        .crossJoin(s3.agg(F.count("*").alias("n3")))
-    )
-    return w.selectExpr(
-        "stack(3,"
-        " '1_signup', n1, CAST(1000000 AS BIGINT),"
-        " '2_click', n2, n2 * 1000000 div NULLIF(n1, 0),"
-        " '3_purchase', n3, n3 * 1000000 div NULLIF(n2, 0)"
-        ") AS (step, users, conv_ppm)"
-    ).orderBy("step")
-
-
-_SESSION_STATS_ORACLE = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         date_diff('second', LAG(ts) OVER w, ts) AS gap
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-m AS (
-  SELECT user_id, ts,
-         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM g
-),
-s AS (
-  SELECT user_id, session_seq,
-         CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur
-  FROM m GROUP BY 1, 2
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS bounce_sessions,
-       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
-            // COUNT(*) AS BIGINT) AS bounce_ppm,
-       quantile_cont(dur, 0.5) AS p50_duration_sec,
-       quantile_cont(dur, 0.9) AS p90_duration_sec,
-       CAST(MAX(dur) AS BIGINT) AS max_duration_sec
-FROM s
-"""
-
-
-@register("session_duration_stats", _SESSION_STATS_ORACLE)
-def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-quality summary over gap-inferred sessions (30-min): total
-    sessions, bounce rate (single-event sessions, integer ppm), and
-    exact p50/p90/max dwell — the canonical engagement KPIs next to
-    inferred_sessions' per-session grain. Durations are integer seconds
-    (no float until the interpolated percentiles, which Spark
-    `percentile` and DuckDB `quantile_cont` compute identically); the
-    sessionize windows partition by user."""
-    from .operators.windows import sessionize
-
-    s = (
-        sessionize(read_events(spark, sf_dir))
-        .groupBy("user_id", "session_seq")
-        .agg(
-            F.count("*").alias("n_events"),
-            (
-                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
-            ).alias("dur"),
-        )
-    )
-    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-    return s.agg(
-        F.count("*").alias("n_sessions"),
-        bounce.alias("bounce_sessions"),
-        F.expr(
-            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
-            " div count(*) AS BIGINT)"
-        ).alias("bounce_ppm"),
-        F.expr("percentile(dur, 0.5D)").alias("p50_duration_sec"),
-        F.expr("percentile(dur, 0.9D)").alias("p90_duration_sec"),
-        F.max("dur").alias("max_duration_sec"),
-    )
-
-
-_COHORT_LTV_ORACLE = """
-WITH first_seen AS (
-  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
-  FROM events GROUP BY 1
-),
-rev AS (
-  SELECT e.user_id, f.cohort_week,
-         CAST(date_diff('week', f.cohort_week,
-                        CAST(date_trunc('week', e.ts) AS DATE)) AS INT)
-           AS age_weeks,
-         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
-  FROM events e JOIN first_seen f ON f.user_id = e.user_id
-  WHERE e.event_type = 'purchase'
-),
-sz AS (
-  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
-  FROM first_seen GROUP BY 1
-),
-wk AS (
-  SELECT cohort_week, age_weeks, SUM(cents) AS wk_cents
-  FROM rev GROUP BY 1, 2
-),
-cum AS (
-  SELECT cohort_week, age_weeks,
-         SUM(wk_cents) OVER (PARTITION BY cohort_week
-                             ORDER BY age_weeks) AS cum_cents
-  FROM wk
-)
-SELECT c.cohort_week, c.age_weeks, s.cohort_users,
-       CAST(c.cum_cents AS BIGINT) AS cum_cents,
-       CAST(c.cum_cents // s.cohort_users AS BIGINT)
-         AS ltv_cents_per_user
-FROM cum c JOIN sz s ON s.cohort_week = c.cohort_week
-ORDER BY c.cohort_week, c.age_weeks
-"""
-
-
-@register("cohort_ltv_curve", _COHORT_LTV_ORACLE)
-def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curves: users cohorted by first-seen week,
-    purchase revenue accumulated by weeks-since-signup — the revenue
-    twin of retention_cohorts' activity triangle, read as "a week-N
-    user is worth X cents so far". Exact cents throughout; per-user LTV
-    is integer floor division by cohort size.
-
-    The cumulative sum windows PARTITION BY cohort (each frame is
-    calendar-bounded — weeks of product age — regardless of user
-    volume), so no global window appears; the cohort join is user-keyed
-    and the first-seen aggregate is one pass."""
-    ev = read_events(spark, sf_dir)
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    rev = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(first_seen, "user_id")
-        .select(
-            "cohort_week",
-            (
-                F.datediff(
-                    F.date_trunc("week", "ts").cast("date"),
-                    F.col("cohort_week"),
-                )
-                / 7
-            )
-            .cast("int")
-            .alias("age_weeks"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-    )
-    sz = first_seen.groupBy("cohort_week").agg(
-        F.count("*").alias("cohort_users")
-    )
-    wk = rev.groupBy("cohort_week", "age_weeks").agg(
-        F.sum("cents").alias("wk_cents")
-    )
-    from pyspark.sql import Window
-
-    wcum = (
-        Window.partitionBy("cohort_week")
-        .orderBy("age_weeks")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = wk.select(
-        "cohort_week",
-        "age_weeks",
-        F.sum("wk_cents").over(wcum).alias("cum_cents"),
-    )
-    return (
-        cum.join(sz, "cohort_week")
-        .select(
-            "cohort_week",
-            "age_weeks",
-            "cohort_users",
-            "cum_cents",
-            F.expr("cum_cents div cohort_users").alias("ltv_cents_per_user"),
-        )
-        .orderBy("cohort_week", "age_weeks")
-    )
-
-
-_AB_POWER_ORACLE = """
-WITH u AS (
-  SELECT user_id,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-  FROM events GROUP BY 1
-),
-g AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(conv) AS BIGINT) AS c
-  FROM u
-)
-SELECT n AS users_per_arm_pool, c AS converters,
-       ROUND(c / CAST(n AS DOUBLE), 6) AS base_rate,
-       ROUND((1.959964 + 0.841621)
-             * SQRT(2.0 * (c / CAST(n AS DOUBLE))
-                    * (1.0 - c / CAST(n AS DOUBLE))
-                    / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_abs,
-       ROUND(((1.959964 + 0.841621)
-              * SQRT(2.0 * (c / CAST(n AS DOUBLE))
-                     * (1.0 - c / CAST(n AS DOUBLE))
-                     / (CAST(n AS DOUBLE) / 2.0)))
-             / (c / CAST(n AS DOUBLE)), 4) AS mde_rel
-FROM g
-"""
-
-
-@register("ab_power_mde", _AB_POWER_ORACLE)
-def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Experiment power planning: the minimum detectable effect for a
-    two-arm 50/50 split of the current user pool at α = 0.05 (two-sided)
-    and 80 % power — MDE = (z_{α/2}+z_β)·√(2p(1-p)/n_arm), the
-    pre-registration companion to ab_conversion_ztest's readout. The z
-    quantiles are pinned literals (1.959964, 0.841621), so the only
-    transcendental is the IEEE-exact SQRT and the result hash-matches
-    cross-engine."""
-    u = read_events(spark, sf_dir).groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("conv")
-    )
-    g = u.agg(F.count("*").alias("n"), F.sum("conv").alias("c"))
-    p = F.col("c") / F.col("n").cast("double")
-    mde = (1.959964 + 0.841621) * F.sqrt(
-        2.0 * p * (1.0 - p) / (F.col("n").cast("double") / 2.0)
-    )
-    return g.select(
-        F.col("n").alias("users_per_arm_pool"),
-        F.col("c").alias("converters"),
-        F.round(p, 6).alias("base_rate"),
-        F.round(mde, 6).alias("mde_abs"),
-        F.round(mde / p, 4).alias("mde_rel"),
-    )
-
-
-_REC_HITRATE_ORACLE = """
-WITH train AS (
-  SELECT DISTINCT l.l_orderkey, l.l_partkey
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-  WHERE o.o_orderdate < DATE '2000-01-01'
-),
-test AS (
-  SELECT DISTINCT l.l_orderkey, l.l_partkey
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-  WHERE o.o_orderdate >= DATE '2000-01-01'
-),
-pairs AS (
-  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
-         CAST(COUNT(*) AS BIGINT) AS support
-  FROM train a JOIN train b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
-sym AS (
-  SELECT part_1 AS part_id, part_2 AS partner_id, support FROM pairs
-  UNION ALL
-  SELECT part_2, part_1, support FROM pairs
-),
-nb AS (
-  SELECT part_id, partner_id FROM (
-    SELECT part_id, partner_id,
-           ROW_NUMBER() OVER (PARTITION BY part_id
-                              ORDER BY support DESC, partner_id) AS rk
-    FROM sym
-  ) WHERE rk <= 3
-),
-eligible AS (
-  SELECT l_orderkey FROM test GROUP BY 1 HAVING COUNT(*) >= 2
-),
-hits AS (
-  SELECT DISTINCT t.l_orderkey
-  FROM test t
-  JOIN eligible e ON e.l_orderkey = t.l_orderkey
-  JOIN nb ON nb.part_id = t.l_partkey
-  JOIN test t2 ON t2.l_orderkey = t.l_orderkey
-             AND t2.l_partkey = nb.partner_id
-)
-SELECT (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM train)
-         AS n_train_orders,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM eligible) AS n_test_baskets,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000000
-         // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM eligible), 0)
-         AS hitrate_ppm
-"""
-
-
-@register("item_rec_hitrate", _REC_HITRATE_ORACLE)
-def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offline recommender evaluation: train the item-item co-occurrence
-    top-3 neighbor table on pre-2000 orders, then score it on held-out
-    later baskets — a basket "hits" when any of its items' trained
-    neighbors also appears in it. Temporal split (never random) is the
-    honest protocol: the model can only use the past.
-
-    Scale shape mirrors training: the neighbor build is order-keyed
-    (Σ basket², never parts²) with map-side WindowGroupLimit; evaluation
-    is basket-keyed joins of the 3-row-per-item neighbor table against
-    the test items — fan-out bounded by basket size × 3. All counts and
-    the ppm hit-rate are exact integers."""
-    from pyspark.sql import Window
-
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    od = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
-    )
-    dated = li.join(
-        od, li["l_orderkey"] == od["o_orderkey"]
-    ).select("l_orderkey", "l_partkey", "o_orderdate")
-    train = (
-        dated.where(F.col("o_orderdate") < "2000-01-01")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    test = (
-        dated.where(F.col("o_orderdate") >= "2000-01-01")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = train.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
-    )
-    b = train.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_2")
-    )
-    pairs = (
-        a.join(b.hint("shuffle_hash"), "_o")
-        .where(F.col("part_1") < F.col("part_2"))
-        .groupBy("part_1", "part_2")
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
-    )
-    sym = pairs.select(
-        F.col("part_1").alias("part_id"),
-        F.col("part_2").alias("partner_id"),
-        "support",
-    ).unionByName(
-        pairs.select(
-            F.col("part_2").alias("part_id"),
-            F.col("part_1").alias("partner_id"),
-            "support",
-        )
-    )
-    wr = Window.partitionBy("part_id").orderBy(F.desc("support"), "partner_id")
-    nb = (
-        sym.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= 3)
-        .select("part_id", "partner_id")
-    )
-    eligible = (
-        test.groupBy("l_orderkey")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("l_orderkey")
-    )
-    t2 = test.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
-    )
-    hits = (
-        test.join(eligible, "l_orderkey", "left_semi")
-        .join(nb, test["l_partkey"] == nb["part_id"])
-        .join(
-            t2,
-            (F.col("_ok2") == F.col("l_orderkey"))
-            & (F.col("_pk2") == F.col("partner_id")),
-            "left_semi",
-        )
-        .select("l_orderkey")
-        .distinct()
-    )
-    w = (
-        train.agg(F.count_distinct("l_orderkey").alias("n_train_orders"))
-        .crossJoin(eligible.agg(F.count("*").alias("n_test_baskets")))
-        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
-    )
-    return w.select(
-        "n_train_orders",
-        "n_test_baskets",
-        "n_hits",
-        F.expr("n_hits * 1000000 div NULLIF(n_test_baskets, 0)").alias(
-            "hitrate_ppm"
-        ),
-    )
-
-
-def _lsh_eval_oracle(
-    num_hashes: int = 64, bands: int = 16, threshold: float = 0.2
-) -> str:
-    """Replays BOTH tiers — the df≤50-capped exact-Jaccard truth set and
-    the MinHash banding candidate set — and scores their agreement."""
-    from .functions.hashing import MERSENNE_31, lane_constants
-
-    rows_per_band = num_hashes // bands
-    lane_rows = ",\n    ".join(
-        f"({s}, {a}, {c})"
-        for s, (a, c) in enumerate(lane_constants(num_hashes))
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
-exr AS (
-  SELECT doc_id, shingle,
-         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-truth AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM exr a
-    JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  ) WHERE jaccard >= {threshold}
-),
-bs AS (
-  SELECT doc_id, shingle,
-         CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS base
-  FROM ex0
-),
-lanes(s, a, c) AS (
-  VALUES
-    {lane_rows}
-),
-h AS (
-  SELECT doc_id, l.s,
-         MIN((bs.base * l.a + l.c) % {MERSENNE_31}) AS lane
-  FROM bs CROSS JOIN lanes l
-  GROUP BY doc_id, l.s
-),
-sig AS (SELECT doc_id, list(lane ORDER BY s) AS signature FROM h GROUP BY doc_id),
-bnd AS (
-  SELECT doc_id, r.bi,
-         array_to_string(signature[r.bi*{rows_per_band}+1 : r.bi*{rows_per_band}+{rows_per_band}], ',') AS band_key
-  FROM sig CROSS JOIN range({bands}) AS r(bi)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-  FROM bnd a JOIN bnd b
-    ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-tp AS (
-  SELECT COUNT(*) AS tp FROM truth
-  JOIN cand ON cand.doc_id_1 = truth.doc_id_1
-           AND cand.doc_id_2 = truth.doc_id_2
-)
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
-       (SELECT CAST(tp AS BIGINT) FROM tp) AS true_positives,
-       (SELECT CAST(tp AS BIGINT) FROM tp) * 1000000
-         // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM cand), 0)
-         AS precision_ppm,
-       (SELECT CAST(tp AS BIGINT) FROM tp) * 1000000
-         // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM truth), 0)
-         AS recall_ppm
-"""
-
-
-@register("lsh_eval_report", _lsh_eval_oracle())
-def lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-tier quality report: precision and recall of the MinHash
-    LSH banding stage against the exact-Jaccard truth set (df ≤ 50
-    universe, threshold 0.2) — the measurement that justifies the
-    banding parameters (16 bands × 4 rows ⇒ s-curve midpoint ≈ 0.5) or
-    tells you to retune them before a 100 TB run. Candidate precision is
-    EXPECTED to be low (banding trades precision for recall; the exact
-    verification stage restores it) — recall is the number that must
-    stay high, and this query pins both as exact integer ppm.
-
-    Both tiers reuse the shared shingle scan; the agreement join runs on
-    pair keys. This evaluates the same code paths minhash_near_dupes and
-    ngram_jaccard_pairs execute — no re-implementation drift."""
-    truth = _ngram_pairs_shared(spark, sf_dir).select(
-        "doc_id_1", "doc_id_2"
-    )
-    cand = _minhash_candidates_shared(spark, sf_dir).select(
-        "doc_id_1", "doc_id_2"
-    )
-    tp = truth.join(cand, ["doc_id_1", "doc_id_2"], "left_semi")
-    w = (
-        truth.agg(F.count("*").alias("n_truth"))
-        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(tp.agg(F.count("*").alias("true_positives")))
-    )
-    return w.select(
-        "n_truth",
-        "n_candidates",
-        "true_positives",
-        F.expr(
-            "true_positives * 1000000 div NULLIF(n_candidates, 0)"
-        ).alias("precision_ppm"),
-        F.expr("true_positives * 1000000 div NULLIF(n_truth, 0)").alias(
-            "recall_ppm"
-        ),
-    )
-
-
-_BUDGET_WATERFALL_ORACLE = """
-WITH src AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
-  FROM documents GROUP BY 1
-),
-capd AS (
-  SELECT source, n_docs, tokens, tokens // 2 AS cap FROM src
-),
-tot AS (
-  SELECT CAST(SUM(cap) * 9 // 10 AS DOUBLE) AS budget,
-         CAST(SUM(n_docs) AS DOUBLE) AS wtot
-  FROM capd
-),
-arr AS (
-  SELECT t.budget, t.wtot,
-         list_sort(list(struct_pack(
-           ratio := CAST(c.cap AS DOUBLE) / c.n_docs,
-           source := c.source,
-           cap := CAST(c.cap AS DOUBLE),
-           w := CAST(c.n_docs AS DOUBLE)))) AS s
-  FROM capd c, tot t GROUP BY 1, 2
-),
-ex AS (
-  SELECT budget, wtot, s, unnest(range(1, len(s)+1)) AS i FROM arr
-),
-alloc AS (
-  SELECT s[i].source AS source, s[i].cap AS cap, s[i].w AS w,
-    list_reduce(
-      list_prepend([budget, wtot],
-        list_transform(list_slice(s, 1, i-1), p -> [p.cap, p.w])),
-      (acc, x) -> [
-        acc[1] - LEAST(x[1], FLOOR(acc[1] * x[2] / acc[2])),
-        acc[2] - x[2]]) AS st
-  FROM ex
-)
-SELECT c.source, c.n_docs, c.tokens, c.cap,
-       CAST(LEAST(a.cap, FLOOR(a.st[1] * a.w / a.st[2])) AS BIGINT)
-         AS alloc_tokens,
-       CAST(FLOOR(LEAST(a.cap, FLOOR(a.st[1] * a.w / a.st[2]))
-                  * 1000000.0 / a.cap) AS BIGINT) AS fill_ppm
-FROM alloc a JOIN capd c ON c.source = a.source
-ORDER BY c.source
-"""
-
-
-@register("budget_waterfall", _BUDGET_WATERFALL_ORACLE)
-def budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budget-constrained corpus mixing — exact water-filling: a token
-    budget (90 % of total capacity) is split across sources
-    proportionally to doc count, but no source may contribute more than
-    half its tokens (the cap); capped sources' unused share cascades to
-    the rest. Sources are processed in ascending cap/weight order (the
-    water-filling order: binding caps first) with running (remaining
-    budget, remaining weight) state, so the allocation is the
-    deterministic sequential spec of the classic algorithm.
-
-    Cross-engine exactness: all quantities are integers carried as
-    doubles < 2⁵³ (every multiply/divide/floor exact-or-identically-
-    rounded in both engines), the fold is the per-prefix list-
-    accumulator pattern holt_revenue_backtest established, and the fold
-    length is the SOURCE CATALOG (20 here), never the corpus — the only
-    data-scale pass is the per-source token count."""
-    src = (
-        read_table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens"),
-        )
-    )
-    capd = src.withColumn("cap", F.expr("tokens div 2"))
-    tot = capd.agg(
-        F.expr("CAST(sum(cap) * 9 div 10 AS DOUBLE)").alias("budget"),
-        F.sum("n_docs").cast("double").alias("wtot"),
-    )
-    arr = capd.crossJoin(F.broadcast(tot)).groupBy("budget", "wtot").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    (F.col("cap").cast("double") / F.col("n_docs")).alias(
-                        "ratio"
-                    ),
-                    "source",
-                    F.col("cap").cast("double").alias("cap"),
-                    F.col("n_docs").cast("double").alias("w"),
-                )
-            )
-        ).alias("s")
-    )
-    rows = arr.select(
-        F.expr(
-            """
-            inline(transform(sequence(1, size(s)), i -> struct(
-              element_at(s, i).source AS source,
-              element_at(s, i).cap AS cap,
-              element_at(s, i).w AS w,
-              aggregate(
-                slice(s, 1, i - 1),
-                named_struct('r', budget, 'u', wtot),
-                (acc, x) -> named_struct(
-                  'r', acc.r - LEAST(x.cap, FLOOR(acc.r * x.w / acc.u)),
-                  'u', acc.u - x.w)) AS st)))
-            """
-        )
-    ).select(
-        "source",
-        F.least(
-            F.col("cap"),
-            F.floor(F.col("st.r") * F.col("w") / F.col("st.u")),
-        ).alias("_alloc"),
-    )
-    return (
-        capd.join(rows, "source")
-        .select(
-            "source",
-            "n_docs",
-            "tokens",
-            "cap",
-            F.col("_alloc").cast("long").alias("alloc_tokens"),
-            F.floor(F.col("_alloc") * 1000000.0 / F.col("cap").cast("double"))
-            .cast("long")
-            .alias("fill_ppm"),
-        )
-        .orderBy("source")
-    )
-
-
-_STREAM_HIST_ORACLE = """
-WITH c AS (
-  SELECT CAST(ts AS DATE) AS day,
-         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 1000, 63) AS bin
-  FROM events WHERE value IS NOT NULL
-),
-regs AS (
-  SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2
-),
-cum AS (
-  SELECT day, bin,
-         SUM(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum,
-         SUM(cnt) OVER (PARTITION BY day) AS total
-  FROM regs
-)
-SELECT day, CAST(MAX(total) AS BIGINT) AS n_events,
-       CAST(MIN(CASE WHEN cum * 100 >= total * 50
-                     THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p50_cents,
-       CAST(MIN(CASE WHEN cum * 100 >= total * 95
-                     THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p95_cents,
-       CAST(MIN(CASE WHEN cum * 100 >= total * 99
-                     THEN (bin + 1) * 1000 END) AS BIGINT) AS est_p99_cents
-FROM cum GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("streaming_histogram_quantiles", _STREAM_HIST_ORACLE)
-def streaming_histogram_quantiles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Streaming quantile monitoring: daily tumbling-window 64-bin value
-    histograms maintained by Structured Streaming (state ≤ 64 counters
-    per open window, watermark-evicted), read off as p50/p95/p99 upper
-    bin edges — the live-SLO-dashboard twin of the batch
-    histogram_quantile_rollup. Counts merge exactly under any arrival
-    order, so the complete-mode result equals the batch replay the
-    oracle computes (window('1 day') aligns to UTC calendar days under
-    the pinned session timezone)."""
-    from .streaming import jobs
-
-    return jobs.run_streaming_histogram_quantiles(spark, sf_dir)
-
-
-_SUPPLIER_RELIABILITY_ORACLE = """
-WITH l AS (
-  SELECT li.l_suppkey,
-         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
-                             CAST(li.l_shipdate AS DATE)) > 90
-              THEN 1 ELSE 0 END AS late,
-         GREATEST(date_diff('day', CAST(o.o_orderdate AS DATE),
-                            CAST(li.l_shipdate AS DATE)) - 90, 0) AS delay_days
-  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
-),
-g AS (
-  SELECT l_suppkey,
-         CAST(COUNT(*) AS BIGINT) AS n_items,
-         CAST(SUM(late) AS BIGINT) AS late_items,
-         CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
-         CAST(SUM(delay_days) AS BIGINT) AS total_delay_days,
-         CAST(MAX(delay_days) AS BIGINT) AS max_delay_days
-  FROM l GROUP BY 1
-)
-SELECT s.s_suppkey, s.s_name, g.n_items, g.late_items, g.late_ppm,
-       g.total_delay_days, g.max_delay_days
-FROM g JOIN supplier s ON s.s_suppkey = g.l_suppkey
-ORDER BY g.late_ppm DESC, s.s_suppkey
-"""
-
-
-@register("supplier_reliability", _SUPPLIER_RELIABILITY_ORACLE)
-def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier delivery-reliability scorecard: per supplier, the share of
-    lineitems shipped beyond a 90-day SLA from order date (integer ppm)
-    plus total and worst overrun days (the fixtures carry no
-    commit/receipt dates, so the SLA anchor is o_orderdate). One
-    order-keyed join into a supplier-keyed aggregate, broadcast-joined
-    to the supplier dimension; every output column is exact integer
-    arithmetic."""
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .join(
-            read_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderdate"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            "l_suppkey",
-            F.when(
-                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-                > 90,
-                1,
-            )
-            .otherwise(0)
-            .alias("late"),
-            F.greatest(
-                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-                - 90,
-                F.lit(0),
-            ).alias("delay_days"),
-        )
-    )
-    g = li.groupBy("l_suppkey").agg(
-        F.count("*").alias("n_items"),
-        F.sum("late").alias("late_items"),
-        F.expr("CAST(sum(late) * 1000000 div count(*) AS BIGINT)").alias(
-            "late_ppm"
-        ),
-        F.sum("delay_days").cast("long").alias("total_delay_days"),
-        F.max("delay_days").cast("long").alias("max_delay_days"),
-    )
-    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        g.join(F.broadcast(s), g["l_suppkey"] == s["s_suppkey"])
-        .select(
-            "s_suppkey",
-            "s_name",
-            "n_items",
-            "late_items",
-            "late_ppm",
-            "total_delay_days",
-            "max_delay_days",
-        )
-        .orderBy(F.desc("late_ppm"), "s_suppkey")
-    )
-
-
-_ORDER_CADENCE_ORACLE = """
-WITH g AS (
-  SELECT o_custkey,
-         date_diff('day',
-                   LAG(CAST(o_orderdate AS DATE))
-                     OVER (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey),
-                   CAST(o_orderdate AS DATE)) AS gap_days
-  FROM orders
-),
-gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM g
-        WHERE gap_days IS NOT NULL) AS repeat_customers,
-       quantile_cont(gap_days, 0.25) AS p25_gap_days,
-       quantile_cont(gap_days, 0.5) AS p50_gap_days,
-       quantile_cont(gap_days, 0.75) AS p75_gap_days,
-       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
-       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
-FROM gg
-"""
-
-
-@register("order_cadence_stats", _ORDER_CADENCE_ORACLE)
-def order_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purchase-cadence summary: the distribution of days between a
-    customer's consecutive orders (per-customer LAG over order date with
-    orderkey tiebreak) — the reorder-rhythm input to replenishment
-    campaigns and churn-risk windows. Gaps are integer days; the
-    quartiles are the exact interpolated percentile (cross-engine
-    identical); the lag window partitions by customer."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    g = read_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.datediff(
-            F.to_date("o_orderdate"),
-            F.to_date(F.lag("o_orderdate").over(w)),
-        ).alias("gap_days"),
-    )
-    gg = g.where(F.col("gap_days").isNotNull())
-    rep = gg.agg(
-        F.count_distinct("o_custkey").alias("repeat_customers")
-    )
-    return (
-        gg.agg(
-            F.count("*").alias("n_gaps"),
-            F.expr("percentile(gap_days, 0.25D)").alias("p25_gap_days"),
-            F.expr("percentile(gap_days, 0.5D)").alias("p50_gap_days"),
-            F.expr("percentile(gap_days, 0.75D)").alias("p75_gap_days"),
-            F.min("gap_days").cast("long").alias("min_gap_days"),
-            F.max("gap_days").cast("long").alias("max_gap_days"),
-        )
-        .crossJoin(F.broadcast(rep))
-        .select(
-            "n_gaps",
-            "repeat_customers",
-            "p25_gap_days",
-            "p50_gap_days",
-            "p75_gap_days",
-            "min_gap_days",
-            "max_gap_days",
-        )
-    )
-
-
-_LATERAL_ORACLE = """
-SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-FROM customer c,
-LATERAL (
-  SELECT o_orderkey, o_orderdate, o_totalprice
-  FROM orders
-  WHERE o_custkey = c.c_custkey
-  ORDER BY o_orderdate DESC, o_orderkey DESC
-  LIMIT 1
-) o
-WHERE c.c_custkey <= 200
-ORDER BY c.c_custkey
-"""
-
-
-@register("latest_order_lateral", _LATERAL_ORACLE)
-def latest_order_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated LATERAL subquery (Spark 3.2+ `LATERAL`): each customer's
-    most recent order via a per-row ORDER BY … LIMIT 1 subquery — the
-    SQL surface a window rewrite usually hides. Catalyst decorrelates
-    the LATERAL into a join + per-key limit, so the plan is the same
-    shuffle-bounded shape as the row_number ≤ 1 idiom; the query proves
-    the SURFACE parity (both engines accept and agree on the correlated
-    form). Customers without orders drop out (inner lateral)."""
-    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "_lat_customer"
-    )
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
-    return spark.sql(
-        """
-        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-               o.o_totalprice
-        FROM _lat_customer c,
-        LATERAL (
-          SELECT o_orderkey, o_orderdate, o_totalprice
-          FROM _lat_orders
-          WHERE o_custkey = c.c_custkey
-          ORDER BY o_orderdate DESC, o_orderkey DESC
-          LIMIT 1
-        ) o
-        WHERE c.c_custkey <= 200
-        ORDER BY c.c_custkey
-        """
-    )
-
-
-_GROUPING_SETS_ORACLE = """
-SELECT event_date, event_type,
-       CAST(GROUPING(event_date) * 2 + GROUPING(event_type) AS BIGINT)
-         AS gid,
-       CAST(COUNT(*) AS BIGINT) AS events,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
-FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, user_id
-      FROM events)
-GROUP BY GROUPING SETS ((event_date), (event_type), ())
-ORDER BY gid, event_date, event_type
-"""
-
-
-@register("grouping_sets_traffic", _GROUPING_SETS_ORACLE)
-def grouping_sets_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — the à-la-carte subtotal surface between
-    ROLLUP (hierarchical, traffic_rollup) and CUBE (all combinations,
-    traffic_cube): exactly the (date), (type), and grand-total groupings,
-    no (date, type) cross detail. Catalyst Expands each row × 3 (the
-    number of requested sets, not 2^levels); GROUPING() bits disambiguate
-    subtotal NULLs from data NULLs identically in both engines."""
-    ev = read_events(spark, sf_dir).select(
-        "event_date", "event_type", "user_id"
-    )
-    ev.createOrReplaceTempView("_gs_events")
-    return spark.sql(
-        """
-        SELECT event_date, event_type,
-               CAST(GROUPING(event_date) * 2 + GROUPING(event_type)
-                    AS BIGINT) AS gid,
-               COUNT(*) AS events,
-               COUNT(DISTINCT user_id) AS users
-        FROM _gs_events
-        GROUP BY GROUPING SETS ((event_date), (event_type), ())
-        ORDER BY gid, event_date, event_type
-        """
-    )
-
-
-_NATION_SHARE_ORACLE = """
-WITH rev AS (
-  SELECT n.n_name AS nation, r.r_name AS region,
-         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                  AS BIGINT)) AS BIGINT) AS cents
-  FROM lineitem l
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey
-  GROUP BY 1, 2
-)
-SELECT region, nation, cents,
-       CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
-       CAST(CAST(cents AS HUGEINT) * 1000000
-            // SUM(CAST(cents AS HUGEINT)) OVER (PARTITION BY region)
-            AS BIGINT) AS share_ppm
-FROM rev
-ORDER BY region, share_ppm DESC, nation
-"""
-
-
-@register("nation_market_share", _NATION_SHARE_ORACLE)
-def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ratio-to-parent OLAP: each supplier nation's share of its REGION's
-    discounted revenue in integer ppm — the classic percent-of-total
-    window (RATIO_TO_REPORT) with the share as exact integer
-    cross-multiplication. The star join broadcasts the three small
-    dimensions; the share window partitions by region (25 nations / 5
-    regions — bounded frames at any fact-table scale)."""
-    from pyspark.sql import Window
-
-    li = read_table(spark, sf_dir, "lineitem")
-    s = read_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    n = read_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
-    )
-    r = read_table(spark, sf_dir, "region").select(
-        "r_regionkey", F.col("r_name").alias("region")
-    )
-    rev = (
-        li.select(
-            "l_suppkey",
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-            )
-            .cast("long")
-            .alias("_c"),
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("nation", "region")
-        .agg(F.sum("_c").alias("cents"))
-    )
-    w = Window.partitionBy("region")
-    return rev.select(
-        "region",
-        "nation",
-        "cents",
-        F.sum("cents").over(w).alias("region_cents"),
-        F.expr(
-            "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000"
-            " div sum(CAST(cents AS DECIMAL(38,0)))"
-            " OVER (PARTITION BY region) AS BIGINT)"
-        ).alias("share_ppm"),
-    ).orderBy("region", F.desc("share_ppm"), "nation")
-
-
-_EMB_HEALTH_ORACLE = """
-WITH n AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-),
-m AS (
-  SELECT vec_id, label,
-         len(e) AS dim,
-         SQRT(list_reduce(list_prepend(0.0::DOUBLE,
-                list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm,
-         len(list_filter(e, x -> x = 0.0::DOUBLE)) AS n_zero_components,
-         len(list_filter(e, x -> isnan(x))) AS n_nan
-  FROM n
-)
-SELECT label,
-       CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       CAST(MIN(dim) AS BIGINT) AS min_dim,
-       CAST(MAX(dim) AS BIGINT) AS max_dim,
-       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS zero_vectors,
-       CAST(SUM(n_nan) AS BIGINT) AS nan_components,
-       CAST(SUM(n_zero_components) AS BIGINT) AS zero_components,
-       ROUND(MIN(nrm), 6) AS min_norm,
-       quantile_cont(nrm, 0.5) AS p50_norm,
-       ROUND(MAX(nrm), 6) AS max_norm
-FROM m GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("embedding_health_report", _EMB_HEALTH_ORACLE)
-def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-corpus preflight: per label block, dimension consistency,
-    zero/NaN pathology counts, and the norm distribution (min / exact
-    median / max) — the data-quality gate an embedding pipeline runs
-    before spending GPU-hours on indexing or training. Catches the three
-    classic corruptions: truncated vectors (dim drift), dead encoder
-    outputs (zero vectors), and poisoned arithmetic (NaN components).
-
-    Norms use the module's sequential square-fold (bit-identical
-    cross-engine) with IEEE-exact SQRT; the median is the interpolated
-    percentile both engines share. One scan, label-grain aggregate."""
-    n = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("e"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    m = n.select(
-        "label",
-        F.size("e").alias("dim"),
-        nrm.alias("nrm"),
-        F.size(F.filter(F.col("e"), lambda x: x == 0.0)).alias(
-            "n_zero_components"
-        ),
-        F.size(F.filter(F.col("e"), lambda x: F.isnan(x))).alias("n_nan"),
-    )
-    return (
-        m.groupBy("label")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.min("dim").cast("long").alias("min_dim"),
-            F.max("dim").cast("long").alias("max_dim"),
-            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias(
-                "zero_vectors"
-            ),
-            F.sum("n_nan").cast("long").alias("nan_components"),
-            F.sum("n_zero_components").cast("long").alias("zero_components"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
-            F.expr("percentile(nrm, 0.5D)").alias("p50_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
-        )
-        .orderBy("label")
-    )
-
-
-_SCD2_ASOF_ORACLE = """
-WITH base AS (
-  SELECT o_custkey, o_orderdate::DATE AS order_date,
-         CASE WHEN o_totalprice < 50000 THEN 'small'
-              WHEN o_totalprice < 200000 THEN 'medium'
-              ELSE 'large' END AS value_band,
-         o_orderdate AS ots, o_orderkey
-  FROM orders
-),
-flag AS (
-  SELECT *, CASE WHEN lag(value_band) OVER w IS NULL
-                   OR lag(value_band) OVER w <> value_band
-                 THEN 1 ELSE 0 END AS chg
-  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY ots, o_orderkey)
-),
-ver AS (
-  SELECT o_custkey, order_date, value_band,
-         sum(chg) OVER
-           (PARTITION BY o_custkey ORDER BY ots, o_orderkey) AS version
-  FROM flag
-),
-g AS (
-  SELECT o_custkey, version, value_band, min(order_date) AS valid_from
-  FROM ver GROUP BY 1, 2, 3
-),
-hist AS (
-  SELECT o_custkey, value_band, valid_from,
-         lead(valid_from) OVER wv AS valid_to
-  FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
-),
-snap AS (
-  SELECT o_custkey, value_band FROM hist
-  WHERE valid_from <= DATE '1999-01-01'
-    AND (valid_to IS NULL OR DATE '1999-01-01' < valid_to)
-)
-SELECT value_band,
-       CAST(COUNT(*) AS BIGINT) AS customers,
-       CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
-       CAST(MAX(o_custkey) AS BIGINT) AS max_custkey
-FROM snap GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("scd2_asof_snapshot", _SCD2_ASOF_ORACLE)
-def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time (time-travel) query against the SCD2 dimension: the
-    customer value-band distribution AS OF 1999-01-01, read from
-    customer_value_scd2's validity ranges (valid_from ≤ d < valid_to,
-    open-ended current rows) — the lookup every backfilled feature join
-    or "what did the world look like then" audit performs. The range
-    filter is row-local on the history table; no new shuffle beyond the
-    SCD2 build it snapshots."""
-    from .operators.relational import scd2_value_band_history
-
-    hist = scd2_value_band_history(read_table(spark, sf_dir, "orders"))
-    d = F.lit("1999-01-01").cast("date")
-    snap = hist.where(
-        (F.col("valid_from") <= d)
-        & (F.col("valid_to").isNull() | (d < F.col("valid_to")))
-    )
-    return (
-        snap.groupBy("value_band")
-        .agg(
-            F.count("*").alias("customers"),
-            F.min("o_custkey").alias("min_custkey"),
-            F.max("o_custkey").alias("max_custkey"),
-        )
-        .orderBy("value_band")
-    )
-
-
-_RANGE_FRAME_ORACLE = """
-SELECT user_id, event_id,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
-            OVER (PARTITION BY user_id
-                  ORDER BY date_diff('second',
-                                     TIMESTAMP '1970-01-01 00:00:00', ts)
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS trailing_1h_cents,
-       CAST(COUNT(*)
-            OVER (PARTITION BY user_id
-                  ORDER BY date_diff('second',
-                                     TIMESTAMP '1970-01-01 00:00:00', ts)
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS trailing_1h_events
-FROM events WHERE value IS NOT NULL
-ORDER BY user_id, event_id
-"""
-
-
-@register("trailing_hour_range_frame", _RANGE_FRAME_ORACLE)
-def trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE window frame over event TIME (not row position): for every
-    event, the exact-cents value sum and event count of the same user's
-    trailing hour — `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` on
-    epoch seconds, the velocity/rate-limit feature a fraud or abuse
-    model reads. Unlike the ROWS frames elsewhere in the repo, RANGE
-    bounds are VALUE-based: simultaneous events are frame peers and
-    contribute regardless of tiebreak order, so the result is
-    deterministic without an id tiebreak. Partitioned by user — frames
-    never cross keys at any scale."""
-    from pyspark.sql import Window
-
-    ev = (
-        read_events(spark, sf_dir)
-        .where(F.col("value").isNotNull())
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_timestamp("ts").alias("_sec"),
-            F.round(F.col("value") * 100).cast("long").alias("_c"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("_sec")
-        .rangeBetween(-3600, 0)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum("_c").over(w).alias("trailing_1h_cents"),
-        F.count("*").over(w).alias("trailing_1h_events"),
-    ).orderBy("user_id", "event_id")
-
-
-_FK_INTEGRITY_ORACLE = """
-SELECT rel, n_child_rows, orphans,
-       orphans * 1000000 // NULLIF(n_child_rows, 0) AS orphan_ppm
-FROM (
-  SELECT 'lineitem.l_orderkey->orders' AS rel,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM orders o
-                            WHERE o.o_orderkey = l.l_orderkey)) AS orphans
-  UNION ALL
-  SELECT 'orders.o_custkey->customer',
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-          WHERE NOT EXISTS (SELECT 1 FROM customer c
-                            WHERE c.c_custkey = o.o_custkey))
-  UNION ALL
-  SELECT 'lineitem.l_partkey->part',
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM part p
-                            WHERE p.p_partkey = l.l_partkey))
-  UNION ALL
-  SELECT 'lineitem.l_suppkey->supplier',
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                            WHERE s.s_suppkey = l.l_suppkey))
-  UNION ALL
-  SELECT 'customer.c_nationkey->nation',
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
-          WHERE NOT EXISTS (SELECT 1 FROM nation n
-                            WHERE n.n_nationkey = c.c_nationkey))
-) ORDER BY rel
-"""
-
-
-@register("fk_integrity_report", _FK_INTEGRITY_ORACLE)
-def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit across the star schema: orphan counts
-    (child keys with no parent) for the five core relationships, in
-    exact integer ppm — the constraint checking a lakehouse must run
-    itself because parquet enforces nothing. Each relationship is one
-    LEFT ANTI join (hash-shuffle on the key, broadcast when the parent
-    is a dimension); the five audits share no state and pipeline
-    independently."""
-
-    def audit(rel, child, key, parent, pkey):
-        c = read_table(spark, sf_dir, child)
-        p = read_table(spark, sf_dir, parent).select(pkey)
-        n = c.agg(F.count("*").alias("n_child_rows"))
-        orphans = (
-            c.join(p, c[key] == p[pkey], "left_anti")
-            .agg(F.count("*").alias("orphans"))
-        )
-        return (
-            n.crossJoin(orphans)
-            .select(
-                F.lit(rel).alias("rel"),
-                "n_child_rows",
-                "orphans",
-                F.expr(
-                    "orphans * 1000000 div NULLIF(n_child_rows, 0)"
-                ).alias("orphan_ppm"),
-            )
-        )
-
-    rels = [
-        audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-              "orders", "o_orderkey"),
-        audit("orders.o_custkey->customer", "orders", "o_custkey",
-              "customer", "c_custkey"),
-        audit("lineitem.l_partkey->part", "lineitem", "l_partkey",
-              "part", "p_partkey"),
-        audit("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
-              "supplier", "s_suppkey"),
-        audit("customer.c_nationkey->nation", "customer", "c_nationkey",
-              "nation", "n_nationkey"),
-    ]
-    out = rels[0]
-    for r in rels[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("rel")
-
-
-_DUP_PAYMENT_ORACLE = """
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT a.user_id,
-       a.event_id AS event_id_1, b.event_id AS event_id_2,
-       a.cents AS cents_1, b.cents AS cents_2,
-       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_seconds
-FROM p a JOIN p b
-  ON a.user_id = b.user_id AND a.cents // 100 = b.cents // 100
- AND a.event_id < b.event_id
- AND b.ts >= a.ts AND date_diff('second', a.ts, b.ts) <= 86400
-ORDER BY a.user_id, event_id_1, event_id_2
-"""
-
-
-@register("duplicate_payment_screen", _DUP_PAYMENT_ORACLE)
-def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Double-charge screen: purchase pairs by the SAME user for the same
-    whole-dollar amount within 24 hours — the accidental-resubmit /
-    replay detector (dollar-bucket blocking catches near-identical
-    retries whose cents differ by fees). The self-join keys on
-    (user, dollar bucket), so candidate volume is bounded by
-    per-user-per-amount repetition (never purchases²); the proximity
-    and ordering predicates are row-local afterward. All output
-    integers."""
-    p = (
-        read_events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_timestamp("ts").alias("_sec"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-    )
-    p = p.withColumn("_dollar", F.expr("cents div 100"))
-    a = p.select(
-        "user_id",
-        "_dollar",
-        F.col("event_id").alias("event_id_1"),
-        F.col("_sec").alias("_sec1"),
-        F.col("cents").alias("cents_1"),
-    )
-    b = p.select(
-        "user_id",
-        "_dollar",
-        F.col("event_id").alias("event_id_2"),
-        F.col("_sec").alias("_sec2"),
-        F.col("cents").alias("cents_2"),
-    )
-    return (
-        a.join(b, ["user_id", "_dollar"])
-        .where(
-            (F.col("event_id_1") < F.col("event_id_2"))
-            & (F.col("_sec2") >= F.col("_sec1"))
-            & (F.col("_sec2") - F.col("_sec1") <= 86400)
-        )
-        .select(
-            "user_id",
-            "event_id_1",
-            "event_id_2",
-            "cents_1",
-            "cents_2",
-            (F.col("_sec2") - F.col("_sec1")).alias("gap_seconds"),
-        )
-        .orderBy("user_id", "event_id_1", "event_id_2")
-    )
-
-
-_CART_ABANDON_ORACLE = """
-WITH g AS (
-  SELECT user_id, ts, event_id, event_type,
-         date_diff('second', LAG(ts) OVER w, ts) AS gap
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-m AS (
-  SELECT user_id, event_type,
-         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM g
-),
-s AS (
-  SELECT user_id, session_seq,
-         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_cart,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-           AS has_purchase
-  FROM m GROUP BY 1, 2
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(has_cart) AS BIGINT) AS cart_sessions,
-       CAST(SUM(CASE WHEN has_cart = 1 AND has_purchase = 0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS abandoned_sessions,
-       CAST(SUM(CASE WHEN has_cart = 1 AND has_purchase = 0
-                     THEN 1 ELSE 0 END) * 1000000
-            // NULLIF(SUM(has_cart), 0) AS BIGINT) AS abandonment_ppm
-FROM s
-"""
-
-
-@register("cart_abandonment", _CART_ABANDON_ORACLE)
-def cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cart-abandonment rate over gap-inferred sessions: sessions that
-    contain an intent event (click, this log's add-to-cart analog) but
-    no purchase before the session expires — THE e-commerce
-    recovery-campaign KPI, in integer ppm. Same 30-minute sessionization
-    as inferred_sessions; the per-session flags are one grouped MAX pass
-    and the rollup is a single row."""
-    from .operators.windows import sessionize
-
-    s = (
-        sessionize(read_events(spark, sf_dir))
-        .groupBy("user_id", "session_seq")
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            ).alias("has_cart"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("has_purchase"),
-        )
-    )
-    abandoned = F.sum(
-        F.when((F.col("has_cart") == 1) & (F.col("has_purchase") == 0), 1)
-        .otherwise(0)
-    )
-    return s.agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("has_cart").cast("long").alias("cart_sessions"),
-        abandoned.cast("long").alias("abandoned_sessions"),
-        F.expr(
-            "CAST(sum(CASE WHEN has_cart = 1 AND has_purchase = 0"
-            " THEN 1 ELSE 0 END) * 1000000"
-            " div NULLIF(sum(has_cart), 0) AS BIGINT)"
-        ).alias("abandonment_ppm"),
-    )
-
-
-_ORDERS_PROFILE_ORACLE = """
-WITH t AS (SELECT * FROM orders),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t)
-SELECT col, n.n_rows, nulls, distincts, min_str, max_str
-FROM (
-  SELECT 'o_orderkey' AS col,
-         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS nulls,
-         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS distincts,
-         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
-         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
-  FROM t
-  UNION ALL
-  SELECT 'o_custkey',
-         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
-         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
-         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
-  FROM t
-  UNION ALL
-  SELECT 'o_orderstatus',
-         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
-         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
-         MIN(o_orderstatus), MAX(o_orderstatus)
-  FROM t
-  UNION ALL
-  SELECT 'o_orderpriority',
-         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
-         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
-         MIN(o_orderpriority), MAX(o_orderpriority)
-  FROM t
-  UNION ALL
-  SELECT 'o_totalprice_cents',
-         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
-         CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
-              AS BIGINT),
-         CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
-         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
-  FROM t
-  UNION ALL
-  SELECT 'o_orderdate',
-         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
-         CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
-         CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
-         CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
-  FROM t
-), n ORDER BY col
-"""
-
-
-@register("orders_profile", _ORDERS_PROFILE_ORACLE)
-def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level table profiling (the ANALYZE / dbt-profiler shape):
-    null counts, exact distinct cardinality, and min/max rendered as
-    strings per column of the orders table — the statistics a CBO or a
-    data-contract monitor reads. Doubles profile through their
-    exact-cents form so min/max stringify identically cross-engine.
-
-    Each column's profile is one conditional-aggregate branch; Spark
-    plans the distincts via Expand (k× the column count, not rows×cols
-    scans) and the union is over six 1-row aggregates. At a wider table
-    this generates from the schema rather than being hand-listed."""
-    t = read_table(spark, sf_dir, "orders")
-    n = t.agg(F.count("*").alias("n_rows"))
-
-    def prof(col, expr_col):
-        # min/max in the column's NATIVE order, stringified after — a
-        # lexicographic min over stringified numbers would rank "100"
-        # below "99"
-        c = expr_col
-        return t.agg(
-            F.lit(col).alias("col"),
-            F.sum(F.when(c.isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("nulls"),
-            F.count_distinct(c).alias("distincts"),
-            F.min(c).cast("string").alias("min_str"),
-            F.max(c).cast("string").alias("max_str"),
-        )
-
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    parts = [
-        prof("o_orderkey", F.col("o_orderkey")),
-        prof("o_custkey", F.col("o_custkey")),
-        prof("o_orderstatus", F.col("o_orderstatus")),
-        prof("o_orderpriority", F.col("o_orderpriority")),
-        t.agg(
-            F.lit("o_totalprice_cents").alias("col"),
-            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("nulls"),
-            F.count_distinct(cents).alias("distincts"),
-            F.min(cents).cast("string").alias("min_str"),
-            F.max(cents).cast("string").alias("max_str"),
-        ),
-        prof("o_orderdate", F.to_date("o_orderdate")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.crossJoin(F.broadcast(n)).select(
-        "col", "n_rows", "nulls", "distincts", "min_str", "max_str"
-    ).orderBy("col")
-
-
-_PRICE_QTY_OLS_ORACLE = """
-WITH j AS (
-  SELECT p_brand,
-         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-), s AS (
-  SELECT p_brand,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(qty) AS sx, SUM(cents) AS sy,
-         SUM(qty * qty) AS sxx, SUM(qty * cents) AS sxy,
-         SUM(cents * cents) AS syy
-  FROM j GROUP BY p_brand
-), d AS (
-  -- exact → VARCHAR → DOUBLE: DuckDB's direct HUGEINT→DOUBLE cast is
-  -- off by 1 ulp for some >2^63 values; the string route is correctly
-  -- rounded (matches Spark's decimal→string→double and Python floats)
-  SELECT p_brand, n,
-         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov_num,
-         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS var_x_num,
-         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS var_y_num,
-         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
-         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d
-  FROM s
-)
-SELECT p_brand, n,
-       cov_num / NULLIF(var_x_num, 0.0::DOUBLE) AS slope_cents_per_unit,
-       (sy_d - (cov_num / NULLIF(var_x_num, 0.0::DOUBLE)) * sx_d)
-         / CAST(n AS DOUBLE) AS intercept_cents,
-       (cov_num / NULLIF(var_x_num, 0.0::DOUBLE))
-         * (cov_num / NULLIF(var_y_num, 0.0::DOUBLE)) AS r2
-FROM d ORDER BY p_brand
-"""
-
-
-@register("price_quantity_ols", _PRICE_QTY_OLS_ORACLE)
-def price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand OLS regression of line revenue on quantity via EXACT
-    sufficient statistics: slope/intercept/R² derived from integer sums
-    (n, Σx, Σy, Σxy, Σx², Σy² in cents/units) — the regr_slope /
-    regr_intercept / regr_r2 surface, but hash-oracle-safe because the
-    only float ops are a handful of final divisions on exact integers
-    (grouped float SUMs accumulate in partition order and can never be
-    hash-compared; integer partials merge associatively).
-
-    Scale shape: one map-side-combinable hash aggregate after the
-    lineitem⋈part key join — the shuffle carries 6 integers per brand,
-    not rows. Sums are DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so Σy²
-    survives arbitrarily large groups (Σcents² passes int64 around
-    ~20k rows per group). Reference computes no regressions at all
-    (reference: scripts/build_product_metrics.py:1 has only count/sum
-    aggregates); this is the CBO-style statistics surface an analytics
-    engine owes its users."""
-    li = read_table(spark, sf_dir, "lineitem")
-    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    qty = F.round(F.col("l_quantity")).cast("long")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dec = "decimal(38,0)"
-    s = (
-        li.join(pt, li.l_partkey == pt.p_partkey)
-        .select(
-            "p_brand", qty.alias("qty"), cents.alias("cents")
-        )
-        .groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("qty").cast(dec)).alias("sx"),
-            F.sum(F.col("cents").cast(dec)).alias("sy"),
-            F.sum((F.col("qty") * F.col("qty")).cast(dec)).alias("sxx"),
-            F.sum((F.col("qty") * F.col("cents")).cast(dec)).alias("sxy"),
-            F.sum((F.col("cents") * F.col("cents")).cast(dec)).alias("syy"),
-        )
-    )
-    nd = F.col("n").cast(dec)
-
-    def exact_to_double(col):
-        # decimal(38,0) → string → double: Double.parseDouble is
-        # correctly rounded; Java BigDecimal.doubleValue (the direct
-        # decimal→double cast) is off by 1 ulp for some >2^63 exacts,
-        # which DuckDB's correctly-rounded HUGEINT→DOUBLE exposes.
-        return col.cast("string").cast("double")
-
-    d = s.select(
-        "p_brand",
-        "n",
-        exact_to_double(
-            nd * F.col("sxy") - F.col("sx") * F.col("sy")
-        ).alias("cov_num"),
-        exact_to_double(
-            nd * F.col("sxx") - F.col("sx") * F.col("sx")
-        ).alias("var_x_num"),
-        exact_to_double(
-            nd * F.col("syy") - F.col("sy") * F.col("sy")
-        ).alias("var_y_num"),
-        exact_to_double(F.col("sx")).alias("sx_d"),
-        exact_to_double(F.col("sy")).alias("sy_d"),
-    )
-    slope = F.col("cov_num") / F.nullif(
-        F.col("var_x_num"), F.lit(0.0)
-    )
-    return d.select(
-        "p_brand",
-        "n",
-        slope.alias("slope_cents_per_unit"),
-        (
-            (F.col("sy_d") - slope * F.col("sx_d"))
-            / F.col("n").cast("double")
-        ).alias("intercept_cents"),
-        (
-            slope
-            * (
-                F.col("cov_num")
-                / F.nullif(F.col("var_y_num"), F.lit(0.0))
-            )
-        ).alias("r2"),
-    ).orderBy("p_brand")
-
-
-_BEHAVIOR_ENTROPY_ORACLE = """
-WITH c AS (
-  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id, event_type
-), p AS (
-  SELECT user_id,
-         CAST(SUM(n) AS BIGINT) AS n_events,
-         CAST(COUNT(*) AS BIGINT) AS n_types,
-         list_reduce(
-           list_prepend(0.0::DOUBLE,
-             list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
-                  ORDER BY event_type)),
-           (acc, t) -> acc + t) AS sum_nlnn
-  FROM c GROUP BY user_id
-)
-SELECT user_id, n_events, n_types,
-       ROUND(ln(CAST(n_events AS DOUBLE))
-         - sum_nlnn / CAST(n_events AS DOUBLE), 6) AS entropy_nats,
-       CASE WHEN n_types > 1 THEN
-         ROUND((ln(CAST(n_events AS DOUBLE))
-            - sum_nlnn / CAST(n_events AS DOUBLE))
-           / ln(CAST(n_types AS DOUBLE)), 6)
-       END AS evenness
-FROM p ORDER BY user_id
-"""
-
-
-@register("behavior_entropy", _BEHAVIOR_ENTROPY_ORACLE)
-def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user Shannon entropy of the event-type mix (plus Pielou
-    evenness H/ln(k)) — the behavioral-diversity feature a churn or
-    bot-detection model consumes. H = ln(N) − (Σ nᵢ·ln nᵢ)/N from EXACT
-    integer type counts, with the Σ computed as a sequential fold over
-    the type-sorted array (F.aggregate ↔ list_reduce) so the float
-    accumulation order is pinned on both engines — a grouped double SUM
-    would accumulate in partition order and break the hash oracle.
-
-    Scale shape: two hash aggregates, both map-side combinable; the
-    fold runs over ≤|event-type| elements per user (bounded, tiny).
-    The reference has no information-theoretic surface (its per-user
-    report is count/sum only, reference: scripts/build_user_metrics.py)."""
-    ev = read_events(spark, sf_dir)
-    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    n_d = F.col("n_events").cast("double")
-    k_d = F.col("n_types").cast("double")
-    h = F.log(n_d) - F.col("sum_nlnn") / n_d
-    return (
-        c.groupBy("user_id")
-        .agg(
-            F.sum("n").cast("long").alias("n_events"),
-            F.count("*").cast("long").alias("n_types"),
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct("event_type", "n"))
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc
-                + t["n"].cast("double") * F.log(t["n"].cast("double")),
-            ).alias("sum_nlnn"),
-        )
-        .select(
-            "user_id",
-            "n_events",
-            "n_types",
-            # ROUND(6) rides over the last-ulp ln() divergence between
-            # Java Math.log and libm (ln(74) differs by 1 ulp) — the
-            # same trick as value_drift_psi's ROUND(4)
-            F.round(h, 6).alias("entropy_nats"),
-            F.when(
-                F.col("n_types") > 1, F.round(h / F.log(k_d), 6)
-            ).alias("evenness"),
-        )
-        .orderBy("user_id")
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -225,7 +225,7 @@ class TestAbcClasses:
 
 class TestRakeKeyphrases:
     def test_matches_pure_python_rake(self, spark):
-        from ecommerce_event_pipeline_spark.registry import _RAKE_STOPWORDS
+        from ecommerce_event_pipeline_spark.queries.corpus import _RAKE_STOPWORDS
 
         docs = _duck("SELECT doc_id, text FROM documents")
         expected = {}
