@@ -72,6 +72,7 @@ def main() -> None:
     read_events(spark, sf_dir).count()
     for base in registry.SHARED_BASES:
         base(spark, sf_dir).count()
+    _engine_primer(spark, sf_dir)
     warmup = round(time.perf_counter() - t_warm, 3)
 
     load_start = round(os.getloadavg()[0], 1)
@@ -116,6 +117,60 @@ def main() -> None:
     print(probe)
     print(line)
     spark.stop()
+
+
+def _engine_primer(spark, sf_dir: str) -> None:
+    """Untimed JIT/codegen primer, part of warmup_sec.
+
+    Whichever queries sit FIRST in the timed loop pay the generic JVM
+    ramp — janino codegen compilation, shuffle writer/reader C2
+    compilation, window-exec and broadcast machinery, and (worst) the
+    Structured Streaming micro-batch engine — measured at 1.5-2x on the
+    first ~10 seats in both r10 runs (value_drift_psi 2.90 s in-run vs
+    1.42 s standalone-warm; streaming_session_expiry 6.2 vs 4.6) while
+    seats 11+ sat at their standalone numbers. These are session costs,
+    not query costs, and they made per-seat times depend on rotation
+    order. The primer exercises each path ONCE with inline jobs that
+    match no registered query, so no seat inherits a warm cached plan
+    the others lack — only the shared engine gets warm."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).limit(50_000)
+    # hash-aggregate + shuffle + window-exec + broadcast-join paths
+    ev.groupBy("event_type").count().collect()
+    ev.select(
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("r")
+    ).where(F.col("r") == 1).collect()
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 3)], "t string, k int"
+    )
+    ev.join(F.broadcast(dim), ev.event_type == dim.t).count()
+    # micro-batch streaming engine (state store, MicroBatchExecution):
+    # one availableNow file-stream batch into a throwaway memory sink
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.limit(1_000).write.mode("overwrite").parquet(f"{tmp}/in")
+        q = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{tmp}/in").schema
+            )
+            .parquet(f"{tmp}/in")
+            .groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName("bench_primer")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.dropTempView("bench_primer")
 
 
 def stall_ratios(
