@@ -119,3 +119,14 @@ def test_stall_ratios_skips_sub50ms_reference_entries():
     # synthetic names are absent from it, so the dict must be empty and
     # the summary None (no divide-by-tiny blowups)
     assert ratios == {} and summary is None
+
+
+def test_engine_primer_runs_on_a_live_session(spark):
+    """The primer executes real engine paths (window, broadcast join,
+    one streaming micro-batch); a PySpark API drift here would kill
+    every bench run at warmup, so exercise it in the suite."""
+    bench._engine_primer(spark, "/root/testdata/sf0.001")
+    # the throwaway memory sink must not leak into the catalog
+    assert not any(
+        t.name == "bench_primer" for t in spark.catalog.listTables()
+    )
