@@ -241,4 +241,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1:  # takes no arguments; don't launch Spark on --help
+        print(__doc__)
+        print("usage: python tools/explain_audit.py   (no arguments)")
+        sys.exit(0 if sys.argv[1] in ("-h", "--help") else 2)
     main()
