@@ -83,7 +83,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     load_end = round(os.getloadavg()[0], 1)
 
-    ratios, ratio_summary = stall_ratios(timings)
+    ratios, ratio_summary = stall_ratios(timings, sf)
     total = round(sum(timings.values()), 3)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
@@ -175,6 +175,7 @@ def _engine_primer(spark, sf_dir: str) -> None:
 
 def stall_ratios(
     timings: dict[str, float],
+    sf: float | None = None,
 ) -> tuple[dict[str, float], dict | None]:
     """Per-query ratio of THIS run vs the latest committed local record
     (`bench_local_r*.json`), so a host-stall-inflated driver record is
@@ -199,7 +200,14 @@ def stall_ratios(
     ref_path = recs[-1]
     try:
         with open(ref_path) as f:
-            ref = json.load(f).get("queries", {})
+            rec = json.load(f)
+        ref = rec.get("queries", {})
+        # a ratio against a record taken at a DIFFERENT scale factor is
+        # not stall evidence — it's the scale difference. Skip rather
+        # than mislead (sf=None on either side disables the guard-able
+        # comparison too).
+        if sf is None or rec.get("sf") != sf:
+            return {}, None
     except Exception:
         return {}, None
     ratios = {

@@ -111,14 +111,31 @@ def test_pathological_ratio_query_name_is_clamped():
     assert len(payload["queries"]) + payload.get("dropped", 0) == 50
 
 
-def test_stall_ratios_skips_sub50ms_reference_entries():
-    """Ratios on sub-50 ms committed entries are timer noise, not stall
-    evidence — stall_ratios must skip them and summarize the rest."""
-    ratios, summary = bench.stall_ratios({"a": 1.0, "b": 2.0, "c": 9.0})
-    # the repo carries at least one committed bench_local_r*.json; the
-    # synthetic names are absent from it, so the dict must be empty and
-    # the summary None (no divide-by-tiny blowups)
+def test_stall_ratios_skips_unknown_names_and_foreign_sf():
+    """stall_ratios must only compare apples: names missing from the
+    committed record (or with sub-50 ms committed times) are skipped,
+    and a run at a DIFFERENT scale factor than the committed record
+    yields no ratios at all — a cross-sf ratio is scale difference,
+    not stall evidence."""
+    # committed records are at sf0.1; synthetic names absent from them
+    ratios, summary = bench.stall_ratios(
+        {"a": 1.0, "b": 2.0, "c": 9.0}, sf=0.1
+    )
     assert ratios == {} and summary is None
+    # real names, but a foreign sf: guard must refuse the comparison
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = sorted(glob.glob(os.path.join(repo, "bench_local_r*.json")))[-1]
+    rec = json.load(open(latest))
+    real = dict(
+        [(n, t) for n, t in rec["queries"].items() if t >= 0.1][:3]
+    )
+    ratios, summary = bench.stall_ratios(real, sf=0.01)
+    assert ratios == {} and summary is None
+    # same sf and real names: ratios of the record against itself are 1
+    ratios, summary = bench.stall_ratios(real, sf=rec["sf"])
+    assert summary is not None and summary["med"] == 1.0
 
 
 def test_engine_primer_runs_on_a_live_session(spark):
