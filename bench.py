@@ -191,13 +191,19 @@ def stall_ratios(
     import statistics
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    # only round-numbered records qualify as the reference — a committed
+    # forensics file like bench_local_raw.json would match the glob and
+    # crash the int() sort after the whole timed loop already ran
     recs = sorted(
-        glob.glob(os.path.join(repo, "bench_local_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(repo, "bench_local_r*.json"))
+            if (m := re.fullmatch(r"bench_local_r(\d+)\.json", os.path.basename(p)))
+        ),
     )
     if not recs:
         return {}, None
-    ref_path = recs[-1]
+    ref_path = recs[-1][1]
     try:
         with open(ref_path) as f:
             rec = json.load(f)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import dedup, text
 from ..sources.readers import read_table
 from ..registry_core import register
-from ..registry import (  # pre-split shared helpers
+from ..shared_bases import (  # shared dedup bases (no registry import)
     _DEDUP_CLUSTERS_ORACLE,
     _minhash_candidates_shared,
     _ngram_pairs_shared,

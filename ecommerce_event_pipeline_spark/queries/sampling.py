@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import curation, similarity
 from ..sources.readers import read_events, read_table
 from ..registry_core import register
-from ..registry import (  # pre-split shared helpers
+from ..shared_bases import (  # shared dedup bases (no registry import)
     _ngram_pairs_shared,
 )
 

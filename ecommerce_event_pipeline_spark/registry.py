@@ -51,6 +51,21 @@ from .registry_core import (  # noqa: F401
     register,
 )
 
+# Shared dedup bases live in shared_bases so queries/ submodules can
+# import them without touching this module (import-cycle fix, r10
+# review). Re-exported here: tests and older callers address them as
+# registry._shingle_sets_shared / registry._SHINGLE_CACHE etc., and the
+# re-export binds the SAME cache dict objects.
+from .shared_bases import (  # noqa: E402,F401
+    _DEDUP_CLUSTERS_ORACLE,
+    _MINHASH_CAND_CACHE,
+    _NGRAM_PAIRS_CACHE,
+    _SHINGLE_CACHE,
+    _minhash_candidates_shared,
+    _ngram_pairs_shared,
+    _shingle_sets_shared,
+)
+
 
 # ---------------------------------------------------------------------------
 # Event-log marts (SURVEY §2.4 A1–A10, §2.5 W1, §2.6 O1–O3) mapped onto the
@@ -1022,68 +1037,8 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _shingle_sets_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Shared shingle scan for the dedup family: the shingle transform is
-    the dominant per-doc cost and three registered queries (exact Jaccard,
-    corpus dedup, MinHash) consume the same k=3 sets — with
-    ``SPARK_GRAFT_CACHE_EVENTS=1`` (bench) it is computed once and served
-    from cache, the same sharing the reference applies across its marts."""
-    import os
-
-    from .sources.readers import session_key
-
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = session_key(spark, sf_dir, str(k))
-    if cache_on and key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
-    sets_df = dedup.shingle_sets(read_table(spark, sf_dir, "documents"), k)
-    # barrier for exchange reuse when several plan branches consume it
-    sets_df = sets_df.repartition("doc_id")
-    if cache_on:
-        _SHINGLE_CACHE[key] = sets_df.cache()
-        return _SHINGLE_CACHE[key]
-    return sets_df
-
-
-_NGRAM_PAIRS_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared exact-Jaccard pair table (k=3, df≤50 universe, θ=0.2 — the
-    lowest threshold any registry consumer uses): eight queries re-derive
-    this same shingle-self-join + group-by, so under
-    ``SPARK_GRAFT_CACHE_EVENTS=1`` (bench) it is computed once and
-    higher-threshold consumers (0.5 leakage, 0.6 corpus dedup) filter
-    the cached rounded ``jaccard`` — bit-identical to filtering inside
-    the join, since the threshold predicate is the last step either
-    way.
-
-    Sharing pays HERE (11 consumers; family ~48 s → ~28 s, r7) but the
-    r8 A/B proved it is a LOSS at 2–3 consumers: the shared HLL register
-    base measured 12–16 s vs ~10 s direct, the shared basket-pair table
-    13–15 s vs 10–13 s (fresh sessions, min over repeats) — the cache
-    materialization barrier breaks partial-agg fusion into each consumer.
-    Rule of thumb (docs/SCALING.md "Cross-query base sharing"): don't
-    extend this pattern below ≈5 consumers without new measurements."""
-    import os
-
-    from .sources.readers import session_key
-
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = session_key(spark, sf_dir, "ngram-pairs-3-50-02")
-    if cache_on and key in _NGRAM_PAIRS_CACHE:
-        return _NGRAM_PAIRS_CACHE[key]
-    pairs = dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), k=3, threshold=0.2,
-        max_df=50, sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
-    if cache_on:
-        _NGRAM_PAIRS_CACHE[key] = pairs.cache()
-        return _NGRAM_PAIRS_CACHE[key]
-    return pairs
 
 
 @register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE)
@@ -1167,31 +1122,6 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
-_MINHASH_CAND_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _minhash_candidates_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared LSH candidate-pair table (64 hashes × 16 bands, k=3): the
-    signature scan dominates both consumers (the verify pipeline and the
-    precision/recall audit), so under ``SPARK_GRAFT_CACHE_EVENTS=1``
-    (bench) it is computed once — same sharing as
-    ``_shingle_sets_shared`` / ``_ngram_pairs_shared``."""
-    import os
-
-    from .sources.readers import session_key
-
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_EVENTS") == "1"
-    key = session_key(spark, sf_dir, "minhash-cands-64-16-3")
-    if cache_on and key in _MINHASH_CAND_CACHE:
-        return _MINHASH_CAND_CACHE[key]
-    cands = dedup.minhash_lsh_candidates(
-        read_table(spark, sf_dir, "documents"), num_hashes=64, bands=16,
-        k=3, sets_df=_shingle_sets_shared(spark, sf_dir, 3),
-    )
-    if cache_on:
-        _MINHASH_CAND_CACHE[key] = cands.cache()
-        return _MINHASH_CAND_CACHE[key]
-    return cands
 
 
 @register("minhash_near_dupes", _minhash_near_dupes_oracle())
@@ -1309,54 +1239,6 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTERS_ORACLE = """
-WITH RECURSIVE t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM t
-),
-ex0 AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-),
-rare AS (
-  SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50
-),
-ex AS (
-  SELECT doc_id, shingle,
-         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
-  FROM ex0 JOIN rare USING (shingle)
-),
-pairs AS (
-  SELECT doc_id_1, doc_id_2 FROM (
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(a.cnt + b.cnt - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a
-    JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
-  )
-  WHERE jaccard >= 0.2
-),
-edges AS (
-  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
-  UNION ALL
-  SELECT doc_id_2, doc_id_1 FROM pairs
-),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
-)
-SELECT doc_id, MIN(r) AS cluster_id
-FROM reach
-GROUP BY 1
-ORDER BY 1
-"""
 
 
 @register("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)

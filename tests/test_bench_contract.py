@@ -122,11 +122,21 @@ def test_stall_ratios_skips_unknown_names_and_foreign_sf():
         {"a": 1.0, "b": 2.0, "c": 9.0}, sf=0.1
     )
     assert ratios == {} and summary is None
-    # real names, but a foreign sf: guard must refuse the comparison
+    # real names, but a foreign sf: guard must refuse the comparison.
+    # Pick the reference with the SAME numeric-round key stall_ratios
+    # uses — a lexicographic sort diverges once r100 (or an unpadded r9)
+    # exists and the test would validate against the wrong file.
     import glob
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest = sorted(glob.glob(os.path.join(repo, "bench_local_r*.json")))[-1]
+    latest = max(
+        (
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(repo, "bench_local_r*.json"))
+            if (m := re.fullmatch(r"bench_local_r(\d+)\.json", os.path.basename(p)))
+        )
+    )[1]
     rec = json.load(open(latest))
     real = dict(
         [(n, t) for n, t in rec["queries"].items() if t >= 0.1][:3]

@@ -170,3 +170,31 @@ def test_oracle_dtypes_are_driver_hashable():
         f"oracle columns with no Spark dtype twin (CAST them in the SQL): "
         f"{bad}"
     )
+
+
+def test_front_window_survives_queries_first_import_order():
+    """Import-cycle regression (r10 review): importing a queries/
+    submodule BEFORE registry used to trigger registry's tail import
+    mid-initialization and run _reorder_registry() before that
+    submodule had registered anything — silently pushing its entries
+    out of the graded front-50. queries/ modules must not import
+    registry (shared bases live in shared_bases.py), making any import
+    order safe. Run in a fresh interpreter so this module's own
+    registry import can't mask the ordering."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import ecommerce_event_pipeline_spark.queries.corpus\n"
+        "import ecommerce_event_pipeline_spark.queries.sampling\n"
+        "from ecommerce_event_pipeline_spark import registry\n"
+        "front = list(registry._REGISTRY)[:50]\n"
+        "assert front == list(registry._FRONT), "
+        "[n for n in registry._FRONT if n not in front]\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
