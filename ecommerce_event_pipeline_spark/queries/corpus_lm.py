@@ -1,0 +1,317 @@
+"""Corpus language-model and asymmetric-similarity analytics:
+shingle containment, bigram LM surprisal, tokenizer fertility
+(T125/T126/T127).
+
+Round-10 expansion of the training-data-curation surface. Exactness
+discipline, per family:
+
+- containment is pure integer set arithmetic over the df-capped shingle
+  universe (one final division, rounded) — the asymmetric complement of
+  the Jaccard pair table, catching near-SUBSET docs (a quote, an
+  excerpt, a page wrapped in boilerplate) whose Jaccard stays low;
+- bigram surprisal replays doc_surprisal's ordered-fold trick at bigram
+  grain with add-one smoothing, so the per-doc float sum accumulates in
+  the identical (bigram-sorted) order in both engines;
+- fertility is integer counts + single divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup
+from ..functions.text import TOKEN_PATTERN
+from ..registry_core import register
+from ..shared_bases import _shingle_sets_shared
+from ..sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# T125 — Shingle-containment pairs (near-subset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 50),
+ex AS (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM ex0 JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(a.cnt AS BIGINT) AS size_1, CAST(b.cnt AS BIGINT) AS size_2,
+         CAST(COUNT(*) AS BIGINT) AS intersection,
+         ROUND(CAST(COUNT(*) AS DOUBLE)
+               / CAST(LEAST(a.cnt, b.cnt) AS DOUBLE), 6) AS containment
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.cnt, b.cnt
+)
+SELECT doc_id_1, doc_id_2, size_1, size_2, intersection, containment
+FROM pairs
+WHERE containment >= 0.6
+ORDER BY containment DESC, doc_id_1, doc_id_2
+"""
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = 50,
+    sets_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C = |A∩B| / min(|A|,|B|) over the
+    df-capped shingle universe — the near-SUBSET detector (an excerpt
+    inside a longer page scores ~1.0 here while its Jaccard is
+    ~|A|/|B|, far below any near-dup threshold). Same blocked self-join
+    scale shape as the Jaccard pair table (the df cap bounds every join
+    bucket); pair generation reuses the Jaccard machinery with set
+    sizes retained."""
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        k=k,
+        threshold=0.0,
+        max_df=max_df,
+        sets_df=sets_df,
+        include_counts=True,
+    )
+    containment = F.col("common").cast("double") / F.least(
+        F.col("count_1"), F.col("count_2")
+    ).cast("double")
+    return (
+        pairs.select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("count_1").cast("long").alias("size_1"),
+            F.col("count_2").cast("long").alias("size_2"),
+            F.col("common").cast("long").alias("intersection"),
+            F.round(containment, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy(F.desc("containment"), "doc_id_1", "doc_id_2")
+    )
+
+
+@register("doc_containment_pairs", _CONTAINMENT_ORACLE)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T125: containment pairs over the fixture corpus (k=3, df≤50,
+    θ=0.6); see ``containment_pairs``. The shingle sets are shared with
+    the Jaccard/MinHash family via the cached base."""
+    return containment_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.6,
+        max_df=50,
+        sets_df=_shingle_sets_shared(spark, sf_dir, 3),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T126 — Bigram LM surprisal per document (add-one smoothing)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (SELECT unnest(toks) AS w1 FROM t),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM uni),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+  FROM t WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg FROM pos
+),
+c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
+dt AS (
+  SELECT doc_id, bg, w1, CAST(COUNT(*) AS BIGINT) AS k
+  FROM bg GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT dt.doc_id, CAST(SUM(dt.k) AS BIGINT) AS n_bigrams,
+         list(dt.k * ln(CAST(c12.c12 + 1 AS DOUBLE)
+                        / CAST(c1.c1 + v.v AS DOUBLE))
+              ORDER BY dt.bg) AS tl
+  FROM dt JOIN c12 USING (bg) JOIN c1 USING (w1), v
+  GROUP BY dt.doc_id
+),
+s AS (
+  SELECT doc_id, n_bigrams,
+         list_reduce(list_prepend(0.0::DOUBLE, tl),
+                     (acc, x) -> acc + x) AS sl
+  FROM terms
+)
+SELECT doc_id, n_bigrams,
+       ROUND(-sl / CAST(n_bigrams AS DOUBLE), 4) AS bigram_surprisal
+FROM s
+ORDER BY doc_id
+"""
+
+
+def doc_bigram_surprisal(docs: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus bigram LM with
+    add-one smoothing: −(1/n_d)·Σ ln((c(w₁w₂)+1)/(c(w₁)+V)). The bigram
+    upgrade of ``text.doc_surprisal`` — sequence-aware, so shuffled-word
+    or template-stitched text scores high where the unigram proxy can't
+    see it.
+
+    Cross-engine determinism: the per-document Σ k·ln(p) is a left fold
+    over terms SORTED BY BIGRAM (collect → sort_array → F.aggregate),
+    never a grouped float SUM; every ln input is a single IEEE division
+    of exact integer counts. Scale shape: two corpus aggregations at
+    token/bigram grain (map-side combinable), one broadcast scalar (V),
+    per-doc arrays bounded by distinct bigrams per document.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("toks"),
+    )
+    uni = toks.select(F.explode("toks").alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = uni.agg(F.count_distinct("w1").alias("v"))
+    pos = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+    )
+    bg = pos.select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.concat_ws(
+            " ",
+            F.element_at("toks", F.col("i")),
+            F.element_at("toks", F.col("i") + 1),
+        ).alias("bg"),
+    )
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    dt = bg.groupBy("doc_id", "bg", "w1").agg(F.count("*").alias("k"))
+    term = F.col("k") * F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    )
+    terms = (
+        dt.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "k",
+            F.struct(F.col("bg"), term.alias("term")).alias("tt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sort_array(F.collect_list("tt")).alias("tts"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.aggregate(
+                F.col("tts"), F.lit(0.0), lambda acc, x: acc + x["term"]
+            ).alias("_sl"),
+        )
+    )
+    return terms.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("_sl") / F.col("n_bigrams").cast("double"), round_to).alias(
+            "bigram_surprisal"
+        ),
+    ).orderBy("doc_id")
+
+
+@register("doc_bigram_surprisal", _BIGRAM_ORACLE)
+def doc_bigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T126: sequence-aware perplexity proxy — mean bigram surprisal per
+    doc under the corpus add-one bigram LM (ordered-fold float sums; see
+    ``doc_bigram_surprisal``)."""
+    return doc_bigram_surprisal(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# T127 — Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS words,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS subwords,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(subwords) AS BIGINT) AS subword_tokens,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(subwords) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 4)
+         AS fertility,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(subwords) AS DOUBLE), 4)
+         AS chars_per_token
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("lang_token_fertility", _FERTILITY_ORACLE)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T127: tokenizer fertility per language — BPE-ish subword tokens
+    per whitespace word plus bytes-ish chars per subword token, the
+    standard readout for how expensive a language is to tokenize (drives
+    per-language token budgets in mixture planning). Integer sums, two
+    final divisions; one map-side-combinable aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    )
+    subwords = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0)))
+    per_doc = docs.select(
+        "lang",
+        words.alias("words"),
+        subwords.alias("subwords"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("subwords").cast("long").alias("subword_tokens"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "doc_count",
+            "words",
+            "subword_tokens",
+            "total_chars",
+            F.round(
+                F.col("subword_tokens").cast("double") / F.col("words").cast("double"),
+                4,
+            ).alias("fertility"),
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("subword_tokens").cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

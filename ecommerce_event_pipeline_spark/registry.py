@@ -3785,6 +3785,8 @@ from .queries import (  # noqa: E402,F401
     ann as _q_ann,
     behavior as _q_behavior,
     corpus as _q_corpus,
+    corpus_lm as _q_corpus_lm,
+    lifecycle as _q_lifecycle,
     olap_deep as _q_olap_deep,
     sampling as _q_sampling,
     sketches as _q_sketches,
