@@ -315,3 +315,122 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# T130 — NPMI token co-occurrence pairs
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_filter(string_split(lower(text), ' '), x -> x <> '')))
+           AS token
+  FROM documents
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM t GROUP BY 1 HAVING COUNT(*) >= 5
+),
+kept AS (SELECT t.doc_id, t.token, df.df FROM t JOIN df USING (token)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b,
+         a.df AS df_a, b.df AS df_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_docs
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT token_a, token_b, df_a, df_b, pair_docs,
+         ln(CAST(pair_docs AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+            / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)))
+         / (ln(CAST(n.n_docs AS DOUBLE)) - ln(CAST(pair_docs AS DOUBLE)))
+           AS npmi
+  FROM pairs, n
+  WHERE pair_docs < n.n_docs
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY npmi DESC, token_a, token_b) AS r
+  FROM scored
+)
+SELECT token_a, token_b, df_a, df_b, pair_docs, ROUND(npmi, 4) AS npmi
+FROM rk WHERE r <= 50
+ORDER BY npmi DESC, token_a, token_b
+"""
+
+
+@register("token_pmi_pairs", _PMI_ORACLE)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T130: top word associations by normalized PMI over document
+    co-occurrence — the collocation/phrase-mining statistic. The df
+    floor (≥5) keeps estimates stable and pair support ≥5 prunes noise;
+    the pair join keys on doc_id, so its volume is Σ (distinct tokens
+    per doc choose 2) — bounded by per-document vocabulary exactly like
+    basket_pairs, NOT by token df (no hot buckets; a per-doc top-m
+    vocabulary cut is the valve for adversarial corpora). NPMI =
+    PMI / −ln p(a,b), a fixed single-op tree over exact integer counts;
+    pairs present in every document are excluded (denominator zero —
+    they carry no association signal anyway). Ranking uses the raw
+    (pre-round) score with lexicographic tiebreaks, the same discipline
+    as lang_distinctive_terms."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("token"),
+    )
+    df = (
+        t.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 5)
+    )
+    kept = t.join(df, "token")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    a = kept.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = kept.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count("*").alias("pair_docs"))
+        .where(F.col("pair_docs") >= 5)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    npmi = F.log(d("pair_docs") * d("n_docs") / (d("df_a") * d("df_b"))) / (
+        F.log(d("n_docs")) - F.log(d("pair_docs"))
+    )
+    ranked = (
+        pairs.crossJoin(F.broadcast(n))
+        .where(F.col("pair_docs") < F.col("n_docs"))
+        .withColumn("_npmi", npmi)
+        .orderBy(F.desc("_npmi"), "token_a", "token_b")
+        .limit(50)
+    )
+    return (
+        ranked
+        .select(
+            "token_a",
+            "token_b",
+            "df_a",
+            "df_b",
+            "pair_docs",
+            F.round("_npmi", 4).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), "token_a", "token_b")
+    )

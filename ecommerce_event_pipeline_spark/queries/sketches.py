@@ -589,3 +589,100 @@ def streaming_histogram_quantiles(
     from ..streaming import jobs
 
     return jobs.run_streaming_histogram_quantiles(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# T131 — KMV (bottom-k) distinct-count sketch per day
+# ---------------------------------------------------------------------------
+
+_KMV_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS event_date,
+         CAST(('0x' || substr(md5('kmv#' || user_id), 1, 8)) AS BIGINT) AS hv
+  FROM events
+),
+rn AS (
+  SELECT event_date, hv,
+         row_number() OVER (PARTITION BY event_date ORDER BY hv) AS r
+  FROM h
+),
+st AS (
+  SELECT event_date,
+         CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         MAX(CASE WHEN r = 64 THEN hv END) AS kth
+  FROM rn GROUP BY 1
+),
+ex AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT st.event_date,
+       ex.exact_users,
+       CASE WHEN st.n_hashes < 64 THEN st.n_hashes ELSE 64 END AS sketch_size,
+       ROUND(CASE WHEN st.kth IS NULL THEN CAST(st.n_hashes AS DOUBLE)
+             ELSE 63.0 * 4294967296.0 / CAST(st.kth AS DOUBLE) END, 4)
+         AS kmv_estimate,
+       CAST(ROUND((CASE WHEN st.kth IS NULL THEN CAST(st.n_hashes AS DOUBLE)
+                   ELSE 63.0 * 4294967296.0 / CAST(st.kth AS DOUBLE) END
+                   - CAST(ex.exact_users AS DOUBLE))
+                  * 1000000.0 / CAST(ex.exact_users AS DOUBLE)) AS BIGINT)
+         AS err_ppm
+FROM st JOIN ex USING (event_date)
+ORDER BY st.event_date
+"""
+
+
+@register("kmv_daily_users", _KMV_ORACLE)
+def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T131: KMV / bottom-k distinct-user sketch per day (k=64) next to
+    the exact count and the signed error in ppm — the order-statistics
+    alternative to the HLL family (T47/T69/T96): the sketch state is
+    the k smallest hash values, EXACTLY mergeable (bottom-k of a union
+    = bottom-k of the two bottom-k sets, pinned in pytest), and the
+    estimator is (k−1)·2³²/h₍ₖ₎, exact-exhaustive below k. The hash is
+    the engine-portable salted md5 prefix (functions/hashing.py), so
+    the oracle replays every hash bit. This formulation ranks the full
+    per-day hash set (one shuffle + per-day sort); the production
+    bounded-state path keeps a k-slot accumulator per partition and
+    merges (the exact mergeability above is what licenses that), which
+    the window form here is the oracle-checkable twin of."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_prefix_long
+
+    events = read_events(spark, sf_dir)
+    h = events.select(
+        "event_date", md5_prefix_long("kmv", F.col("user_id")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_date").orderBy("hv")
+    rn = h.withColumn("r", F.row_number().over(w))
+    st = rn.groupBy("event_date").agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        F.max(F.when(F.col("r") == 64, F.col("hv"))).alias("kth"),
+    )
+    ex = events.groupBy("event_date").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    est = F.when(
+        F.col("kth").isNull(), F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(63.0) * F.lit(4294967296.0) / F.col("kth").cast("double"))
+    return (
+        st.join(ex, "event_date")
+        .select(
+            "event_date",
+            "exact_users",
+            F.when(F.col("n_hashes") < 64, F.col("n_hashes"))
+            .otherwise(F.lit(64).cast("long"))
+            .alias("sketch_size"),
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(
+                (est - F.col("exact_users").cast("double"))
+                * 1000000.0
+                / F.col("exact_users").cast("double")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("event_date")
+    )

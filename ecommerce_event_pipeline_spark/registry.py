@@ -3786,6 +3786,7 @@ from .queries import (  # noqa: E402,F401
     behavior as _q_behavior,
     corpus as _q_corpus,
     corpus_lm as _q_corpus_lm,
+    experiments as _q_experiments,
     lifecycle as _q_lifecycle,
     olap_deep as _q_olap_deep,
     sampling as _q_sampling,
