@@ -1980,3 +1980,150 @@ def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T135 — Time-decay multi-touch attribution (exact power-of-two weights)
+# ---------------------------------------------------------------------------
+
+_TIME_DECAY_ATTR_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'add_to_cart')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.t_ts, t.t_id, t.event_type AS channel,
+         CASE WHEN t.t_id IS NULL THEN NULL
+              ELSE 1 << CAST(7 - date_diff('second', t.t_ts, p.p_ts) // 86400
+                             AS INTEGER) END AS w
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+r AS (
+  SELECT p_id, cents, t_id, channel, w,
+         CASE WHEN t_id IS NULL THEN NULL
+              ELSE ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id)
+         END AS rk,
+         SUM(w) OVER (PARTITION BY p_id) AS tw
+  FROM j
+),
+b AS (
+  SELECT p_id, cents, t_id, channel, rk,
+         CASE WHEN t_id IS NULL THEN cents * 1000000
+              ELSE (cents * 1000000 * w) // tw END AS base
+  FROM r
+),
+s AS (
+  SELECT COALESCE(channel, '(none)') AS channel, p_id,
+         base + CASE WHEN t_id IS NOT NULL AND
+                          rk <= cents * 1000000
+                                - SUM(base) OVER (PARTITION BY p_id)
+                     THEN 1 ELSE 0 END AS share_micro,
+         CASE WHEN t_id IS NULL THEN 0 ELSE 1 END AS is_touch
+  FROM b
+)
+SELECT channel,
+       CAST(SUM(share_micro) AS BIGINT) AS attributed_microcents,
+       ROUND(SUM(share_micro) / 100000000.0, 2) AS attributed_revenue,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS conversions,
+       CAST(SUM(is_touch) AS BIGINT) AS touches
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("time_decay_attribution", _TIME_DECAY_ATTR_ORACLE)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T135: time-decay multi-touch attribution over the 7-day lookback —
+    recent touches earn exponentially more credit with a one-day
+    half-life. The decay weights are EXACT powers of two (w = 2^(7−Δdays),
+    Δdays = whole days between touch and purchase), so the proportional
+    split is pure integer arithmetic at micro-cent grain with
+    largest-remainder completion ordered most-recent-first: revenue is
+    conserved to the micro-cent and both engines replay the identical
+    divisions (the conventional exp(−λΔt) weights would make every
+    per-channel sum an order-dependent float accumulation). Same
+    per-user-bounded join shape as `linear_attribution`; completes the
+    attribution family (first-touch / linear / time-decay)."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.where(
+        F.col("event_type").isin("view", "click", "add_to_cart")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).select(
+        "p_id",
+        "cents",
+        "t_ts",
+        "t_id",
+        "channel",
+        F.when(
+            F.col("t_id").isNotNull(),
+            # shiftleft() takes a plain int for numBits → spell it in SQL
+            F.expr(
+                "cast(shiftleft(1, cast(7 - ((unix_timestamp(p_ts)"
+                " - unix_timestamp(t_ts)) div 86400) as int)) as bigint)"
+            ),
+        ).alias("w"),
+    )
+    wrk = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), "t_id")
+    r = j.select(
+        "p_id",
+        "cents",
+        "t_id",
+        "channel",
+        "w",
+        F.when(F.col("t_id").isNotNull(), F.row_number().over(wrk)).alias("rk"),
+        F.sum("w").over(Window.partitionBy("p_id")).alias("tw"),
+    )
+    base = F.when(
+        F.col("t_id").isNull(), F.col("cents") * 1000000
+    ).otherwise(F.expr("(cents * 1000000 * w) div tw"))
+    b = r.select("p_id", "cents", "t_id", "channel", "rk", base.alias("base"))
+    leftover = F.col("cents") * 1000000 - F.sum("base").over(
+        Window.partitionBy("p_id")
+    )
+    share = F.col("base") + F.when(
+        F.col("t_id").isNotNull() & (F.col("rk") <= leftover), 1
+    ).otherwise(0)
+    s_df = b.select(
+        F.coalesce("channel", F.lit("(none)")).alias("channel"),
+        "p_id",
+        share.alias("share_micro"),
+        F.when(F.col("t_id").isNull(), 0).otherwise(1).alias("is_touch"),
+    )
+    return (
+        s_df.groupBy("channel")
+        .agg(
+            F.sum("share_micro").cast("long").alias("attributed_microcents"),
+            F.round(F.sum("share_micro") / 100000000.0, 2).alias(
+                "attributed_revenue"
+            ),
+            F.count_distinct("p_id").alias("conversions"),
+            F.sum("is_touch").cast("long").alias("touches"),
+        )
+        .orderBy("channel")
+    )

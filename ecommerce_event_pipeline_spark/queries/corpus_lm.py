@@ -434,3 +434,121 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("npmi"), "token_a", "token_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# T134 — Zipf rank-frequency slope per language
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+  FROM documents
+),
+c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+rk AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS r
+  FROM c
+),
+top AS (SELECT lang, cnt, r FROM rk WHERE r <= 200),
+arr AS (
+  SELECT lang,
+         list(ln(CAST(r AS DOUBLE)) ORDER BY r) AS xs,
+         list(ln(CAST(cnt AS DOUBLE)) ORDER BY r) AS ys,
+         list(ln(CAST(r AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) ORDER BY r) AS xys,
+         list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) ORDER BY r) AS xxs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM top GROUP BY lang
+),
+f AS (
+  SELECT lang, n,
+         list_reduce(list_prepend(0.0::DOUBLE, xs), (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend(0.0::DOUBLE, ys), (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend(0.0::DOUBLE, xys), (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0::DOUBLE, xxs), (a, x) -> a + x) AS sxx
+  FROM arr
+)
+SELECT lang, n AS n_ranks,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE), 4) AS intercept
+FROM f
+ORDER BY lang
+"""
+
+
+@register("zipf_lang_slope", _ZIPF_ORACLE)
+def zipf_lang_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T134: Zipf rank-frequency slope per language — OLS of ln(count)
+    on ln(rank) over the top-200 vocabulary, the classic corpus-health
+    diagnostic (natural text sits near −1; templated or synthetic text
+    drifts flat). Ranks come from the per-lang count window (the
+    lang_distinctive_terms precedent), and every float sum is an
+    ordered fold over the rank-sorted term arrays — the ln/product
+    terms are single-op derivations of exact integer counts, so both
+    engines accumulate identically. Output grain is one row per
+    language; the fold arrays are capped at 200 elements."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+            )
+        ).alias("token"),
+    )
+    c = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    top = (
+        c.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 200)
+    )
+    lnr = F.log(F.col("r").cast("double"))
+    lnc = F.log(F.col("cnt").cast("double"))
+    arr = (
+        top.select(
+            "lang",
+            F.struct(
+                F.col("r"),
+                lnr.alias("x"),
+                lnc.alias("y"),
+                (lnr * lnc).alias("xy"),
+                (lnr * lnr).alias("xx"),
+            ).alias("t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sort_array(F.collect_list("t")).alias("ts"),
+            F.count("*").alias("n"),
+        )
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        F.col("ts"), F.lit(0.0), lambda a, t: a + t[field]
+    )
+    f = arr.select(
+        "lang",
+        "n",
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    return f.select(
+        "lang",
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("intercept"),
+    ).orderBy("lang")

@@ -321,7 +321,7 @@ WITH views AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events WHERE event_type = 'view'
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.k AS src, b.k AS dst
   FROM views a JOIN views b
     ON a.user_id = b.user_id AND a.d = b.d AND a.k <> b.k
@@ -433,3 +433,196 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed_point(edges)
+
+
+# ---------------------------------------------------------------------------
+# T133 — HITS hub/authority scores over the view→purchase graph
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 10**6
+_HITS_ITERS = 3
+
+_HITS_ORACLE = """
+WITH pts AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.k AS src, b.k AS dst
+  FROM pts a JOIN pts b
+    ON a.user_id = b.user_id AND a.d = b.d
+   AND a.event_type = 'view' AND b.event_type = 'purchase'
+   AND a.k <> b.k
+),
+nodes AS MATERIALIZED (SELECT src AS k FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (SELECT k, CAST(1000000 AS BIGINT) AS h FROM nodes),
+a1r AS MATERIALIZED (
+  SELECT e.dst AS k, SUM(h.h) AS v FROM edges e JOIN h0 h ON h.k = e.src
+  GROUP BY e.dst
+),
+a1 AS MATERIALIZED (
+  SELECT n.k, COALESCE(a1r.v * 1000000 // (SELECT MAX(v) FROM a1r), 0) AS a
+  FROM nodes n LEFT JOIN a1r ON a1r.k = n.k
+),
+h1r AS MATERIALIZED (
+  SELECT e.src AS k, SUM(a.a) AS v FROM edges e JOIN a1 a ON a.k = e.dst
+  GROUP BY e.src
+),
+h1 AS MATERIALIZED (
+  SELECT n.k, COALESCE(h1r.v * 1000000 // (SELECT MAX(v) FROM h1r), 0) AS h
+  FROM nodes n LEFT JOIN h1r ON h1r.k = n.k
+),
+a2r AS MATERIALIZED (
+  SELECT e.dst AS k, SUM(h.h) AS v FROM edges e JOIN h1 h ON h.k = e.src
+  GROUP BY e.dst
+),
+a2 AS MATERIALIZED (
+  SELECT n.k, COALESCE(a2r.v * 1000000 // (SELECT MAX(v) FROM a2r), 0) AS a
+  FROM nodes n LEFT JOIN a2r ON a2r.k = n.k
+),
+h2r AS MATERIALIZED (
+  SELECT e.src AS k, SUM(a.a) AS v FROM edges e JOIN a2 a ON a.k = e.dst
+  GROUP BY e.src
+),
+h2 AS MATERIALIZED (
+  SELECT n.k, COALESCE(h2r.v * 1000000 // (SELECT MAX(v) FROM h2r), 0) AS h
+  FROM nodes n LEFT JOIN h2r ON h2r.k = n.k
+),
+a3r AS MATERIALIZED (
+  SELECT e.dst AS k, SUM(h.h) AS v FROM edges e JOIN h2 h ON h.k = e.src
+  GROUP BY e.dst
+),
+a3 AS MATERIALIZED (
+  SELECT n.k, COALESCE(a3r.v * 1000000 // (SELECT MAX(v) FROM a3r), 0) AS a
+  FROM nodes n LEFT JOIN a3r ON a3r.k = n.k
+),
+h3r AS MATERIALIZED (
+  SELECT e.src AS k, SUM(a.a) AS v FROM edges e JOIN a3 a ON a.k = e.dst
+  GROUP BY e.src
+),
+h3 AS MATERIALIZED (
+  SELECT n.k, COALESCE(h3r.v * 1000000 // (SELECT MAX(v) FROM h3r), 0) AS h
+  FROM nodes n LEFT JOIN h3r ON h3r.k = n.k
+)
+SELECT h3.k AS product_id,
+       CAST(h3.h AS BIGINT) AS hub_fp,
+       CAST(a3.a AS BIGINT) AS authority_fp,
+       ROUND(CAST(h3.h AS DOUBLE) / 1000000.0, 6) AS hub,
+       ROUND(CAST(a3.a AS DOUBLE) / 1000000.0, 6) AS authority
+FROM h3 JOIN a3 ON a3.k = h3.k
+ORDER BY authority_fp DESC, hub_fp DESC, product_id
+"""
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = _HITS_ITERS,
+    scale: int = _HITS_SCALE,
+) -> DataFrame:
+    """HITS hubs & authorities in BIGINT fixed-point. Per half-step the
+    raw score is an order-independent BIGINT sum over edges, then
+    normalized to [0, scale] by an exact integer ``v·scale div max(v)``
+    (a float L2 normalization would hash-drift). Max is a broadcast
+    1-row aggregate; nodes missing a side's edges score 0 via the left
+    join. Bounds: raw ≤ scale·max_degree, so the rescale product stays
+    < 2⁶³ for degrees below ~9·10⁶ at scale 10⁶. The score/raw tables
+    are node-grain (catalog-bounded), hence broadcast into the edge
+    join; for catalogs too wide to broadcast, drop the hints and the
+    same plan runs as shuffle joins.
+
+    Scale shape: each half-step is one edge-table join keyed on one
+    endpoint plus one groupBy on the other — same distributed shape as
+    PageRank; iteration count constant."""
+    h = nodes.select("k", F.lit(scale).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        # each half-step references its raw sum twice (max + rejoin), so
+        # an unmaterialized chain would double per step — 2^(2·iters)
+        # plan blowup. Score tables are nodes-sized (catalog-bounded),
+        # so the half-steps broadcast them (no shuffle per join) and one
+        # localCheckpoint per iteration keeps the lineage flat
+        # (measured 51 s → ~4 s at sf0.01).
+        a = _hits_half(edges, nodes, h, "src", "dst", "h", "a", scale)
+        h = _hits_half(edges, nodes, a, "dst", "src", "a", "h", scale).localCheckpoint()
+        a = a.localCheckpoint()
+    return (
+        h.join(a.withColumnRenamed("k", "ak"), F.col("k") == F.col("ak"))
+        .select(
+            F.col("k").alias("product_id"),
+            F.col("h").alias("hub_fp"),
+            F.col("a").alias("authority_fp"),
+            F.round(F.col("h").cast("double") / float(scale), 6).alias("hub"),
+            F.round(F.col("a").cast("double") / float(scale), 6).alias(
+                "authority"
+            ),
+        )
+        .orderBy(F.desc("authority_fp"), F.desc("hub_fp"), "product_id")
+    )
+
+
+def _hits_half(edges, nodes, scores, from_col, to_col, in_name, out_name, scale):
+    """One HITS half-step: push ``scores[in_name]`` along ``from_col`` →
+    ``to_col`` edges, sum per target, integer-renormalize to [0, scale]."""
+    raw = (
+        edges.join(F.broadcast(scores), edges[from_col] == scores["k"])
+        .groupBy(to_col)
+        .agg(F.sum(in_name).alias("v"))
+    )
+    mx = raw.agg(F.max("v").alias("mx"))
+    return (
+        nodes.join(
+            F.broadcast(raw.withColumnRenamed(to_col, "rk")),
+            F.col("k") == F.col("rk"),
+            "left",
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "k",
+            F.coalesce(
+                F.expr(f"v * {scale} div mx"), F.lit(0).cast("long")
+            ).alias(out_name),
+        )
+    )
+
+
+@register("hits_scores", _HITS_ORACLE)
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T133: HITS over the DIRECTED view→purchase graph (edge A→B when a
+    user viewed A and purchased B the same day): hubs are the gateway
+    products whose viewers go on to buy, authorities the purchase
+    targets. Three fixed-point iterations, all-integer arithmetic; the
+    oracle unrolls the identical six half-steps. Complements
+    ``item_pagerank`` (undirected co-view centrality)."""
+    events = read_events(spark, sf_dir)
+    pts = (
+        events.where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_date",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "event_type",
+        )
+        .distinct()
+    )
+    v = pts.where(F.col("event_type") == "view").select(
+        "user_id", "event_date", F.col("k").alias("src")
+    )
+    p = pts.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_date", F.col("k").alias("dst")
+    )
+    edges = (
+        v.join(p, ["user_id", "event_date"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("k"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    return hits_fixed_point(edges, nodes)

@@ -199,3 +199,83 @@ def test_did_uplift_cells_partition_users(spark):
         + r["ctrl_post_users"]
         >= n_users
     )
+
+
+# ---------------------------------------------------------------------------
+# T133 HITS / T134 Zipf / T135 time-decay attribution (round-10 batch 3)
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_hits_authority_and_hub_on_engineered_graph(spark, tmp_path):
+    import datetime as dt
+
+    # directed view→purchase edges 0→2, 1→2, 0→3: node 2 is the strongest
+    # authority (two hub in-links), node 0 the strongest hub (two out-links)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "view", None, '{"k": 0}'),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "view", None, '{"k": 1}'),
+        (3, dt.datetime(2024, 1, 1, 10), 1, "purchase", 5.0, '{"k": 2}'),
+        (4, dt.datetime(2024, 1, 1, 9), 2, "view", None, '{"k": 0}'),
+        (5, dt.datetime(2024, 1, 1, 10), 2, "purchase", 5.0, '{"k": 3}'),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = registry.queries()["hits_scores"](spark, str(tmp_path)).collect()
+    by_k = {r["product_id"]: r for r in out}
+    assert out[0]["product_id"] == 2  # top authority
+    assert by_k[2]["authority_fp"] == 10**6  # normalized max
+    assert by_k[0]["hub_fp"] == 10**6  # node 0 is the max hub
+    assert by_k[0]["hub_fp"] > by_k[1]["hub_fp"]
+    assert by_k[2]["authority_fp"] > by_k[3]["authority_fp"]
+
+
+def test_time_decay_attribution_exact_integer_split(spark, tmp_path):
+    import datetime as dt
+
+    # one $1.00 purchase; a view 25 h before (Δdays=1 → w=64) and a click
+    # 6 d 2 h before (Δdays=6 → w=2): shares are exact integer micro-cents
+    # with the leftover micro-cent going to the most recent touch
+    p_ts = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, p_ts - dt.timedelta(hours=25), 7, "view", None, "{}"),
+        (2, p_ts - dt.timedelta(days=6, hours=2), 7, "click", None, "{}"),
+        (3, p_ts, 7, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = registry.queries()["time_decay_attribution"](
+        spark, str(tmp_path)
+    ).collect()
+    by_ch = {r["channel"]: r for r in out}
+    total_micro = 100 * 1_000_000
+    assert by_ch["view"]["attributed_microcents"] == total_micro * 64 // 66 + 1
+    assert by_ch["click"]["attributed_microcents"] == total_micro * 2 // 66
+    assert (
+        sum(r["attributed_microcents"] for r in out) == total_micro
+    )  # conserved exactly
+
+
+def test_zipf_slope_is_minus_one_on_exact_power_law(spark, tmp_path):
+    import math
+
+    # counts 12/r for ranks 1..4 → ln-ln OLS slope exactly −1
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame(
+        [(1, text, "zz", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = registry.queries()["zipf_lang_slope"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ranks"] == 4
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
+    assert r["intercept"] == pytest.approx(math.log(12.0), abs=1e-3)
