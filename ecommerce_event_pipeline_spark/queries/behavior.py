@@ -2127,3 +2127,118 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# T136 — Absorbing-Markov funnel conversion probabilities
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type, ts, event_id
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+tr AS (
+  SELECT event_type AS cur,
+         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id, d
+                                         ORDER BY ts, event_id),
+                  'end') AS nxt
+  FROM seq
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN cur = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS tv,
+    CAST(SUM(CASE WHEN cur = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+    CAST(SUM(CASE WHEN cur = 'view' AND nxt = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS vv,
+    CAST(SUM(CASE WHEN cur = 'view' AND nxt = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS vc,
+    CAST(SUM(CASE WHEN cur = 'view' AND nxt = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS vp,
+    CAST(SUM(CASE WHEN cur = 'click' AND nxt = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+    CAST(SUM(CASE WHEN cur = 'click' AND nxt = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+    CAST(SUM(CASE WHEN cur = 'click' AND nxt = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+  FROM tr WHERE cur <> 'purchase'
+),
+p AS (
+  SELECT tv, tc,
+         CAST(vv AS DOUBLE) / CAST(tv AS DOUBLE) AS pvv,
+         CAST(vc AS DOUBLE) / CAST(tv AS DOUBLE) AS pvc,
+         CAST(vp AS DOUBLE) / CAST(tv AS DOUBLE) AS pvp,
+         CAST(cv AS DOUBLE) / CAST(tc AS DOUBLE) AS pcv,
+         CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE) AS pcc,
+         CAST(cp AS DOUBLE) / CAST(tc AS DOUBLE) AS pcp
+  FROM c
+)
+SELECT tv AS view_transitions, tc AS click_transitions,
+       ROUND(pvv, 6) AS p_view_view, ROUND(pvc, 6) AS p_view_click,
+       ROUND(pvp, 6) AS p_view_purchase,
+       ROUND(pcv, 6) AS p_click_view, ROUND(pcc, 6) AS p_click_click,
+       ROUND(pcp, 6) AS p_click_purchase,
+       ROUND((pvp * (1.0 - pcc) + pvc * pcp)
+             / ((1.0 - pvv) * (1.0 - pcc) - pvc * pcv), 6) AS absorb_view,
+       ROUND((pcp * (1.0 - pvv) + pcv * pvp)
+             / ((1.0 - pvv) * (1.0 - pcc) - pvc * pcv), 6) AS absorb_click
+FROM p
+"""
+
+
+@register("markov_absorption", _MARKOV_ORACLE)
+def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T136: absorbing-Markov-chain funnel — the eventual purchase
+    probability from each funnel state, not just the one-step rates the
+    daily funnel reports. Sessions are (user, day) event sequences over
+    the funnel alphabet {view, click, purchase}; purchase absorbs
+    (post-purchase transitions are dropped), session end is the dropout
+    absorber. With two transient states the fundamental-matrix solve
+    (I−Q)⁻¹R is closed-form:
+    absorb(v) = [p_vp(1−p_cc) + p_vc·p_cp] / [(1−p_vv)(1−p_cc) − p_vc·p_cv]
+    — a fixed expression tree over six single-division transition
+    probabilities from exact BIGINT counts, so both engines produce
+    identical doubles. One LEAD window per (user, day) + one scalar
+    aggregate; nothing grows beyond the event pass."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    seq = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_date", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id", "event_date").orderBy("ts", "event_id")
+    tr = seq.select(
+        F.col("event_type").alias("cur"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("end")).alias("nxt"),
+    ).where(F.col("cur") != "purchase")
+
+    def _n(cur, nxt=None):
+        cond = F.col("cur") == cur
+        if nxt is not None:
+            cond = cond & (F.col("nxt") == nxt)
+        return F.sum(cond.cast("int")).cast("long")
+
+    c = tr.agg(
+        _n("view").alias("tv"),
+        _n("click").alias("tc"),
+        _n("view", "view").alias("vv"),
+        _n("view", "click").alias("vc"),
+        _n("view", "purchase").alias("vp"),
+        _n("click", "view").alias("cv"),
+        _n("click", "click").alias("cc"),
+        _n("click", "purchase").alias("cp"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    pvv, pvc, pvp = d("vv") / d("tv"), d("vc") / d("tv"), d("vp") / d("tv")
+    pcv, pcc, pcp = d("cv") / d("tc"), d("cc") / d("tc"), d("cp") / d("tc")
+    det = (F.lit(1.0) - pvv) * (F.lit(1.0) - pcc) - pvc * pcv
+    return c.select(
+        F.col("tv").alias("view_transitions"),
+        F.col("tc").alias("click_transitions"),
+        F.round(pvv, 6).alias("p_view_view"),
+        F.round(pvc, 6).alias("p_view_click"),
+        F.round(pvp, 6).alias("p_view_purchase"),
+        F.round(pcv, 6).alias("p_click_view"),
+        F.round(pcc, 6).alias("p_click_click"),
+        F.round(pcp, 6).alias("p_click_purchase"),
+        F.round((pvp * (F.lit(1.0) - pcc) + pvc * pcp) / det, 6).alias(
+            "absorb_view"
+        ),
+        F.round((pcp * (F.lit(1.0) - pvv) + pcv * pvp) / det, 6).alias(
+            "absorb_click"
+        ),
+    )

@@ -237,3 +237,83 @@ def ucb_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("ucb_score"), "arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# T137 — p-chart SPC screen on the daily error rate
+# ---------------------------------------------------------------------------
+
+_PCHART_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errors
+  FROM events GROUP BY 1
+),
+pooled AS (
+  SELECT CAST(SUM(errors) AS BIGINT) AS te, CAST(SUM(n) AS BIGINT) AS tn
+  FROM daily
+),
+lim AS (
+  SELECT d.event_date, d.n, d.errors,
+         CAST(d.errors AS DOUBLE) / CAST(d.n AS DOUBLE) AS p,
+         CAST(p0.te AS DOUBLE) / CAST(p0.tn AS DOUBLE) AS pbar,
+         3.0 * sqrt(CAST(p0.te AS DOUBLE) / CAST(p0.tn AS DOUBLE)
+                    * (1.0 - CAST(p0.te AS DOUBLE) / CAST(p0.tn AS DOUBLE))
+                    / CAST(d.n AS DOUBLE)) AS width
+  FROM daily d, pooled p0
+)
+SELECT event_date, n, errors,
+       ROUND(p, 6) AS error_rate,
+       ROUND(pbar + width, 6) AS ucl,
+       ROUND(GREATEST(pbar - width, 0.0), 6) AS lcl,
+       CASE WHEN p > pbar + width OR p < GREATEST(pbar - width, 0.0)
+            THEN 1 ELSE 0 END AS out_of_control
+FROM lim
+ORDER BY event_date
+"""
+
+
+@register("error_rate_pchart", _PCHART_ORACLE)
+def error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T137: Shewhart p-chart over the daily error-event share — the
+    statistical-process-control screen an operations team runs on a
+    telemetry stream: pooled center line p̄, per-day 3σ binomial control
+    limits p̄ ± 3·√(p̄(1−p̄)/n_t), and an out-of-control flag. Every
+    double is a fixed single-op tree over two exact BIGINT sums and the
+    per-day counts, so the flag comparisons agree across engines. One
+    day-grain aggregate + a broadcast pooled scalar; calendar-bounded
+    output."""
+    events = read_events(spark, sf_dir)
+    daily = events.groupBy("event_date").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long")
+        .alias("errors"),
+    )
+    pooled = daily.agg(
+        F.sum("errors").cast("long").alias("te"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    p = F.col("errors").cast("double") / F.col("n").cast("double")
+    pbar = F.col("te").cast("double") / F.col("tn").cast("double")
+    width = F.lit(3.0) * F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double")
+    )
+    lcl = F.greatest(pbar - width, F.lit(0.0))
+    return (
+        daily.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_date",
+            "n",
+            "errors",
+            F.round(p, 6).alias("error_rate"),
+            F.round(pbar + width, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            F.when((p > pbar + width) | (p < lcl), 1)
+            .otherwise(0)
+            .alias("out_of_control"),
+        )
+        .orderBy("event_date")
+    )

@@ -152,3 +152,62 @@ def test_ucb_exploration_bonus_prefers_undersampled_arm(spark, tmp_path):
     assert by_arm[0]["trials"] == 100 and by_arm[1]["trials"] == 10
     assert by_arm[0]["mean_reward"] == by_arm[1]["mean_reward"] == pytest.approx(0.1)
     assert by_arm[1]["ucb_score"] > by_arm[0]["ucb_score"]
+
+
+# ---------------------------------------------------------------------------
+# T136 Markov absorption / T137 p-chart (round-10 batch 4)
+# ---------------------------------------------------------------------------
+
+def test_markov_absorption_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    # two single-day user sessions:
+    #   u1: view → click → purchase      u2: view → (end)
+    # from 'view': 2 transitions → click 1/2, end 1/2
+    # from 'click': 1 transition → purchase 1
+    # absorb(view) = p_vc·p_cp / 1 = 0.5 ; absorb(click) = 1.0
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, "view", None, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", None, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 9.0, "{}"),
+        (4, t0, 2, "view", None, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = registry.queries()["markov_absorption"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["view_transitions"] == 2 and r["click_transitions"] == 1
+    assert r["p_view_click"] == pytest.approx(0.5)
+    assert r["p_click_purchase"] == pytest.approx(1.0)
+    assert r["absorb_view"] == pytest.approx(0.5)
+    assert r["absorb_click"] == pytest.approx(1.0)
+
+
+def test_pchart_flags_engineered_spike(spark, tmp_path):
+    import datetime as dt
+
+    # 9 quiet days at 2% errors (n=100), one day at 50%: only the spike
+    # day breaches the 3σ binomial limit around the pooled center line
+    rows = []
+    eid = 0
+    for day in range(1, 10):
+        for i in range(100):
+            eid += 1
+            typ = "error" if i < 2 else "view"
+            rows.append(
+                (eid, dt.datetime(2024, 6, day, 10, 0, i % 60), i, typ, None, "{}")
+            )
+    for i in range(100):
+        eid += 1
+        typ = "error" if i < 50 else "view"
+        rows.append(
+            (eid, dt.datetime(2024, 6, 10, 10, 0, i % 60), i, typ, None, "{}")
+        )
+    _write_events(spark, str(tmp_path), rows)
+    out = registry.queries()["error_rate_pchart"](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    flagged = [r for r in out if r["out_of_control"] == 1]
+    assert [str(r["event_date"]) for r in flagged] == ["2024-06-10"]
+    quiet = [r for r in out if r["out_of_control"] == 0]
+    assert all(r["lcl"] <= r["error_rate"] <= r["ucl"] for r in quiet)
