@@ -552,3 +552,107 @@ def zipf_lang_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round(intercept, 4).alias("intercept"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# T138 — Cross-document boilerplate fraction per source
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+src AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS src_docs FROM ex
+  GROUP BY 1
+),
+df AS (
+  SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS df
+  FROM ex GROUP BY 1, 2
+),
+bp AS (
+  SELECT df.source, df.shingle
+  FROM df JOIN src USING (source)
+  WHERE src.src_docs >= 20 AND df.df * 4 >= src.src_docs
+),
+per_doc AS (
+  SELECT ex.doc_id, ex.source,
+         CAST(COUNT(*) AS BIGINT) AS shingle_count,
+         CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS boilerplate_shingles
+  FROM ex LEFT JOIN bp ON bp.source = ex.source AND bp.shingle = ex.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, shingle_count, boilerplate_shingles,
+       ROUND(CAST(boilerplate_shingles AS DOUBLE)
+             / CAST(shingle_count AS DOUBLE), 6) AS boilerplate_fraction
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register("doc_boilerplate_fraction", _BOILERPLATE_ORACLE)
+def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T138: cross-document boilerplate screening — the C4-style cleanup
+    axis the WITHIN-doc repetition metric (T24) cannot see: a shingle is
+    boilerplate for a source when it appears in ≥ 25 % of that source's
+    documents (sources under 20 docs are exempt — df ratios are noise
+    there), and each document reports the fraction of its distinct
+    shingles that are source-boilerplate (headers, footers, navigation
+    chrome). Pure integer set arithmetic over the per-source shingle df
+    table + one final division. Scale shape: shingle df is a
+    (source, shingle)-keyed aggregate — map-side combinable; the
+    boilerplate join keys on (source, shingle), and the boilerplate set
+    per source is df-thresholded (≥25 % of docs), so its cardinality is
+    bounded by 4× the per-doc shingle budget times docs — in practice a
+    tiny high-df head, the same skew profile as the stop-shingle list
+    the dedup family already caps."""
+    docs = read_table(spark, sf_dir, "documents")
+    # shared k=3 sets (repartition barrier → the exploded base's exchange
+    # is reused across the three consuming branches: src totals, df
+    # counts, and the per-doc rollup — without it the shingle transform
+    # re-evaluates per branch, the CollapseProject trap dedup.py documents)
+    sets_df = _shingle_sets_shared(spark, sf_dir, 3)
+    ex = sets_df.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", F.explode("shingles").alias("shingle"))
+    src = ex.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("src_docs")
+    )
+    df = ex.groupBy("source", "shingle").agg(F.count("*").alias("df"))
+    bp = (
+        df.join(F.broadcast(src), "source")
+        .where(
+            (F.col("src_docs") >= 20) & (F.col("df") * 4 >= F.col("src_docs"))
+        )
+        .select("source", "shingle", F.lit(1).alias("_bp"))
+    )
+    per_doc = (
+        ex.join(bp, ["source", "shingle"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("shingle_count"),
+            F.sum(F.coalesce(F.col("_bp"), F.lit(0)))
+            .cast("long")
+            .alias("boilerplate_shingles"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "shingle_count",
+        "boilerplate_shingles",
+        F.round(
+            F.col("boilerplate_shingles").cast("double")
+            / F.col("shingle_count").cast("double"),
+            6,
+        ).alias("boilerplate_fraction"),
+    ).orderBy("doc_id")

@@ -211,3 +211,41 @@ def test_pchart_flags_engineered_spike(spark, tmp_path):
     assert [str(r["event_date"]) for r in flagged] == ["2024-06-10"]
     quiet = [r for r in out if r["out_of_control"] == 0]
     assert all(r["lcl"] <= r["error_rate"] <= r["ucl"] for r in quiet)
+
+
+# ---------------------------------------------------------------------------
+# T138 boilerplate fraction
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_flags_shared_header_only_in_large_sources(spark, tmp_path):
+    header = "home about contact menu login"
+    rows = []
+    # 25-doc source: every doc opens with the same 5-token header → the
+    # header shingles exceed the 25% df bar and get flagged
+    for d in range(25):
+        body = f"unique{d} words{d} here{d} now{d} end{d}"
+        text = f"{header} {body}"
+        rows.append((d, text, "en", "bigsrc", len(text)))
+    # 5-doc source with an identical pattern: exempt (under 20 docs)
+    for d in range(25, 30):
+        body = f"only{d} some{d} body{d} toks{d} tail{d}"
+        text = f"{header} {body}"
+        rows.append((d, text, "en", "smallsrc", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = registry.queries()["doc_boilerplate_fraction"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 30
+    big = [r for r in out if r["source"] == "bigsrc"]
+    small = [r for r in out if r["source"] == "smallsrc"]
+    # 10 tokens → 8 shingles/doc; the 3 pure-header shingles ("home about
+    # contact", …) are in all 25 docs → flagged; the seam and body
+    # shingles contain per-doc tokens → unique
+    assert all(r["boilerplate_shingles"] == 3 for r in big)
+    assert all(r["boilerplate_fraction"] == pytest.approx(3 / 8) for r in big)
+    assert all(r["boilerplate_shingles"] == 0 for r in small)
