@@ -69,6 +69,21 @@ HEADLINERS = [
     # exchange between the 1-split fixture scan and the row-local work)
     "language_id",
     "doc_repetition",
+    # round-10 expansion: survival fold, integer link analysis (the plans
+    # should show the checkpointed edge base + broadcast score joins),
+    # blocked containment, ordered-fold LM scoring, TakeOrderedAndProject
+    # NPMI top-k, and the exact-cent attribution window chain
+    "km_repeat_purchase",
+    "item_pagerank",
+    "hits_scores",
+    "doc_containment_pairs",
+    "doc_bigram_surprisal",
+    "token_pmi_pairs",
+    "kmv_daily_users",
+    "cuped_uplift",
+    "time_decay_attribution",
+    "markov_absorption",
+    "doc_boilerplate_fraction",
 ]
 
 
