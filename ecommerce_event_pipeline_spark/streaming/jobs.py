@@ -777,3 +777,70 @@ def run_streaming_histogram_quantiles(
         .agg(F.max("total").alias("n_events"), _est(50), _est(95), _est(99))
         .orderBy("day")
     )
+
+
+def run_streaming_kmv(
+    spark: SparkSession,
+    k: int = 64,
+    batch_rows: int = 200,
+    max_rows: int = 600,
+) -> DataFrame:
+    """Maintain per-day KMV (bottom-k) distinct-user sketches over a
+    stream via ``foreachBatch``: each micro-batch's bottom-k hash set is
+    computed in Spark and merged into the running per-day state by
+    sorted-union-truncate — EXACT mergeability (bottom-k of a union
+    equals bottom-k of the two bottom-k sets, the property
+    tests pin for the batch operator T131) is what makes the stream
+    fold equal a one-shot batch sketch of the same rows, byte for byte.
+
+    State is ≤ k hashes per open day — bounded sketch state, not data;
+    the per-batch driver transfer is ≤ k rows per day touched by that
+    batch. The source is the custom Python DataSource
+    (``sources/pyds.py``) so the merge genuinely crosses micro-batch
+    boundaries. Returns the final sketch as (event_date, r, hv) rows —
+    the same shape a batch bottom-k of all rows produces.
+    """
+    from ..functions.hashing import md5_prefix_long
+    from ..sources import pyds
+
+    if not pyds.register(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+
+    state: dict = {}
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        h = batch_df.select(
+            F.to_date("ts").alias("event_date"),
+            md5_prefix_long("kmv", F.col("user_id")).alias("hv"),
+        ).distinct()
+        w = Window.partitionBy("event_date").orderBy("hv")
+        rows = (
+            h.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .collect()
+        )
+        for row in rows:
+            day = row["event_date"]
+            cur = state.setdefault(day, [])
+            cur.append(row["hv"])
+        for day in {row["event_date"] for row in rows}:
+            state[day] = sorted(set(state[day]))[:k]
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", batch_rows)
+        .option("maxRows", max_rows)
+        .load()
+    )
+    with _bounded_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(absorb).start()
+        q.processAllAvailable()
+        q.stop()
+    out = [
+        (day, i + 1, hv)
+        for day, hashes in sorted(state.items())
+        for i, hv in enumerate(hashes)
+    ]
+    return spark.createDataFrame(out, "event_date date, r int, hv long")

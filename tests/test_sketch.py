@@ -217,3 +217,38 @@ def test_hll_fine_grain_registers_fold_to_any_rollup(spark):
         folded = fine.groupBy(*keys, "bucket").agg(F.max("m_rho").alias("m_rho"))
         direct = sketch.hll_sketch(df, keys, "user_id")
         assert rows_of(folded) == rows_of(direct), keys
+
+
+def test_streaming_kmv_equals_batch_bottom_k(spark):
+    """T131 streaming twin: the per-day bottom-k state folded across
+    micro-batches must equal a one-shot batch bottom-k of the same rows
+    — the exact-mergeability property made load-bearing in streaming."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from ecommerce_event_pipeline_spark.functions.hashing import md5_prefix_long
+    from ecommerce_event_pipeline_spark.sources import pyds
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    if not pyds.HAS_DATASOURCE_API:
+        import pytest as _pytest
+
+        _pytest.skip("pyspark lacks the DataSource API")
+    streamed = jobs.run_streaming_kmv(spark, k=64, batch_rows=200, max_rows=600)
+    pyds.register(spark)
+    batch = (
+        spark.read.format("synthetic_events").option("rows", 600).load()
+        .select(
+            F2.to_date("ts").alias("event_date"),
+            md5_prefix_long("kmv", F2.col("user_id")).alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_date").orderBy("hv")
+    whole = (
+        batch.withColumn("r", F2.row_number().over(w)).where(F2.col("r") <= 64)
+        .select("event_date", "r", "hv")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
