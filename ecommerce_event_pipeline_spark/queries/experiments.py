@@ -18,24 +18,61 @@ from ..registry_core import register
 from ..sources.readers import read_events
 
 # ---------------------------------------------------------------------------
-# T129 — CUPED variance-reduced uplift
+# Shared experiment design: stable user_id % 2 arms, data-midpoint cutover.
+# ONE definition site for the Spark expressions and the oracle CTE so the
+# DiD and CUPED readouts can never silently diverge on the design
+# (review r10: the block was previously copy-pasted in both).
 # ---------------------------------------------------------------------------
 
-_CUPED_ORACLE = """
+
+def experiment_cells_cte(extra_cols: str = "") -> str:
+    """The oracle-side ``WITH b, tagged`` prefix: per-event arm
+    (user_id % 2) and post (event_date strictly after the midpoint of
+    the observed date range). ``extra_cols`` appends readout-specific
+    columns to the tagged CTE (leading comma included by the caller)."""
+    return f"""
 WITH b AS (
   SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
 ),
 tagged AS (
   SELECT e.user_id,
+         e.event_type,
          CASE WHEN e.user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
          CASE WHEN CAST(e.ts AS DATE) >
               CAST(b.mn + (date_diff('day', b.mn, b.mx) // 2)
                    * INTERVAL 1 DAY AS DATE)
-              THEN 1 ELSE 0 END AS post,
-         CASE WHEN e.event_type = 'purchase'
-              THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END AS cents
+              THEN 1 ELSE 0 END AS post{extra_cols}
   FROM events e, b
-),
+)"""
+
+
+def tag_experiment_cells(events: DataFrame) -> DataFrame:
+    """Spark twin of ``experiment_cells_cte``: (user_id, event_type,
+    value, arm, post) per event, arms by the stable ``user_id % 2``
+    hash, post = event_date strictly after the data-midpoint cutover
+    (integer date arithmetic, identical in both engines)."""
+    b = events.agg(
+        F.min("event_date").alias("mn"), F.max("event_date").alias("mx")
+    )
+    cutover = F.date_add(F.col("mn"), (F.datediff("mx", "mn") / 2).cast("int"))
+    return events.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("user_id") % 2 == 1).cast("int").alias("arm"),
+        (F.col("event_date") > cutover).cast("int").alias("post"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T129 — CUPED variance-reduced uplift
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = experiment_cells_cte(
+    """,
+         CASE WHEN e.event_type = 'purchase'
+              THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END AS cents"""
+) + """,
 per_user AS (
   SELECT user_id, arm,
          CAST(SUM(CASE WHEN post = 0 THEN cents ELSE 0 END) AS BIGINT) AS x,
@@ -107,20 +144,12 @@ def cuped_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is (ȳ_t − ȳ_c) − θ(x̄_t − x̄_c). One shuffle to user grain, then
     scalar aggregates — nothing beyond map-side-combinable sums at any
     scale (cent products stay < 2⁶³ for per-user spends below ~$30 B)."""
-    events = read_events(spark, sf_dir)
-    b = events.agg(
-        F.min("event_date").alias("mn"), F.max("event_date").alias("mx")
-    )
-    cutover = F.date_add(F.col("mn"), (F.datediff("mx", "mn") / 2).cast("int"))
     cents = F.when(
         F.col("event_type") == "purchase",
         F.round(F.col("value") * 100).cast("long"),
     ).otherwise(F.lit(0))
-    tagged = events.crossJoin(F.broadcast(b)).select(
-        "user_id",
-        (F.col("user_id") % 2 == 1).cast("int").alias("arm"),
-        (F.col("event_date") > cutover).cast("int").alias("post"),
-        cents.alias("cents"),
+    tagged = tag_experiment_cells(read_events(spark, sf_dir)).select(
+        "user_id", "arm", "post", cents.alias("cents")
     )
     per_user = tagged.groupBy("user_id", "arm").agg(
         F.sum(F.when(F.col("post") == 0, F.col("cents")).otherwise(0))

@@ -207,30 +207,19 @@ def km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T128 — Difference-in-differences conversion uplift
 # ---------------------------------------------------------------------------
 
-_DID_ORACLE = """
-WITH b AS (
-  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
-),
-tagged AS (
-  SELECT e.user_id,
-         e.event_type,
-         CASE WHEN e.user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
-         CASE WHEN CAST(e.ts AS DATE) >
-              CAST(b.mn + (date_diff('day', b.mn, b.mx) // 2)
-                   * INTERVAL 1 DAY AS DATE)
-              THEN 1 ELSE 0 END AS post
-  FROM events e, b
-),
+from .experiments import experiment_cells_cte, tag_experiment_cells  # noqa: E402
+
+_DID_ORACLE = experiment_cells_cte() + """,
 cells AS (
   SELECT
-    COUNT(DISTINCT CASE WHEN treat = 1 AND post = 0 THEN user_id END) AS tpre_u,
-    COUNT(DISTINCT CASE WHEN treat = 1 AND post = 0 AND event_type = 'purchase' THEN user_id END) AS tpre_c,
-    COUNT(DISTINCT CASE WHEN treat = 1 AND post = 1 THEN user_id END) AS tpost_u,
-    COUNT(DISTINCT CASE WHEN treat = 1 AND post = 1 AND event_type = 'purchase' THEN user_id END) AS tpost_c,
-    COUNT(DISTINCT CASE WHEN treat = 0 AND post = 0 THEN user_id END) AS cpre_u,
-    COUNT(DISTINCT CASE WHEN treat = 0 AND post = 0 AND event_type = 'purchase' THEN user_id END) AS cpre_c,
-    COUNT(DISTINCT CASE WHEN treat = 0 AND post = 1 THEN user_id END) AS cpost_u,
-    COUNT(DISTINCT CASE WHEN treat = 0 AND post = 1 AND event_type = 'purchase' THEN user_id END) AS cpost_c
+    COUNT(DISTINCT CASE WHEN arm = 1 AND post = 0 THEN user_id END) AS tpre_u,
+    COUNT(DISTINCT CASE WHEN arm = 1 AND post = 0 AND event_type = 'purchase' THEN user_id END) AS tpre_c,
+    COUNT(DISTINCT CASE WHEN arm = 1 AND post = 1 THEN user_id END) AS tpost_u,
+    COUNT(DISTINCT CASE WHEN arm = 1 AND post = 1 AND event_type = 'purchase' THEN user_id END) AS tpost_c,
+    COUNT(DISTINCT CASE WHEN arm = 0 AND post = 0 THEN user_id END) AS cpre_u,
+    COUNT(DISTINCT CASE WHEN arm = 0 AND post = 0 AND event_type = 'purchase' THEN user_id END) AS cpre_c,
+    COUNT(DISTINCT CASE WHEN arm = 0 AND post = 1 THEN user_id END) AS cpost_u,
+    COUNT(DISTINCT CASE WHEN arm = 0 AND post = 1 AND event_type = 'purchase' THEN user_id END) AS cpost_c
   FROM tagged
 )
 SELECT CAST(tpre_u AS BIGINT) AS treat_pre_users,
@@ -259,23 +248,13 @@ def did_conversion_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct active users per cell; the DiD composes the four rates in
     one fixed expression tree, so every double is a single-op derivation
     from exact integer counts. Scale: one pass, one shuffle-free scalar
-    aggregate (distinct counts partial-aggregate map-side)."""
-    events = read_events(spark, sf_dir)
-    b = events.agg(
-        F.min("event_date").alias("mn"), F.max("event_date").alias("mx")
-    )
-    cutover = F.date_add(
-        F.col("mn"), (F.datediff("mx", "mn") / 2).cast("int")
-    )
-    tagged = events.crossJoin(F.broadcast(b)).select(
-        "user_id",
-        "event_type",
-        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
-        (F.col("event_date") > cutover).cast("int").alias("post"),
-    )
+    aggregate (distinct counts partial-aggregate map-side). The design
+    block (arms, cutover) is the shared one in queries/experiments.py,
+    so DiD and CUPED can never drift apart on it."""
+    tagged = tag_experiment_cells(read_events(spark, sf_dir))
 
     def _u(t: int, p: int, conv: bool) -> F.Column:
-        cond = (F.col("treat") == t) & (F.col("post") == p)
+        cond = (F.col("arm") == t) & (F.col("post") == p)
         if conv:
             cond = cond & (F.col("event_type") == "purchase")
         return F.count_distinct(F.when(cond, F.col("user_id")))
@@ -383,8 +362,13 @@ def pagerank_fixed_point(
     one groupBy dst — the textbook distributed PageRank; iteration
     count is a constant, and localCheckpoint truncates the growing
     lineage."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(deg, "src").localCheckpoint()
+    # checkpoint the (possibly expensive) edge derivation FIRST: deg,
+    # the e join, the node count, and the rank init all consume it — an
+    # un-materialized edges plan would re-run its derivation per job
+    # (review r10: ~3x the co-view self-join cost at sf0.1+)
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    e = edges.join(deg, "src").localCheckpoint()  # consumed by all 5 iterations
     n = deg.count()  # bounded scalar: node count, not data
     base = (15 * scale // 100) // n
     ranks = deg.select(F.col("src").alias("k"), F.lit(scale // n).alias("r"))
@@ -545,9 +529,11 @@ def hits_fixed_point(
         # so the half-steps broadcast them (no shuffle per join) and one
         # localCheckpoint per iteration keeps the lineage flat
         # (measured 51 s → ~4 s at sf0.01).
-        a = _hits_half(edges, nodes, h, "src", "dst", "h", "a", scale)
+        # checkpoint a BEFORE h consumes it — the other order materializes
+        # h with a's un-truncated lineage embedded and then re-executes
+        # a's half-step from scratch for a's own checkpoint (review r10)
+        a = _hits_half(edges, nodes, h, "src", "dst", "h", "a", scale).localCheckpoint()
         h = _hits_half(edges, nodes, a, "dst", "src", "a", "h", scale).localCheckpoint()
-        a = a.localCheckpoint()
     return (
         h.join(a.withColumnRenamed("k", "ak"), F.col("k") == F.col("ak"))
         .select(
