@@ -2242,3 +2242,149 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "absorb_click"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# T139 — Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_POSITION_ATTR_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'add_to_cart')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.t_ts, t.t_id, t.event_type AS channel
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+r AS (
+  SELECT p_id, cents, t_id, channel,
+         CASE WHEN t_id IS NULL THEN NULL
+              ELSE ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
+         END AS rk,
+         COUNT(t_id) OVER (PARTITION BY p_id) AS n
+  FROM j
+),
+s AS (
+  SELECT COALESCE(channel, '(none)') AS channel, p_id,
+         CASE
+           WHEN t_id IS NULL THEN cents * 1000000
+           WHEN n = 1 THEN cents * 1000000
+           WHEN n = 2 THEN (cents * 1000000) // 2
+                           + CASE WHEN rk = 1
+                                  THEN (cents * 1000000) % 2 ELSE 0 END
+           WHEN rk = 1 OR rk = n THEN (cents * 1000000 * 40) // 100
+           ELSE (cents * 1000000
+                 - 2 * ((cents * 1000000 * 40) // 100)) // (n - 2)
+                + CASE WHEN rk - 1 <= (cents * 1000000
+                                       - 2 * ((cents * 1000000 * 40) // 100))
+                                      % (n - 2)
+                       THEN 1 ELSE 0 END
+         END AS share_micro,
+         CASE WHEN t_id IS NULL THEN 0 ELSE 1 END AS is_touch
+  FROM r
+)
+SELECT channel,
+       CAST(SUM(share_micro) AS BIGINT) AS attributed_microcents,
+       ROUND(SUM(share_micro) / 100000000.0, 2) AS attributed_revenue,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS conversions,
+       CAST(SUM(is_touch) AS BIGINT) AS touches
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("position_attribution", _POSITION_ATTR_ORACLE)
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T139: position-based (U-shaped) multi-touch attribution over the
+    7-day lookback — 40 % to the first touch, 40 % to the last, the
+    middle touches splitting the remaining 20 % equally; single-touch
+    paths take 100 %, two-touch paths 50/50. Every split is exact
+    integer micro-cent arithmetic: the first/last 40 % shares are one
+    floor division each, the middle pool is the exact remainder after
+    both (so the three buckets always sum to the purchase), and the
+    within-pool split completes by largest remainder in touch order —
+    revenue conserved to the micro-cent, both engines replaying the
+    identical divisions. Completes the attribution family (first-touch
+    / linear / time-decay / U-shaped). Same per-user-bounded join shape
+    as `linear_attribution`."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.where(
+        F.col("event_type").isin("view", "click", "add_to_cart")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    r = j.select(
+        "p_id",
+        "cents",
+        "t_id",
+        "channel",
+        F.when(F.col("t_id").isNotNull(), F.row_number().over(w)).alias("rk"),
+        F.count("t_id").over(Window.partitionBy("p_id")).alias("n"),
+    )
+    micro = F.col("cents") * 1000000
+    end_share = F.expr("(cents * 1000000 * 40) div 100")
+    mid_base = F.expr(
+        "(cents * 1000000 - 2 * ((cents * 1000000 * 40) div 100)) div (n - 2)"
+    )
+    mid_rem = F.expr(
+        "(cents * 1000000 - 2 * ((cents * 1000000 * 40) div 100)) % (n - 2)"
+    )
+    share = (
+        F.when(F.col("t_id").isNull(), micro)
+        .when(F.col("n") == 1, micro)
+        .when(
+            F.col("n") == 2,
+            F.expr("(cents * 1000000) div 2")
+            + F.when(F.col("rk") == 1, micro % 2).otherwise(0),
+        )
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")), end_share)
+        .otherwise(
+            mid_base
+            + F.when(F.col("rk") - 1 <= mid_rem, 1).otherwise(0)
+        )
+    )
+    s_df = r.select(
+        F.coalesce("channel", F.lit("(none)")).alias("channel"),
+        "p_id",
+        share.alias("share_micro"),
+        F.when(F.col("t_id").isNull(), 0).otherwise(1).alias("is_touch"),
+    )
+    return (
+        s_df.groupBy("channel")
+        .agg(
+            F.sum("share_micro").cast("long").alias("attributed_microcents"),
+            F.round(F.sum("share_micro") / 100000000.0, 2).alias(
+                "attributed_revenue"
+            ),
+            F.count_distinct("p_id").alias("conversions"),
+            F.sum("is_touch").cast("long").alias("touches"),
+        )
+        .orderBy("channel")
+    )

@@ -279,3 +279,29 @@ def test_zipf_slope_is_minus_one_on_exact_power_law(spark, tmp_path):
     assert r["n_ranks"] == 4
     assert r["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
     assert r["intercept"] == pytest.approx(math.log(12.0), abs=1e-3)
+
+
+def test_position_attribution_u_shape_exact_split(spark, tmp_path):
+    import datetime as dt
+
+    # one $1.00 purchase with 4 touches: first and last get 40% each,
+    # the two middles split the 20% pool; all exact micro-cents
+    p_ts = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, p_ts - dt.timedelta(hours=30), 7, "view", None, "{}"),
+        (2, p_ts - dt.timedelta(hours=20), 7, "click", None, "{}"),
+        (3, p_ts - dt.timedelta(hours=10), 7, "click", None, "{}"),
+        (4, p_ts - dt.timedelta(hours=5), 7, "add_to_cart", None, "{}"),
+        (5, p_ts, 7, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = registry.queries()["position_attribution"](
+        spark, str(tmp_path)
+    ).collect()
+    by_ch = {r["channel"]: r for r in out}
+    micro = 100 * 1_000_000
+    # first (view) 40%; last (add_to_cart) 40%; middles (2 clicks) 10% each
+    assert by_ch["view"]["attributed_microcents"] == micro * 40 // 100
+    assert by_ch["add_to_cart"]["attributed_microcents"] == micro * 40 // 100
+    assert by_ch["click"]["attributed_microcents"] == micro - 2 * (micro * 40 // 100)
+    assert sum(r["attributed_microcents"] for r in out) == micro
