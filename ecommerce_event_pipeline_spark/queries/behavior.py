@@ -2279,8 +2279,6 @@ s AS (
            WHEN t_id IS NULL THEN cents * 1000000
            WHEN n = 1 THEN cents * 1000000
            WHEN n = 2 THEN (cents * 1000000) // 2
-                           + CASE WHEN rk = 1
-                                  THEN (cents * 1000000) % 2 ELSE 0 END
            WHEN rk = 1 OR rk = n THEN (cents * 1000000 * 40) // 100
            ELSE (cents * 1000000
                  - 2 * ((cents * 1000000 * 40) // 100)) // (n - 2)
@@ -2359,11 +2357,9 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = (
         F.when(F.col("t_id").isNull(), micro)
         .when(F.col("n") == 1, micro)
-        .when(
-            F.col("n") == 2,
-            F.expr("(cents * 1000000) div 2")
-            + F.when(F.col("rk") == 1, micro % 2).otherwise(0),
-        )
+        # n=2 → exact 50/50: micro = cents·1e6 is always even, so the
+        # halves are exact with no remainder to assign (ADVICE r10).
+        .when(F.col("n") == 2, F.expr("(cents * 1000000) div 2"))
         .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")), end_share)
         .otherwise(
             mid_base

@@ -85,6 +85,7 @@ def containment_pairs(
         max_df=max_df,
         sets_df=sets_df,
         include_counts=True,
+        ordered=False,  # re-sorted by containment below; skip the inner sort
     )
     containment = F.col("common").cast("double") / F.least(
         F.col("count_1"), F.col("count_2")

@@ -401,8 +401,10 @@ def run_streaming_token_cms(
     )
     with _bounded_state_partitions(spark):
         q = stream.writeStream.foreachBatch(absorb).start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # an absorb() failure must not leak a running query
     return spark.createDataFrame(
         [(r, b, c) for (r, b), c in sorted(state.items())],
         "row int, bucket int, cell long",
@@ -836,8 +838,10 @@ def run_streaming_kmv(
     )
     with _bounded_state_partitions(spark):
         q = stream.writeStream.foreachBatch(absorb).start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # an absorb() failure must not leak a running query
     out = [
         (day, i + 1, hv)
         for day, hashes in sorted(state.items())
