@@ -84,6 +84,7 @@ def main() -> None:
     load_end = round(os.getloadavg()[0], 1)
 
     ratios, ratio_summary = stall_ratios(timings, sf)
+    stalled = is_stalled(load_start, load_end, ratio_summary)
     total = round(sum(timings.values()), 3)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
@@ -100,6 +101,7 @@ def main() -> None:
                 "load": [load_start, load_end],
                 "ratio_vs_committed": ratios,
                 "ratio_summary": ratio_summary,
+                "stalled": stalled,
             },
             f,
             indent=1,
@@ -113,10 +115,33 @@ def main() -> None:
         warmup,
         load=[load_start, load_end],
         ratio_summary=ratio_summary,
+        stalled=stalled,
     )
     print(probe)
     print(line)
     spark.stop()
+
+
+def is_stalled(
+    load_start: float, load_end: float, ratio_summary: dict | None
+) -> bool:
+    """Known-stalled-at-write-time detector (VERDICT r10 item 7). The
+    r9/r10 adjudications both reduced to the same three-part signature:
+    end loadavg more than doubled over start (external load arrived
+    mid-run), the worst per-query ratio vs the committed local record
+    exceeds 10×, and the ratio tail is one contiguous run segment (a
+    plan regression tracks query identity, not seat position). When all
+    three hold the record is stall-inflated by construction, so it
+    carries ``stalled: true`` and a grader reads the adjudication
+    straight from BENCH_r*.json instead of reconstructing it. The
+    load_start floor of 1.0 keeps idle-host noise (0.1 → 0.3) from
+    tripping the doubling test."""
+    return bool(
+        ratio_summary
+        and load_end > 2 * max(load_start, 1.0)
+        and ratio_summary.get("max", 0) > 10
+        and ratio_summary.get("tail", {}).get("contig")
+    )
 
 
 def _engine_primer(spark, sf_dir: str) -> None:
@@ -232,6 +257,24 @@ def stall_ratios(
         "max": ratios[worst],
         "max_q": worst,
     }
+    # Run-position clustering of the ratio tail (VERDICT r10 item 5).
+    # The r10 adjudication hinged on noticing the 12 worst ratios all
+    # sat at run positions 154-186 — one contiguous segment under
+    # arriving external load — while a genuine plan regression would
+    # track query IDENTITY, not seat position. Emit that mechanically:
+    # the top-decile ratios' median run position, their position span,
+    # and a contiguity flag (span ≤ 2× the tail size ⇒ the tail is one
+    # segment of the run, i.e. positional/stall, not plan). ``timings``
+    # is insertion-ordered = run order, so position is just the index.
+    run_pos = {n: i + 1 for i, n in enumerate(timings)}
+    k = max(1, len(ratios) // 10)
+    tail_names = sorted(ratios, key=ratios.get, reverse=True)[:k]
+    pos = sorted(run_pos[n] for n in tail_names)
+    summary["tail"] = {
+        "pos_med": pos[len(pos) // 2],
+        "span": [pos[0], pos[-1]],
+        "contig": bool(pos[-1] - pos[0] + 1 <= 2 * len(pos)),
+    }
     return ratios, summary
 
 
@@ -243,6 +286,7 @@ def build_stdout_lines(
     warmup: float,
     load: list[float] | None = None,
     ratio_summary: dict | None = None,
+    stalled: bool = False,
 ) -> tuple[str, str]:
     """Build the two stdout lines under the driver's 2000-char capture.
 
@@ -288,6 +332,8 @@ def build_stdout_lines(
             payload["ratio"] = dict(
                 ratio_summary, max_q=ratio_summary["max_q"][:40]
             )
+        if stalled:
+            payload["stalled"] = True
         if dropped:
             payload["dropped"] = dropped
         line = json.dumps(payload, separators=(",", ":"))
@@ -353,14 +399,14 @@ def _env_probe(spark, registry) -> str:
                 f"SELECT * FROM '{PROBE_SF_DIR}/{t}.parquet'"
             )
         oracles = e.oracle_sql()
-        # Two graded-window seats, refreshed per rotation: r10 probes one
-        # reference-mart seat (hourly_traffic) and one plan-changed seat
-        # (language_id gained a spread_small_scan exchange in r9 — the
-        # probe double-checks the new plan in the driver env before the
-        # driver grades it). The r9 pair (funnel_daily/quality_report)
-        # is hash-green r9 and stays covered by the all-oracle pytest
-        # dtype sweep.
-        for name in ("hourly_traffic", "language_id"):
+        # Two graded-window seats, refreshed per rotation: r11 probes two
+        # of the 17 never-driver-graded seats (position_attribution from
+        # the attribution family, kmv_daily_users from the sketch family)
+        # — first-ever driver grades, so a driver-env-only divergence
+        # would surface here before the gate. The r10 pair
+        # (hourly_traffic/language_id) is hash-green r10 and stays
+        # covered by the all-oracle pytest dtype sweep.
+        for name in ("position_attribution", "kmv_daily_users"):
             try:
                 sdf = registry.queries()[name](spark, PROBE_SF_DIR)
                 srows = sorted(

@@ -157,3 +157,74 @@ def test_engine_primer_runs_on_a_live_session(spark):
     assert not any(
         t.name == "bench_primer" for t in spark.catalog.listTables()
     )
+
+
+def test_tail_position_clustering_in_summary():
+    """VERDICT r10 item 5: the ratio summary must carry the top-decile
+    tail's run-position median, span, and contiguity flag so "the tail
+    is positional" reads straight from the record. Build a 30-query run
+    (run order = dict order) whose 3 worst ratios sit contiguously at
+    positions 20-22."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = max(
+        (
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(repo, "bench_local_r*.json"))
+            if (m := re.fullmatch(r"bench_local_r(\d+)\.json", os.path.basename(p)))
+        )
+    )[1]
+    rec = json.load(open(latest))
+    names = [n for n, t in rec["queries"].items() if t >= 0.1][:30]
+    assert len(names) == 30
+    timings = {}
+    for i, n in enumerate(names):
+        mult = 20.0 if i in (19, 20, 21) else 1.0
+        timings[n] = rec["queries"][n] * mult
+    ratios, summary = bench.stall_ratios(timings, sf=rec["sf"])
+    tail = summary["tail"]
+    assert tail["span"] == [20, 22]
+    assert tail["pos_med"] == 21
+    assert tail["contig"] is True
+    # scattered tail: same worst ratios at positions 1, 15, 30
+    timings2 = {}
+    for i, n in enumerate(names):
+        mult = 20.0 if i in (0, 14, 29) else 1.0
+        timings2[n] = rec["queries"][n] * mult
+    _, summary2 = bench.stall_ratios(timings2, sf=rec["sf"])
+    assert summary2["tail"]["contig"] is False
+
+
+def test_stalled_marker_requires_all_three_signals():
+    """VERDICT r10 item 7: the stalled marker fires only on the full
+    signature — load doubling AND >10x max ratio AND a contiguous
+    tail — so a fast quiet run or a genuine plan regression is never
+    mislabeled as a stall."""
+    contig = {"max": 16.9, "tail": {"contig": True}}
+    scattered = {"max": 16.9, "tail": {"contig": False}}
+    mild = {"max": 3.0, "tail": {"contig": True}}
+    assert bench.is_stalled(3.4, 7.6, contig) is True  # the r10 signature
+    assert bench.is_stalled(3.4, 7.6, scattered) is False  # plan-shaped
+    assert bench.is_stalled(3.4, 7.6, mild) is False  # no stall-grade tail
+    assert bench.is_stalled(3.4, 3.5, contig) is False  # no load wave
+    assert bench.is_stalled(0.1, 0.9, contig) is False  # idle-host floor
+    assert bench.is_stalled(1.0, 5.0, None) is False  # no committed ref
+
+
+def test_stalled_flag_rides_in_the_payload_and_is_priced():
+    """stalled=true must land in the parsed line and participate in the
+    shedding budget like every other diagnostic."""
+    r = dict(RATIO, tail={"pos_med": 170, "span": [154, 186], "contig": True})
+    probe, line = _lines(load=[3.4, 7.6], ratio_summary=r, stalled=True)
+    assert len(probe) + len(line) + 2 <= 2000
+    payload = json.loads(line)
+    assert payload["stalled"] is True
+    assert payload["ratio"]["tail"]["contig"] is True
+    # oversized window: still parseable with the new fields present
+    probe, line = _lines(
+        name_len=120, load=[3.4, 7.6], ratio_summary=r, stalled=True
+    )
+    payload = json.loads(line)
+    assert payload["dropped"] > 0 and payload["stalled"] is True
