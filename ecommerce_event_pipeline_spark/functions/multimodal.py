@@ -254,3 +254,55 @@ def resize_payload(media: DataFrame, target_bytes: int = 32) -> DataFrame:
 
     images = media.where(F.col("kind") == "image").select("media_id", "payload")
     return images.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, phash long, blocks array<int>"
+
+
+def perceptual_hashes(media: DataFrame, n_planted: int) -> DataFrame:
+    """aHash-style 64-bit perceptual fingerprint per media row, plus a
+    planted "re-encoded copy" per row (1→2 Arrow expansion).
+
+    bit_i = 1 iff byte_i·64 > Σbytes over the first 64 payload bytes —
+    an INTEGER threshold compare (no float mean), so an external SQL
+    engine replays every bit. The copy (media_id + n_planted) bumps
+    byte 0 by +16 mod 256: the same tiny payload perturbation a
+    re-encode makes, moving only the handful of bits whose byte sits
+    within the shifted threshold — a near-dup by construction. A real
+    deployment swaps the byte-threshold kernel for DCT-low-frequency
+    pHash over decoded pixels (codec gated, see module docstring); the
+    Spark-side shape — narrow select, Arrow batches, 1→N emit, typed
+    contract — is identical. Also emits the hash's 8 one-byte blocks
+    for pigeonhole LSH blocking (Hamming ≤ 7 ⇒ at least one of 8
+    blocks equal)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(a64: np.ndarray) -> tuple[int, list[int]]:
+            s = int(a64.sum(dtype=np.int64))
+            bits = (a64.astype(np.int64) * 64 > s).astype(np.uint8)
+            packed = np.packbits(bits)  # 8 bytes, MSB-first per byte
+            v = int.from_bytes(packed.tobytes(), "big", signed=False)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v, [int(x) for x in packed]
+
+        for pdf in batches:
+            ids, hashes, blocks = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = np.frombuffer(p, dtype=np.uint8)[:64].copy()
+                h, bl = one(a)
+                ids.append(int(mid))
+                hashes.append(h)
+                blocks.append(bl)
+                a[0] = (int(a[0]) + 16) % 256  # the re-encoded copy
+                h2, bl2 = one(a)
+                ids.append(int(mid) + n_planted)
+                hashes.append(h2)
+                blocks.append(bl2)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": hashes, "blocks": blocks}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        op, schema=PHASH_SCHEMA
+    )

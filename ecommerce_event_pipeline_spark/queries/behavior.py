@@ -2384,3 +2384,103 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# T145 — gap-allowed sequential pattern support (a ... b within a session)
+# ---------------------------------------------------------------------------
+
+_SUBSEQ_ORACLE = """
+WITH pos AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS p
+  FROM events
+),
+per AS (
+  SELECT user_id, d, event_type,
+         MIN(p) AS min_p, MAX(p) AS max_p
+  FROM pos GROUP BY user_id, d, event_type
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS s FROM pos
+),
+sup AS (
+  SELECT a.event_type AS ante, b.event_type AS cons,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM per a JOIN per b ON a.user_id = b.user_id AND a.d = b.d
+  WHERE a.min_p < b.max_p
+  GROUP BY 1, 2
+)
+SELECT ante, cons, support,
+       ROUND(support * 100.0 / tot.s, 4) AS support_pct
+FROM sup, tot
+ORDER BY support DESC, ante, cons
+LIMIT 25
+"""
+
+
+@register("subsequence_support", _SUBSEQ_ORACLE)
+def subsequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T145: gap-allowed sequential-pattern support — for every ordered
+    event-type pair (a, b), the number of (user, day) sessions
+    containing an occurrence of a STRICTLY BEFORE some occurrence of b,
+    any gap allowed (the 2-item core of PrefixSpan-style sequence
+    mining; `pattern_frequency` by contrast counts only contiguous
+    whole-session strings). The exists-subsequence test collapses to
+    min_pos(a) < max_pos(b) — one per-(session, type) min/max aggregate
+    and a session-keyed self-join bounded by ≤|catalog|² rows per
+    session, never a positional blow-up; the (a, b) support aggregate
+    is map-side combinable. a = b counts sessions with a repeat
+    (min < max ⟺ ≥2 occurrences)."""
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_date").orderBy("ts", "event_id")
+    pos = events.select(
+        "user_id",
+        "event_date",
+        "event_type",
+        F.row_number().over(w).alias("p"),
+    )
+    per = pos.groupBy("user_id", "event_date", "event_type").agg(
+        F.min("p").alias("min_p"), F.max("p").alias("max_p")
+    )
+    tot = pos.select("user_id", "event_date").distinct().agg(
+        F.count("*").cast("long").alias("s")
+    )
+    a = per.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_date").alias("da"),
+        F.col("event_type").alias("ante"),
+        "min_p",
+    )
+    b = per.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_date").alias("db"),
+        F.col("event_type").alias("cons"),
+        "max_p",
+    )
+    sup = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("da") == F.col("db"))
+            & (F.col("min_p") < F.col("max_p")),
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return (
+        sup.crossJoin(F.broadcast(tot))
+        .select(
+            "ante",
+            "cons",
+            "support",
+            F.round(F.col("support") * 100.0 / F.col("s"), 4).alias(
+                "support_pct"
+            ),
+        )
+        .orderBy(F.desc("support"), "ante", "cons")
+        .limit(25)
+    )

@@ -657,3 +657,123 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boilerplate_fraction"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T148 — Heaps' law vocabulary-growth fit across sources
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS t
+  FROM documents
+),
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS v_tokens
+  FROM tok GROUP BY source
+),
+arr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         list(ln(CAST(n_tokens AS DOUBLE)) ORDER BY source) AS xs,
+         list(ln(CAST(v_tokens AS DOUBLE)) ORDER BY source) AS ys,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(v_tokens) AS BIGINT) AS sum_vocab
+  FROM per
+),
+sums AS (
+  SELECT m, total_tokens, sum_vocab,
+         list_reduce(list_prepend(0.0::DOUBLE, xs), (a, b) -> a + b) AS sx,
+         list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) AS sy,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(xs, v -> v * v)), (a, b) -> a + b) AS sxx,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(CAST(m AS INT)),
+                            i -> xs[i + 1] * ys[i + 1])),
+             (a, b) -> a + b) AS sxy
+  FROM arr
+),
+fit AS (
+  SELECT m, total_tokens, sum_vocab,
+         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta, sx, sy
+  FROM sums
+)
+SELECT CAST(m AS BIGINT) AS n_sources,
+       total_tokens, sum_vocab,
+       ROUND(beta, 6) AS heaps_beta,
+       ROUND(exp((sy - beta * sx) / m), 6) AS heaps_k
+FROM fit
+"""
+
+
+@register("heaps_law_fit", _HEAPS_ORACLE)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T148: Heaps'-law fit V = k·N^β across corpus sources — the
+    vocabulary-growth exponent that predicts how a tokenizer's OOV rate
+    and vocab budget scale as the corpus grows (β ≈ 0.5 typical for
+    natural text; β near 1 flags near-random token soup, near 0 flags
+    template/boilerplate saturation). One point per source: N = total
+    whitespace tokens, V = distinct tokens (both exact BIGINTs from a
+    single explode + two aggregates), then the log-log OLS slope via
+    ordered folds over the source-sorted point list (F.aggregate ↔
+    list_reduce — source-count-bounded, so the fold is a scalar
+    expression, not a data pass). Completes the corpus-statistics
+    family alongside `zipf_lang_slope` (rank-frequency) and
+    `lang_token_fertility` (tokenizer cost)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    per = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count_distinct("t").cast("long").alias("v_tokens"),
+    )
+    pts = per.select(
+        "source",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("v_tokens").cast("double")).alias("y"),
+        "n_tokens",
+        "v_tokens",
+    )
+    arr = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sort_array(F.collect_list(F.struct("source", "x", "y"))).alias(
+            "pt"
+        ),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("v_tokens").cast("long").alias("sum_vocab"),
+    )
+    zero = F.lit(0.0)
+    sums = arr.select(
+        "m",
+        "total_tokens",
+        "sum_vocab",
+        F.aggregate("pt", zero, lambda a, e: a + e["x"]).alias("sx"),
+        F.aggregate("pt", zero, lambda a, e: a + e["y"]).alias("sy"),
+        F.aggregate("pt", zero, lambda a, e: a + e["x"] * e["x"]).alias(
+            "sxx"
+        ),
+        F.aggregate("pt", zero, lambda a, e: a + e["x"] * e["y"]).alias(
+            "sxy"
+        ),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = sums.select(
+        "m", "total_tokens", "sum_vocab", beta.alias("beta"), "sx", "sy"
+    )
+    return fit.select(
+        F.col("m").cast("long").alias("n_sources"),
+        "total_tokens",
+        "sum_vocab",
+        F.round("beta", 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("m")),
+            6,
+        ).alias("heaps_k"),
+    )

@@ -346,3 +346,189 @@ def error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# T149 — logistic regression by Newton/IRLS on hour-of-day aggregates
+# ---------------------------------------------------------------------------
+
+_IRLS_ITERS = 4
+
+
+def _irls_oracle() -> str:
+    """CTE chain: hourly sufficient statistics → ``_IRLS_ITERS`` exact
+    Newton steps. Each step's five sums (two gradient, three Hessian
+    entries) are LEFT FOLDS over the hour-sorted lists (list_reduce ↔
+    F.aggregate), and every float expression — the sigmoid, the terms,
+    the 2×2 solve — is written as the identical operation tree the
+    Spark side builds, so the trajectory is bit-reproducible."""
+    head = """
+WITH hr AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+arr AS (
+  SELECT CAST(COUNT(*) AS INT) AS m,
+         list(CAST(h AS DOUBLE) ORDER BY h) AS hx,
+         list(CAST(n AS DOUBLE) ORDER BY h) AS hn,
+         list(CAST(y AS DOUBLE) ORDER BY h) AS hy,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(SUM(y) AS BIGINT) AS n_purchases
+  FROM hr
+),
+it0 AS (SELECT *, 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1 FROM arr)"""
+    steps = []
+    prev = "it0"
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range(m), i -> {term})), (a, b) -> a + b)"
+    )
+    p = "(1.0 / (1.0 + exp(-(b0 + b1 * hx[i + 1]))))"
+    for k in range(1, _IRLS_ITERS + 1):
+        g0 = fold.format(term=f"hy[i + 1] - hn[i + 1] * {p}")
+        g1 = fold.format(term=f"(hy[i + 1] - hn[i + 1] * {p}) * hx[i + 1]")
+        h00 = fold.format(term=f"hn[i + 1] * {p} * (1.0 - {p})")
+        h01 = fold.format(
+            term=f"hn[i + 1] * {p} * (1.0 - {p}) * hx[i + 1]"
+        )
+        h11 = fold.format(
+            term=f"hn[i + 1] * {p} * (1.0 - {p}) * hx[i + 1] * hx[i + 1]"
+        )
+        steps.append(
+            f""",
+s{k} AS (
+  SELECT *, {g0} AS g0, {g1} AS g1,
+         {h00} AS h00, {h01} AS h01, {h11} AS h11
+  FROM {prev}
+),
+it{k} AS (
+  SELECT m, hx, hn, hy, n_events, n_purchases,
+         b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM s{k}
+)"""
+        )
+        prev = f"it{k}"
+    tail = f"""
+SELECT n_events, n_purchases,
+       ROUND(b0, 6) AS beta0,
+       ROUND(b1, 6) AS beta1,
+       ROUND(1.0 / (1.0 + exp(-(b0 + b1 * 0.0))), 6) AS rate_h00,
+       ROUND(1.0 / (1.0 + exp(-(b0 + b1 * 12.0))), 6) AS rate_h12,
+       ROUND(1.0 / (1.0 + exp(-(b0 + b1 * 23.0))), 6) AS rate_h23
+FROM {prev}
+"""
+    return head + "".join(steps) + tail
+
+
+@register("logistic_conversion_irls", _irls_oracle())
+def logistic_conversion_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T149: logistic regression P(purchase | hour-of-day) fitted by 4
+    Newton/IRLS steps — in-engine ML training as a query. The full
+    event log collapses to 24 hourly sufficient-statistic rows (one
+    map-side-combinable aggregate — the ONLY full-data pass at any
+    corpus size: IRLS on aggregated Bernoulli data is exactly IRLS on
+    the raw rows); each Newton step evaluates the gradient and the 2×2
+    Hessian as ordered folds over the hour-sorted arrays (F.aggregate ↔
+    list_reduce, hour order) and applies the closed-form 2×2 solve. All
+    five per-step sums and the sigmoid are single fixed expression
+    trees mirrored in the oracle, so the whole 4-step trajectory
+    hash-matches. The unpartitioned collect is 24 rows — catalog
+    grain."""
+    events = read_events(spark, sf_dir)
+    hr = events.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("y"),
+    )
+    arr = hr.agg(
+        F.count("*").cast("int").alias("m"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("h").cast("double").alias("x"),
+                    F.col("n").cast("double").alias("n"),
+                    F.col("y").cast("double").alias("y"),
+                )
+            )
+        ).alias("pt"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("y").cast("long").alias("n_purchases"),
+    )
+    it = arr.select(
+        "*", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    zero = F.lit(0.0)
+    one = F.lit(1.0)
+    for _ in range(_IRLS_ITERS):
+
+        def p_of(e):
+            return one / (
+                one + F.exp(-(F.col("b0") + F.col("b1") * e["x"]))
+            )
+
+        s = it.select(
+            "*",
+            F.aggregate(
+                "pt", zero, lambda a, e: a + (e["y"] - e["n"] * p_of(e))
+            ).alias("g0"),
+            F.aggregate(
+                "pt",
+                zero,
+                lambda a, e: a + (e["y"] - e["n"] * p_of(e)) * e["x"],
+            ).alias("g1"),
+            F.aggregate(
+                "pt",
+                zero,
+                lambda a, e: a + e["n"] * p_of(e) * (one - p_of(e)),
+            ).alias("h00"),
+            F.aggregate(
+                "pt",
+                zero,
+                lambda a, e: a
+                + e["n"] * p_of(e) * (one - p_of(e)) * e["x"],
+            ).alias("h01"),
+            F.aggregate(
+                "pt",
+                zero,
+                lambda a, e: a
+                + e["n"] * p_of(e) * (one - p_of(e)) * e["x"] * e["x"],
+            ).alias("h11"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        it = s.select(
+            "m",
+            "pt",
+            "n_events",
+            "n_purchases",
+            (
+                F.col("b0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
+                / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
+                / det
+            ).alias("b1"),
+        )
+
+    def rate_at(hour: float):
+        return F.round(
+            one / (one + F.exp(-(F.col("b0") + F.col("b1") * F.lit(hour)))),
+            6,
+        )
+
+    return it.select(
+        "n_events",
+        "n_purchases",
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        rate_at(0.0).alias("rate_h00"),
+        rate_at(12.0).alias("rate_h12"),
+        rate_at(23.0).alias("rate_h23"),
+    )

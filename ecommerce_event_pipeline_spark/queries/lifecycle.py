@@ -612,3 +612,151 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_fixed_point(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# T144 — stationary distribution of the session transition Markov chain
+# ---------------------------------------------------------------------------
+
+_STAT_ITERS = 6
+_STAT_SCALE = 1_000_000_000  # π in parts-per-billion
+_STAT_PSCALE = 1_000_000  # transition probs in parts-per-million
+
+
+def _stationary_oracle() -> str:
+    """CTE chain: transition counts → integer ppm transition matrix →
+    ``_STAT_ITERS`` exact power-iteration steps, each one raw-sum CTE
+    plus one sum-renormalization CTE (same integer ``div`` discipline as
+    the HITS/PageRank oracles — every engine replays identical integer
+    divisions, so the fixed point is hash-stable)."""
+    head = f"""
+WITH seq AS MATERIALIZED (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS MATERIALIZED (
+  SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+rowtot AS MATERIALIZED (
+  SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cnt GROUP BY a
+),
+p AS MATERIALIZED (
+  SELECT cnt.a, cnt.b, cnt.c * {_STAT_PSCALE} // rowtot.r AS p
+  FROM cnt JOIN rowtot USING (a)
+  WHERE cnt.b IN (SELECT a FROM rowtot)
+),
+states AS MATERIALIZED (SELECT a AS s FROM rowtot),
+pi0 AS MATERIALIZED (
+  SELECT s, CAST({_STAT_SCALE} AS BIGINT)
+            // (SELECT COUNT(*) FROM states) AS v
+  FROM states
+)"""
+    steps = []
+    prev = "pi0"
+    for i in range(1, _STAT_ITERS + 1):
+        steps.append(
+            f""",
+raw{i} AS MATERIALIZED (
+  SELECT p.b AS s, CAST(SUM(pi.v * p.p // {_STAT_PSCALE}) AS BIGINT) AS v
+  FROM {prev} pi JOIN p ON p.a = pi.s GROUP BY p.b
+),
+pi{i} AS MATERIALIZED (
+  SELECT st.s,
+         COALESCE(r.v, 0) * {_STAT_SCALE}
+           // (SELECT SUM(v) FROM raw{i}) AS v
+  FROM states st LEFT JOIN raw{i} r ON r.s = st.s
+)"""
+        )
+        prev = f"pi{i}"
+    tail = f"""
+SELECT pi.s AS event_type,
+       rowtot.r AS out_transitions,
+       CAST(pi.v AS BIGINT) AS stationary_ppb,
+       ROUND(CAST(pi.v AS DOUBLE) / {_STAT_SCALE}.0, 6) AS stationary
+FROM {prev} pi JOIN rowtot ON rowtot.a = pi.s
+ORDER BY event_type
+"""
+    return head + "".join(steps) + tail
+
+
+@register("transition_stationary", _stationary_oracle())
+def transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T144: stationary distribution of the within-session event-type
+    Markov chain — where a user's browsing settles in the long run,
+    the flow-equilibrium complement to `event_transitions` (raw bigram
+    counts) and `markov_absorption` (2-state closed form). Transition
+    probabilities are integer parts-per-million (c·PSCALE div rowsum),
+    the power iteration runs a constant 6 steps in BIGINT
+    parts-per-billion with sum-renormalization each step — π·p ≤
+    10⁹·10⁶ and π·SCALE ≤ 10⁹·10⁹ both stay far under 2⁶³ at ANY
+    corpus size because the matrix is normalized before iterating.
+    Scale shape: one lead-window pass over events (the only full-data
+    stage), then everything is event-type-grain (≤ catalog² rows);
+    each step is a broadcast join + tiny aggregate, lineage kept flat
+    with one localCheckpoint per step (same discipline that fixed the
+    HITS plan-doubling, commit 572f80b)."""
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_date").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cnt = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("next_type").alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rowtot = cnt.groupBy("a").agg(F.sum("c").cast("long").alias("r"))
+    states = rowtot.select(F.col("a").alias("s"))
+    p = (
+        cnt.join(F.broadcast(rowtot), "a")
+        .join(
+            F.broadcast(states), F.col("b") == F.col("s"), "left_semi"
+        )
+        .select("a", "b", F.expr(f"c * {_STAT_PSCALE} div r").alias("p"))
+        .localCheckpoint()
+    )
+    n_states = states.count()
+    pi = states.select(
+        "s", F.lit(_STAT_SCALE // n_states).cast("long").alias("v")
+    ).localCheckpoint()
+    for _ in range(_STAT_ITERS):
+        raw = (
+            pi.join(F.broadcast(p), F.col("s") == F.col("a"))
+            .groupBy(F.col("b"))
+            .agg(
+                F.sum(F.expr(f"v * p div {_STAT_PSCALE}"))
+                .cast("long")
+                .alias("rv")
+            )
+        )
+        tot = raw.agg(F.sum("rv").alias("tot"))
+        pi = (
+            states.join(
+                F.broadcast(raw), F.col("s") == F.col("b"), "left"
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "s",
+                F.expr(f"coalesce(rv, 0) * {_STAT_SCALE} div tot")
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pi.join(F.broadcast(rowtot), F.col("s") == F.col("a"))
+        .select(
+            F.col("s").alias("event_type"),
+            F.col("r").alias("out_transitions"),
+            F.col("v").cast("long").alias("stationary_ppb"),
+            F.round(F.col("v").cast("double") / _STAT_SCALE, 6).alias(
+                "stationary"
+            ),
+        )
+        .orderBy("event_type")
+    )

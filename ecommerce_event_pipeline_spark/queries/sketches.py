@@ -686,3 +686,201 @@ def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# T146 — KMV sketch set algebra: union / intersection / Jaccard estimates
+# ---------------------------------------------------------------------------
+
+_KMV_SETOPS_ORACLE = """
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS mn, MAX(CAST(ts AS DATE)) AS mx FROM events
+),
+hu AS (
+  SELECT DISTINCT
+         CASE WHEN CAST(ts AS DATE) <=
+              CAST(b.mn + (date_diff('day', b.mn, b.mx) // 2)
+                   * INTERVAL 1 DAY AS DATE)
+              THEN 0 ELSE 1 END AS half,
+         user_id
+  FROM events, b
+),
+hh AS (
+  SELECT DISTINCT half,
+         CAST(('0x' || substr(md5('kmv#' || user_id), 1, 8)) AS BIGINT) AS hv
+  FROM hu
+),
+rk AS (
+  SELECT half, hv,
+         row_number() OVER (PARTITION BY half ORDER BY hv) AS r
+  FROM hh
+),
+sk AS (SELECT half, hv FROM rk WHERE r <= 64),
+hs AS (
+  SELECT half, CAST(COUNT(*) AS BIGINT) AS k, MAX(hv) AS kth
+  FROM sk GROUP BY half
+),
+urk AS (
+  SELECT hv, row_number() OVER (ORDER BY hv) AS r
+  FROM (SELECT DISTINCT hv FROM sk)
+),
+usk AS (SELECT hv FROM urk WHERE r <= 64),
+us AS (SELECT CAST(COUNT(*) AS BIGINT) AS ku, MAX(hv) AS kthu FROM usk),
+rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM usk
+  WHERE hv IN (SELECT hv FROM sk WHERE half = 0)
+    AND hv IN (SELECT hv FROM sk WHERE half = 1)
+),
+ests AS (
+  SELECT
+    (SELECT CASE WHEN k < 64 THEN CAST(k AS DOUBLE)
+            ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END
+     FROM hs WHERE half = 0) AS est_first,
+    (SELECT CASE WHEN k < 64 THEN CAST(k AS DOUBLE)
+            ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END
+     FROM hs WHERE half = 1) AS est_second,
+    (SELECT CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+            ELSE 63.0 * 4294967296.0 / CAST(kthu AS DOUBLE) END
+     FROM us) AS est_union,
+    CAST((SELECT n_both FROM rho) AS DOUBLE)
+      / CAST((SELECT ku FROM us) AS DOUBLE) AS jac
+),
+ex AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN half = 0 THEN user_id END) AS BIGINT)
+      AS exact_first,
+    CAST(COUNT(DISTINCT CASE WHEN half = 1 THEN user_id END) AS BIGINT)
+      AS exact_second,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+  FROM hu
+),
+exi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT user_id FROM hu GROUP BY user_id
+        HAVING COUNT(DISTINCT half) = 2)
+)
+SELECT ROUND(ests.est_first, 4) AS est_first,
+       ROUND(ests.est_second, 4) AS est_second,
+       ROUND(ests.est_union, 4) AS est_union,
+       ROUND(ests.jac, 6) AS est_jaccard,
+       ROUND(ests.jac * ests.est_union, 2) AS est_intersection,
+       ex.exact_first, ex.exact_second, ex.exact_union,
+       exi.exact_intersection
+FROM ests, ex, exi
+"""
+
+
+@register("kmv_set_ops", _KMV_SETOPS_ORACLE)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T146: KMV sketch SET ALGEBRA — the reason bottom-k sketches earn
+    their keep over raw counts: union is exact sketch merge (bottom-k
+    of the two registers' union), and intersection/Jaccard come from
+    Beyer et al.'s ρ estimator (SIGMOD'07): ρ = fraction of the union
+    sketch's registers present in both per-set sketches, est∩ =
+    ρ·est∪. Audience-overlap between the first and second half of the
+    month, sketch estimates side-by-side with the exact counts — the
+    KMV twin of `hll_segment_overlap` (HLL inclusion-exclusion), but
+    with a bounded-error ratio estimator instead of differencing two
+    noisy cardinalities. Scale shape: the one full-data pass is the
+    DISTINCT (half, user) collapse (map-side combinable); everything
+    after is ≤64-row register sets, broadcast everywhere."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_prefix_long
+
+    events = read_events(spark, sf_dir)
+    b = events.agg(
+        F.min("event_date").alias("mn"), F.max("event_date").alias("mx")
+    )
+    cut = F.date_add(F.col("mn"), (F.datediff("mx", "mn") / 2).cast("int"))
+    # hu feeds 3 branches (hashing, exact counts, exact intersection) and
+    # sk feeds 4 (per-half stats, union sketch, both membership sides);
+    # without a materialization barrier each branch re-scans events and
+    # redoes the distinct — 7 full passes. hu is |users|·2 rows, sk ≤128.
+    hu = (
+        events.crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("event_date") <= cut, 0).otherwise(1).alias("half"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    hh = hu.select(
+        "half", md5_prefix_long("kmv", F.col("user_id")).alias("hv")
+    ).distinct()
+    rk = hh.select(
+        "half",
+        "hv",
+        F.row_number().over(Window.partitionBy("half").orderBy("hv")).alias("r"),
+    )
+    sk = rk.where(F.col("r") <= 64).select("half", "hv").localCheckpoint()
+    hs = sk.groupBy("half").agg(
+        F.count("*").cast("long").alias("k"), F.max("hv").alias("kth")
+    )
+    usk = (
+        sk.select("hv")
+        .distinct()
+        .select("hv", F.row_number().over(Window.orderBy("hv")).alias("r"))
+        .where(F.col("r") <= 64)
+        .select("hv")
+    )
+    us = usk.agg(
+        F.count("*").cast("long").alias("ku"), F.max("hv").alias("kthu")
+    )
+    s0 = sk.where(F.col("half") == 0).select("hv")
+    s1 = sk.where(F.col("half") == 1).select("hv")
+    rho = (
+        usk.join(s0, "hv", "left_semi")
+        .join(s1, "hv", "left_semi")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+
+    def _est(k: F.Column, kth: F.Column) -> F.Column:
+        return F.when(k < 64, k.cast("double")).otherwise(
+            F.lit(63.0) * F.lit(4294967296.0) / kth.cast("double")
+        )
+
+    e0 = hs.where(F.col("half") == 0).select(
+        _est(F.col("k"), F.col("kth")).alias("est_first")
+    )
+    e1 = hs.where(F.col("half") == 1).select(
+        _est(F.col("k"), F.col("kth")).alias("est_second")
+    )
+    eu = us.select(_est(F.col("ku"), F.col("kthu")).alias("est_union"))
+    ex = hu.agg(
+        F.count_distinct(F.when(F.col("half") == 0, F.col("user_id")))
+        .cast("long")
+        .alias("exact_first"),
+        F.count_distinct(F.when(F.col("half") == 1, F.col("user_id")))
+        .cast("long")
+        .alias("exact_second"),
+        F.count_distinct("user_id").cast("long").alias("exact_union"),
+    )
+    exi = (
+        hu.groupBy("user_id")
+        .agg(F.count_distinct("half").alias("nh"))
+        .where(F.col("nh") == 2)
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    jac = F.col("n_both").cast("double") / F.col("ku").cast("double")
+    return (
+        e0.crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(us.select("ku")))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(exi))
+        .select(
+            F.round("est_first", 4).alias("est_first"),
+            F.round("est_second", 4).alias("est_second"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round(jac, 6).alias("est_jaccard"),
+            F.round(jac * F.col("est_union"), 2).alias("est_intersection"),
+            "exact_first",
+            "exact_second",
+            "exact_union",
+            "exact_intersection",
+        )
+    )

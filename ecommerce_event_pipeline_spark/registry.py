@@ -3788,6 +3788,8 @@ from .queries import (  # noqa: E402,F401
     corpus_lm as _q_corpus_lm,
     experiments as _q_experiments,
     lifecycle as _q_lifecycle,
+    media as _q_media,
+    monitoring as _q_monitoring,
     olap_deep as _q_olap_deep,
     sampling as _q_sampling,
     sketches as _q_sketches,

