@@ -532,3 +532,106 @@ def logistic_conversion_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_at(12.0).alias("rate_h12"),
         rate_at(23.0).alias("rate_h23"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T152 — time-split calibration curve of an hour-of-day purchase score
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+tagged AS (
+  SELECT CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS h,
+         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(e.ts AS DATE) >
+              CAST(b.mn + (date_diff('day', b.mn, b.mx) // 2)
+                   * INTERVAL 1 DAY AS DATE)
+              THEN 1 ELSE 0 END AS post
+  FROM events e, b
+),
+train AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(y) AS BIGINT) AS y_train
+  FROM tagged WHERE post = 0 GROUP BY h
+),
+test AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(y) AS BIGINT) AS y_test
+  FROM tagged WHERE post = 1 GROUP BY h
+)
+SELECT t.h AS event_hour,
+       ROUND(CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE), 6)
+         AS p_train,
+       t.n_test, t.y_test,
+       ROUND(CAST(t.y_test AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+         AS observed,
+       ROUND(CAST(t.y_test AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+             - CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE), 6)
+         AS gap,
+       ROUND((CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE))
+             * (CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE))
+             - 2.0 * (CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE))
+                   * (CAST(t.y_test AS DOUBLE) / CAST(t.n_test AS DOUBLE))
+             + CAST(t.y_test AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+         AS brier_h
+FROM test t JOIN train tr ON tr.h = t.h
+ORDER BY event_hour
+"""
+
+
+@register("score_calibration_report", _CALIBRATION_ORACLE)
+def score_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T152: calibration curve of a time-split purchase-propensity score
+    — train on the first half of the date range (per-hour purchase
+    rate), evaluate on the second half: predicted vs observed rate,
+    gap, and the per-hour Brier contribution. The Brier mean
+    E[(p−y)²] over a group with constant prediction collapses to
+    p² − 2p·ȳ + ȳ (y is 0/1), so the whole metric is closed-form over
+    four exact BIGINT counts — no per-event float sum anywhere, hence
+    hash-stable at any partitioning. The train/test cutover reuses the
+    experiment-design midpoint (`experiment_cells_cte` convention). One
+    map-side-combinable (hour, half) aggregate; 24-row output at any
+    scale."""
+    events = read_events(spark, sf_dir)
+    b = events.agg(
+        F.min("event_date").alias("mn"), F.max("event_date").alias("mx")
+    )
+    cut = F.date_add(F.col("mn"), (F.datediff("mx", "mn") / 2).cast("int"))
+    tagged = events.crossJoin(F.broadcast(b)).select(
+        F.hour("ts").cast("long").alias("h"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("event_date") > cut).cast("int").alias("post"),
+    )
+    train = (
+        tagged.where(F.col("post") == 0)
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum("y").cast("long").alias("y_train"),
+        )
+    )
+    test = (
+        tagged.where(F.col("post") == 1)
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum("y").cast("long").alias("y_test"),
+        )
+    )
+    p = F.col("y_train").cast("double") / F.col("n_train").cast("double")
+    o = F.col("y_test").cast("double") / F.col("n_test").cast("double")
+    return (
+        test.join(train, "h")
+        .select(
+            F.col("h").alias("event_hour"),
+            F.round(p, 6).alias("p_train"),
+            "n_test",
+            "y_test",
+            F.round(o, 6).alias("observed"),
+            F.round(o - p, 6).alias("gap"),
+            F.round(p * p - F.lit(2.0) * p * o + o, 6).alias("brier_h"),
+        )
+        .orderBy("event_hour")
+    )

@@ -760,3 +760,113 @@ def transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T153 — degree assortativity of the product co-view graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH views AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type = 'view'
+),
+edges AS (
+  SELECT DISTINCT a.k AS src, b.k AS dst
+  FROM views a JOIN views b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.k < b.k
+),
+deg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS k FROM edges UNION ALL SELECT dst FROM edges
+  ) GROUP BY k
+),
+ed AS (
+  SELECT d1.deg AS x, d2.deg AS y
+  FROM edges e JOIN deg d1 ON d1.k = e.src JOIN deg d2 ON d2.k = e.dst
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x + y) AS BIGINT) AS s1,
+         CAST(SUM(x * x + y * y) AS BIGINT) AS s2,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM ed
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       sums.m AS n_edges,
+       ROUND(CAST(sums.s1 AS DOUBLE) / (2.0 * sums.m), 4) AS mean_edge_degree,
+       ROUND((4.0 * sums.m * sums.sxy - CAST(sums.s1 AS DOUBLE) * sums.s1)
+             / (2.0 * sums.m * sums.s2 - CAST(sums.s1 AS DOUBLE) * sums.s1),
+             6) AS assortativity
+FROM sums, nn
+"""
+
+
+@register("coview_assortativity", _ASSORT_ORACLE)
+def coview_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T153: degree assortativity of the undirected product co-view
+    graph (Newman 2002): the Pearson correlation of endpoint degrees
+    over edges — positive means popular products co-view with popular
+    ones (hub-and-spoke catalogs score negative). For an undirected
+    graph each edge contributes both orientations; with the symmetric
+    estimator the correlation collapses to the closed form
+    (4m·Σxy − (Σx+Σy)²) / (2m·Σ(x²+y²) − (Σx+Σy)²) over the canonical
+    (src < dst) edge list — every sum an exact BIGINT, one double
+    expression at the end. Same per-(user, day)-bounded edge
+    generation as `item_pagerank` (distinct collapse before pairing);
+    degrees are catalog-grain, broadcast into the edge join."""
+    events = read_events(spark, sf_dir)
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_date",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .distinct()
+    )
+    a = views.select("user_id", "event_date", F.col("k").alias("src"))
+    b = views.select("user_id", "event_date", F.col("k").alias("dst"))
+    edges = (
+        a.join(b, ["user_id", "event_date"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()  # feeds degree build + the degree join below
+    )
+    deg = (
+        edges.select(F.col("src").alias("k"))
+        .unionAll(edges.select(F.col("dst").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    d1 = deg.select(F.col("k").alias("src"), F.col("deg").alias("x"))
+    d2 = deg.select(F.col("k").alias("dst"), F.col("deg").alias("y"))
+    ed = edges.join(F.broadcast(d1), "src").join(F.broadcast(d2), "dst")
+    sums = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("x") + F.col("y")).cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    s1d = F.col("s1").cast("double")
+    return sums.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.round(s1d / (F.lit(2.0) * F.col("m")), 4).alias(
+            "mean_edge_degree"
+        ),
+        F.round(
+            (F.lit(4.0) * F.col("m") * F.col("sxy") - s1d * F.col("s1"))
+            / (
+                F.lit(2.0) * F.col("m") * F.col("s2")
+                - s1d * F.col("s1")
+            ),
+            6,
+        ).alias("assortativity"),
+    )

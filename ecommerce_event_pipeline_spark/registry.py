@@ -3791,6 +3791,7 @@ from .queries import (  # noqa: E402,F401
     media as _q_media,
     monitoring as _q_monitoring,
     olap_deep as _q_olap_deep,
+    privacy as _q_privacy,
     sampling as _q_sampling,
     sketches as _q_sketches,
     warehouse as _q_warehouse,

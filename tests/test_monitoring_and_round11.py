@@ -296,3 +296,101 @@ def test_irls_matches_numpy_newton(spark):
     for h, col in [(0.0, "rate_h00"), (12.0, "rate_h12"), (23.0, "rate_h23")]:
         expect = 1.0 / (1.0 + math.exp(-(b[0] + b[1] * h)))
         assert row[col] == pytest.approx(expect, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# T150 k-anonymity / T151 DP noise / T152 calibration / T153 assortativity
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_accounting_consistent(spark):
+    row = _q(spark, "k_anonymity_report").collect()[0]
+    assert row["unsafe_groups"] <= row["n_groups"]
+    assert row["unsafe_users"] <= row["n_users"]
+    assert row["min_group"] >= 1
+    assert row["suppression_rate"] == pytest.approx(
+        row["unsafe_users"] / row["n_users"], abs=1e-6
+    )
+    # groups are a partition of users: every unsafe group has < 5 users,
+    # so unsafe_users < 5 * unsafe_groups
+    assert row["unsafe_users"] < 5 * max(row["unsafe_groups"], 1) or (
+        row["unsafe_groups"] == 0 and row["unsafe_users"] == 0
+    )
+
+
+def test_dp_noise_is_laplace_inverse_cdf(spark):
+    from ecommerce_event_pipeline_spark.functions.hashing import (
+        md5_prefix_long,
+    )
+
+    rows = _q(spark, "dp_noisy_daily_counts").collect()
+    assert len(rows) > 0
+    import hashlib
+
+    for r in rows[:5]:
+        day = r["event_date"].isoformat()
+        hv = int(
+            hashlib.md5(f"dp#{day}".encode()).hexdigest()[:8], 16
+        )
+        c = hv / 4294967296.0 - 0.5
+        expect = -2.0 * (1.0 if c >= 0 else -1.0) * math.log(
+            1.0 - 2.0 * abs(c)
+        )
+        assert r["noise"] == pytest.approx(expect, abs=1e-3)
+        assert r["released_count"] == pytest.approx(
+            r["true_users"] + r["noise"], abs=1e-3
+        )
+
+
+def test_calibration_brier_closed_form(spark):
+    rows = _q(spark, "score_calibration_report").collect()
+    assert len(rows) == 24
+    for r in rows:
+        p, o = r["p_train"], r["observed"]
+        assert r["gap"] == pytest.approx(o - p, abs=2e-6)
+        assert r["brier_h"] == pytest.approx(
+            p * p - 2 * p * o + o, abs=2e-6
+        )
+        # Brier of a constant prediction on 0/1 outcomes is in [0, 1]
+        assert 0.0 <= r["brier_h"] <= 1.0
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_DIR)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_date",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .distinct()
+    )
+    a = views.select("user_id", "event_date", F.col("k").alias("src"))
+    b = views.select("user_id", "event_date", F.col("k").alias("dst"))
+    edges = (
+        a.join(b, ["user_id", "event_date"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    deg: dict[int, int] = {}
+    for e in edges:
+        deg[e["src"]] = deg.get(e["src"], 0) + 1
+        deg[e["dst"]] = deg.get(e["dst"], 0) + 1
+    # symmetric estimator: both orientations of every canonical edge
+    x = np.array(
+        [deg[e["src"]] for e in edges] + [deg[e["dst"]] for e in edges],
+        dtype=float,
+    )
+    y = np.array(
+        [deg[e["dst"]] for e in edges] + [deg[e["src"]] for e in edges],
+        dtype=float,
+    )
+    expect = np.corrcoef(x, y)[0, 1]
+    row = _q(spark, "coview_assortativity").collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(deg)
+    assert row["assortativity"] == pytest.approx(expect, abs=1e-4)
