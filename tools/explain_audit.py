@@ -84,6 +84,18 @@ HEADLINERS = [
     "time_decay_attribution",
     "markov_absorption",
     "doc_boilerplate_fraction",
+    # round-11 expansion: window-form CUSUM (prefix-sum + running-min, no
+    # fold), bounded-fan-out bootstrap, integer power iteration, blocked
+    # media LSH pairing, session-keyed subsequence self-join, and the
+    # ordered-fold IRLS chain
+    "revenue_cusum",
+    "poisson_bootstrap_ci",
+    "transition_stationary",
+    "media_phash_dupes",
+    "subsequence_support",
+    "logistic_conversion_irls",
+    "kmv_set_ops",
+    "coview_assortativity",
 ]
 
 
@@ -102,6 +114,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "revenue_changepoint": "calendar grain: one row per day",
     "theil_sen_trend": "calendar grain: pairwise over days (≈n²/2 rows)",
     "poisson_bootstrap_ci": "replicate grain: 64 bootstrap means",
+    "kmv_set_ops": "register grain: union rank over ≤128 sketch registers",
 }
 
 
