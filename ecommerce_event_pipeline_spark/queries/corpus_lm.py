@@ -703,7 +703,7 @@ fit AS (
 )
 SELECT CAST(m AS BIGINT) AS n_sources,
        total_tokens, sum_vocab,
-       ROUND(beta, 6) AS heaps_beta,
+       ROUND(beta, 6) + 0.0 AS heaps_beta,
        ROUND(exp((sy - beta * sx) / m), 6) AS heaps_k
 FROM fit
 """
@@ -771,7 +771,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_sources"),
         "total_tokens",
         "sum_vocab",
-        F.round("beta", 6).alias("heaps_beta"),
+        # + 0.0 canonicalizes IEEE −0.0 → +0.0: at scales where β rounds
+        # to zero the two engines can disagree on the SIGN of the zero
+        # (repr '−0.0' vs '0.0' hash-mismatches; caught by the sf0.1
+        # mirror in round 11)
+        (F.round("beta", 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(
             F.exp((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("m")),
             6,

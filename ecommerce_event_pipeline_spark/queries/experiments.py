@@ -414,8 +414,8 @@ it{k} AS (
         prev = f"it{k}"
     tail = f"""
 SELECT n_events, n_purchases,
-       ROUND(b0, 6) AS beta0,
-       ROUND(b1, 6) AS beta1,
+       ROUND(b0, 6) + 0.0 AS beta0,
+       ROUND(b1, 6) + 0.0 AS beta1,
        ROUND(1.0 / (1.0 + exp(-(b0 + b1 * 0.0))), 6) AS rate_h00,
        ROUND(1.0 / (1.0 + exp(-(b0 + b1 * 12.0))), 6) AS rate_h12,
        ROUND(1.0 / (1.0 + exp(-(b0 + b1 * 23.0))), 6) AS rate_h23
@@ -526,8 +526,8 @@ def logistic_conversion_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return it.select(
         "n_events",
         "n_purchases",
-        F.round("b0", 6).alias("beta0"),
-        F.round("b1", 6).alias("beta1"),
+        (F.round("b0", 6) + F.lit(0.0)).alias("beta0"),
+        (F.round("b1", 6) + F.lit(0.0)).alias("beta1"),
         rate_at(0.0).alias("rate_h00"),
         rate_at(12.0).alias("rate_h12"),
         rate_at(23.0).alias("rate_h23"),
@@ -569,7 +569,7 @@ SELECT t.h AS event_hour,
          AS observed,
        ROUND(CAST(t.y_test AS DOUBLE) / CAST(t.n_test AS DOUBLE)
              - CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE), 6)
-         AS gap,
+         + 0.0 AS gap,
        ROUND((CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE))
              * (CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE))
              - 2.0 * (CAST(tr.y_train AS DOUBLE) / CAST(tr.n_train AS DOUBLE))
@@ -630,7 +630,7 @@ def score_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_test",
             "y_test",
             F.round(o, 6).alias("observed"),
-            F.round(o - p, 6).alias("gap"),
+            (F.round(o - p, 6) + F.lit(0.0)).alias("gap"),
             F.round(p * p - F.lit(2.0) * p * o + o, 6).alias("brier_h"),
         )
         .orderBy("event_hour")

@@ -799,7 +799,7 @@ SELECT nn.n_nodes,
        ROUND(CAST(sums.s1 AS DOUBLE) / (2.0 * sums.m), 4) AS mean_edge_degree,
        ROUND((4.0 * sums.m * sums.sxy - CAST(sums.s1 AS DOUBLE) * sums.s1)
              / (2.0 * sums.m * sums.s2 - CAST(sums.s1 AS DOUBLE) * sums.s1),
-             6) AS assortativity
+             6) + 0.0 AS assortativity
 FROM sums, nn
 """
 
@@ -861,12 +861,15 @@ def coview_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1d / (F.lit(2.0) * F.col("m")), 4).alias(
             "mean_edge_degree"
         ),
-        F.round(
-            (F.lit(4.0) * F.col("m") * F.col("sxy") - s1d * F.col("s1"))
-            / (
-                F.lit(2.0) * F.col("m") * F.col("s2")
-                - s1d * F.col("s1")
-            ),
-            6,
+        (
+            F.round(
+                (F.lit(4.0) * F.col("m") * F.col("sxy") - s1d * F.col("s1"))
+                / (
+                    F.lit(2.0) * F.col("m") * F.col("s2")
+                    - s1d * F.col("s1")
+                ),
+                6,
+            )
+            + F.lit(0.0)  # canonicalize IEEE −0.0 (see heaps_law_fit)
         ).alias("assortativity"),
     )

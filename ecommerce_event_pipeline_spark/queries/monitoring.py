@@ -264,12 +264,12 @@ res AS (
 )
 SELECT CAST(MAX(n) AS BIGINT) AS n_days,
        CAST(MAX(m) AS BIGINT) AS n_pairs,
-       ROUND(MAX(slope_med) / 100.0, 6) AS slope_per_day,
+       ROUND(MAX(slope_med) / 100.0, 6) + 0.0 AS slope_per_day,
        ROUND(CASE WHEN MAX(n) % 2 = 1
               THEN MAX(CASE WHEN r = (n + 1) // 2 THEN resid END)
               ELSE (MAX(CASE WHEN r = n // 2 THEN resid END)
                     + MAX(CASE WHEN r = n // 2 + 1 THEN resid END)) / 2.0
-         END / 100.0, 6) AS intercept
+         END / 100.0, 6) + 0.0 AS intercept
 FROM res
 """
 )
@@ -349,8 +349,8 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rr.groupBy().agg(
         F.max("n").cast("long").alias("n_days"),
         F.max("m").cast("long").alias("n_pairs"),
-        F.round(F.max("slope_med") / 100.0, 6).alias("slope_per_day"),
-        F.round(intercept / 100.0, 6).alias("intercept"),
+        (F.round(F.max("slope_med") / 100.0, 6) + F.lit(0.0)).alias("slope_per_day"),
+        (F.round(intercept / 100.0, 6) + F.lit(0.0)).alias("intercept"),
     )
 
 

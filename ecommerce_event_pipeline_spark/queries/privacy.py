@@ -119,7 +119,7 @@ n AS (
   FROM u
 )
 SELECT event_date, true_users,
-       ROUND(noise, 4) AS noise,
+       ROUND(noise, 4) + 0.0 AS noise,
        ROUND(true_users + noise, 4) AS released_count,
        ROUND(ABS(noise), 4) AS abs_err
 FROM n ORDER BY event_date
@@ -156,7 +156,7 @@ def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "event_date",
         "true_users",
-        F.round("noise", 4).alias("noise"),
+        (F.round("noise", 4) + F.lit(0.0)).alias("noise"),
         F.round(F.col("true_users") + F.col("noise"), 4).alias(
             "released_count"
         ),
