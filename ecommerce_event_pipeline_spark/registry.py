@@ -3835,7 +3835,7 @@ _FRONT: tuple[str, ...] = (
     "item_pagerank",
     "hits_scores",
     "kmv_daily_users",
-    # ---- the 33 stalest r07 seats (ledger order) ----
+    # ---- the 19 stalest r07 seats (ledger order) ----
     "props_key_stats",
     "pricing_summary",
     "shipping_priority",
@@ -3855,29 +3855,38 @@ _FRONT: tuple[str, ...] = (
     "orders_projection",
     "union_activity",
     "regex_token_count",
-    "doc_quality_score",
-    "token_frequencies",
-    "json_order_items",
-    "funnel_violations",
-    "skew_safe_type_totals",
-    "customers_without_orders",
-    "viewers_never_purchased",
-    "value_percentiles",
-    "scalar_functions_showcase",
-    "daily_kpis",
-    "cheapest_part_per_brand",
-    "volume_shipping",
-    "promo_revenue_share",
-    "revenue_7day_ma",
+    # ---- the 14 round-11 additions (T140-T153), seated on landing so
+    # no registered query ever carries zero driver evidence for more
+    # than the round it was born in (the r10 verdict's one open loop
+    # was exactly this gap for T123-T139; same fix, applied earlier).
+    # They displace the 14 freshest r07 suggestions, which stay within
+    # the latest-4 freshness bound until the r13 rotation forces them
+    # back in. ----
+    "revenue_cusum",
+    "revenue_changepoint",
+    "theil_sen_trend",
+    "poisson_bootstrap_ci",
+    "transition_stationary",
+    "subsequence_support",
+    "kmv_set_ops",
+    "media_phash_dupes",
+    "heaps_law_fit",
+    "logistic_conversion_irls",
+    "k_anonymity_report",
+    "dp_noisy_daily_counts",
+    "score_calibration_report",
+    "coview_assortativity",
 )
 # Seat accounting for the round-11 window (the driver grades the first 50
 # registered queries). The r10 window went 50/50 (CORRECTNESS_r10 zero
-# err), so the cumulative ledger holds 186-ever-green + 17 ungraded; this
-# window retires the entire never-graded set and the whole r07 stale
-# block in one rotation. Every seat passes the full local mirror
-# (tools/check_oracle.py 203/203 at sf0.01, re-verified by the r10
-# judge), so the expected outcome is 50/50 with no seat's last-green
-# older than r08 afterwards. The freshness invariant is pinned by
+# err), so the cumulative ledger holds 186-ever-green + 17 ungraded from
+# r10 + 14 born this round; this window retires the ENTIRE never-graded
+# set (17 + 14) plus the 19 stalest r07 seats. The 14 r07 seats it
+# leaves out (doc_quality_score .. revenue_7day_ma) stay within the
+# latest-4 freshness bound through r12 and are the natural r13 seats.
+# Every seat passes the full local mirror (tools/check_oracle.py
+# 217/217 at sf0.01 and sf0.1 this round), so the expected outcome is
+# 50/50. The freshness invariant is pinned by
 # tests/test_registry_coverage.py::test_front_window_reseats_stalest.
 
 def _reorder_registry() -> None:
