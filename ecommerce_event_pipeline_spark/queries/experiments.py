@@ -635,3 +635,150 @@ def score_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# T156 — information-gain feature ranking for purchase prediction
+# ---------------------------------------------------------------------------
+
+_H_SQL = """CASE WHEN {y} = 0 OR {y} = {n} THEN 0.0
+         ELSE -((CAST({y} AS DOUBLE) / {n}) * ln(CAST({y} AS DOUBLE) / {n})
+                + (CAST({n} - {y} AS DOUBLE) / {n})
+                  * ln(CAST({n} - {y} AS DOUBLE) / {n})) END"""
+
+_INFOGAIN_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_v,
+         CAST(isodow(ts) AS BIGINT) AS dow_v,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS kb_v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS yt FROM ev
+),
+f AS (
+  SELECT 'hour_of_day' AS feature, hour_v AS v,
+         CAST(COUNT(*) AS BIGINT) AS nv, CAST(SUM(y) AS BIGINT) AS yv
+  FROM ev GROUP BY 2
+  UNION ALL
+  SELECT 'day_of_week', dow_v, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(y) AS BIGINT)
+  FROM ev GROUP BY 2
+  UNION ALL
+  SELECT 'product_bucket', kb_v, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(y) AS BIGINT)
+  FROM ev GROUP BY 2
+),
+terms AS (
+  SELECT feature, v,
+         (CAST(nv AS DOUBLE) / t.n)
+         * ({_H_SQL.format(y="yv", n="nv")}) AS term
+  FROM f, tot t
+),
+arr AS (
+  SELECT feature, list(term ORDER BY v) AS tl,
+         CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM terms GROUP BY feature
+),
+ce AS (
+  SELECT feature, n_values,
+         list_reduce(list_prepend(0.0::DOUBLE, tl), (a, b) -> a + b) AS cond
+  FROM arr
+),
+base AS (
+  SELECT {_H_SQL.format(y="yt", n="n")} AS h0 FROM tot
+)
+SELECT feature, n_values,
+       ROUND(base.h0, 6) AS base_entropy,
+       ROUND(ce.cond, 6) AS cond_entropy,
+       ROUND(base.h0 - ce.cond, 6) + 0.0 AS info_gain
+FROM ce, base
+ORDER BY base.h0 - ce.cond DESC, feature
+"""
+
+
+@register("feature_information_gain", _INFOGAIN_ORACLE)
+def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T156: decision-tree-style feature ranking — information gain
+    IG(f) = H(y) − Σ_v (n_v/n)·H(y|v) of the purchase label against
+    three candidate event features (hour of day, ISO day of week,
+    product-id bucket). Entropies come from exact BIGINT counts
+    through one fixed expression tree (0·ln 0 handled by the integer
+    guard y∈{0,n}); the conditional sum is an ordered fold over the
+    value-sorted term list (≤24 elements — scalar work). Three
+    map-side-combinable aggregates over one scan; bounded output. The
+    feature-screening step of an in-engine model-training pipeline,
+    next to `logistic_conversion_irls` (training) and
+    `score_calibration_report` (evaluation)."""
+    events = read_events(spark, sf_dir)
+    ev = events.select(
+        F.hour("ts").cast("long").alias("hour_v"),
+        (F.weekday("ts") + 1).cast("long").alias("dow_v"),
+        F.expr(
+            "cast(get_json_object(props, '$.k') as bigint) div 10"
+        ).alias("kb_v"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    tot = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("yt"),
+    )
+
+    def _branch(col: str, name: str) -> DataFrame:
+        return (
+            ev.groupBy(F.col(col).alias("v"))
+            .agg(
+                F.count("*").cast("long").alias("nv"),
+                F.sum("y").cast("long").alias("yv"),
+            )
+            .select(F.lit(name).alias("feature"), "v", "nv", "yv")
+        )
+
+    f = (
+        _branch("hour_v", "hour_of_day")
+        .unionByName(_branch("dow_v", "day_of_week"))
+        .unionByName(_branch("kb_v", "product_bucket"))
+    )
+
+    def _h(y: F.Column, n: F.Column) -> F.Column:
+        p = y.cast("double") / n
+        q = (n - y).cast("double") / n
+        return F.when((y == 0) | (y == n), F.lit(0.0)).otherwise(
+            -(p * F.log(p) + q * F.log(q))
+        )
+
+    terms = f.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        "v",
+        ((F.col("nv").cast("double") / F.col("n")) * _h(F.col("yv"), F.col("nv"))).alias(
+            "term"
+        ),
+    )
+    arr = terms.groupBy("feature").agg(
+        F.sort_array(F.collect_list(F.struct("v", "term"))).alias("tl"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    ce = arr.select(
+        "feature",
+        "n_values",
+        F.aggregate("tl", F.lit(0.0), lambda a, e: a + e["term"]).alias(
+            "cond"
+        ),
+    )
+    base = tot.select(_h(F.col("yt"), F.col("n")).alias("h0"))
+    return (
+        ce.crossJoin(F.broadcast(base))
+        .select(
+            "feature",
+            "n_values",
+            F.round("h0", 6).alias("base_entropy"),
+            F.round("cond", 6).alias("cond_entropy"),
+            (F.round(F.col("h0") - F.col("cond"), 6) + F.lit(0.0)).alias(
+                "info_gain"
+            ),
+            (F.col("h0") - F.col("cond")).alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), "feature")
+        .drop("_raw")
+    )

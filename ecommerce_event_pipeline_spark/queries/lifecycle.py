@@ -623,12 +623,14 @@ _STAT_SCALE = 1_000_000_000  # π in parts-per-billion
 _STAT_PSCALE = 1_000_000  # transition probs in parts-per-million
 
 
-def _stationary_oracle() -> str:
-    """CTE chain: transition counts → integer ppm transition matrix →
-    ``_STAT_ITERS`` exact power-iteration steps, each one raw-sum CTE
-    plus one sum-renormalization CTE (same integer ``div`` discipline as
-    the HITS/PageRank oracles — every engine replays identical integer
-    divisions, so the fixed point is hash-stable)."""
+def _stationary_chain() -> tuple[str, str]:
+    """(CTE chain, final-pi CTE name): transition counts → integer ppm
+    transition matrix → ``_STAT_ITERS`` exact power-iteration steps,
+    each one raw-sum CTE plus one sum-renormalization CTE (same integer
+    ``div`` discipline as the HITS/PageRank oracles — every engine
+    replays identical integer divisions, so the fixed point is
+    hash-stable). Shared by the stationary-distribution and
+    entropy-rate oracles."""
     head = f"""
 WITH seq AS MATERIALIZED (
   SELECT event_type,
@@ -671,6 +673,11 @@ pi{i} AS MATERIALIZED (
 )"""
         )
         prev = f"pi{i}"
+    return head + "".join(steps), prev
+
+
+def _stationary_oracle() -> str:
+    chain, prev = _stationary_chain()
     tail = f"""
 SELECT pi.s AS event_type,
        rowtot.r AS out_transitions,
@@ -679,28 +686,16 @@ SELECT pi.s AS event_type,
 FROM {prev} pi JOIN rowtot ON rowtot.a = pi.s
 ORDER BY event_type
 """
-    return head + "".join(steps) + tail
+    return chain + tail
 
 
-@register("transition_stationary", _stationary_oracle())
-def transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T144: stationary distribution of the within-session event-type
-    Markov chain — where a user's browsing settles in the long run,
-    the flow-equilibrium complement to `event_transitions` (raw bigram
-    counts) and `markov_absorption` (2-state closed form). Transition
-    probabilities are integer parts-per-million (c·PSCALE div rowsum),
-    the power iteration runs a constant 6 steps in BIGINT
-    parts-per-billion with sum-renormalization each step — π·p ≤
-    10⁹·10⁶ and π·SCALE ≤ 10⁹·10⁹ both stay far under 2⁶³ at ANY
-    corpus size because the matrix is normalized before iterating.
-    Scale shape: one lead-window pass over events (the only full-data
-    stage), then everything is event-type-grain (≤ catalog² rows);
-    each step is a broadcast join + tiny aggregate, lineage kept flat
-    with one localCheckpoint per step (same discipline that fixed the
-    HITS plan-doubling, commit 572f80b)."""
+def _stationary_parts(events: DataFrame):
+    """(π, transition counts, row totals) of the within-session
+    event-type chain — the shared integer fixed-point machinery behind
+    `transition_stationary` and `markov_entropy_rate` (see the former's
+    docstring for the exactness and scale argument)."""
     from pyspark.sql import Window
 
-    events = read_events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_date").orderBy("ts", "event_id")
     seq = events.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -709,6 +704,7 @@ def transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.where(F.col("next_type").isNotNull())
         .groupBy(F.col("event_type").alias("a"), F.col("next_type").alias("b"))
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # consumed by rowtot, p, and the final joins
     )
     rowtot = cnt.groupBy("a").agg(F.sum("c").cast("long").alias("r"))
     states = rowtot.select(F.col("a").alias("s"))
@@ -748,6 +744,26 @@ def transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return pi, cnt, rowtot
+
+
+@register("transition_stationary", _stationary_oracle())
+def transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T144: stationary distribution of the within-session event-type
+    Markov chain — where a user's browsing settles in the long run,
+    the flow-equilibrium complement to `event_transitions` (raw bigram
+    counts) and `markov_absorption` (2-state closed form). Transition
+    probabilities are integer parts-per-million (c·PSCALE div rowsum),
+    the power iteration runs a constant 6 steps in BIGINT
+    parts-per-billion with sum-renormalization each step — π·p ≤
+    10⁹·10⁶ and π·SCALE ≤ 10⁹·10⁹ both stay far under 2⁶³ at ANY
+    corpus size because the matrix is normalized before iterating.
+    Scale shape: one lead-window pass over events (the only full-data
+    stage), then everything is event-type-grain (≤ catalog² rows);
+    each step is a broadcast join + tiny aggregate, lineage kept flat
+    with one localCheckpoint per step (same discipline that fixed the
+    HITS plan-doubling, commit 572f80b)."""
+    pi, cnt, rowtot = _stationary_parts(read_events(spark, sf_dir))
     return (
         pi.join(F.broadcast(rowtot), F.col("s") == F.col("a"))
         .select(
@@ -872,4 +888,91 @@ def coview_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)  # canonicalize IEEE −0.0 (see heaps_law_fit)
         ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T155 — entropy rate of the session transition Markov chain
+# ---------------------------------------------------------------------------
+
+
+def _entropy_rate_oracle() -> str:
+    chain, prev = _stationary_chain()
+    return (
+        chain
+        + f""",
+terms AS (
+  SELECT c.a, c.b,
+         (CAST(pi.v AS DOUBLE) / {_STAT_SCALE}.0)
+         * (CAST(c.c AS DOUBLE) / CAST(rt.r AS DOUBLE))
+         * ln(CAST(c.c AS DOUBLE) / CAST(rt.r AS DOUBLE)) AS term
+  FROM cnt c JOIN rowtot rt ON rt.a = c.a JOIN {prev} pi ON pi.s = c.a
+),
+arr AS (
+  SELECT list(term ORDER BY a, b) AS tl,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM terms
+),
+h AS (
+  SELECT n_pairs,
+         -list_reduce(list_prepend(0.0::DOUBLE, tl), (x, y) -> x + y) AS hr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rowtot) AS n_states
+  FROM arr
+)
+SELECT n_states, n_pairs,
+       ROUND(hr, 6) AS entropy_rate_nats,
+       ROUND(hr / ln(2.0), 6) AS entropy_rate_bits,
+       ROUND(hr / ln(CAST(n_states AS DOUBLE)), 6) AS normalized
+FROM h
+"""
+    )
+
+
+@register("markov_entropy_rate", _entropy_rate_oracle())
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T155: entropy rate of the within-session event-type Markov chain
+    — H = −Σᵢⱼ πᵢ·pᵢⱼ·ln pᵢⱼ, the bits-per-step unpredictability of
+    user behavior (1.0 normalized = pure noise, → 0 = deterministic
+    funnels; the sequence-level complement of the per-user
+    `behavior_entropy`). Reuses the integer fixed-point π from
+    `transition_stationary` (shared `_stationary_parts`); each term is
+    a fixed tree over one π division and one count division, summed by
+    an ordered fold over the (from, to)-sorted pair list (≤ catalog²
+    elements — a scalar expression, not a data pass)."""
+    events = read_events(spark, sf_dir)
+    pi, cnt, rowtot = _stationary_parts(events)
+    pr = F.col("c").cast("double") / F.col("r").cast("double")
+    terms = (
+        cnt.join(F.broadcast(rowtot), "a")
+        .join(F.broadcast(pi), F.col("s") == F.col("a"))
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("v").cast("double") / F.lit(float(_STAT_SCALE)))
+                * pr
+                * F.log(pr)
+            ).alias("term"),
+        )
+    )
+    arr = terms.agg(
+        F.sort_array(F.collect_list(F.struct("a", "b", "term"))).alias("tl"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    nn = rowtot.agg(F.count("*").cast("long").alias("n_states"))
+    hr = -F.aggregate("tl", F.lit(0.0), lambda x, e: x + e["term"])
+    return (
+        arr.crossJoin(F.broadcast(nn))
+        .select("n_states", "n_pairs", hr.alias("hr"))
+        .select(
+            "n_states",
+            "n_pairs",
+            F.round("hr", 6).alias("entropy_rate_nats"),
+            F.round(F.col("hr") / F.log(F.lit(2.0)), 6).alias(
+                "entropy_rate_bits"
+            ),
+            F.round(
+                F.col("hr") / F.log(F.col("n_states").cast("double")), 6
+            ).alias("normalized"),
+        )
     )

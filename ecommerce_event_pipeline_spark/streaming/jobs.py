@@ -848,3 +848,94 @@ def run_streaming_kmv(
         for i, hv in enumerate(hashes)
     ]
     return spark.createDataFrame(out, "event_date date, r int, hv long")
+
+
+def run_streaming_cusum(
+    spark: SparkSession,
+    batch_rows: int = 200,
+    max_rows: int = 600,
+) -> DataFrame:
+    """Streaming twin of the batch CUSUM drift screen (T140): maintain
+    per-day purchase-cent sums over a stream via ``foreachBatch`` —
+    integer sums merge exactly under ANY batch boundary/arrival order,
+    so the read-off CUSUM equals the batch operator on the same rows
+    byte for byte (pytest-pinned, the KMV-twin discipline). State is
+    one BIGINT per open day — bounded monitoring state, not data; the
+    per-batch driver transfer is one row per day touched. The read-off
+    replays the batch operator's exact arithmetic: dev = n·c − Σc,
+    prefix/running-min windows, σ from the integer sums."""
+    from ..sources import pyds
+
+    if not pyds.register(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+
+    state: dict = {}
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.where(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("event_date"))
+            .agg(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("cents")
+            )
+            .collect()
+        )
+        for row in rows:
+            day = row["event_date"]
+            state[day] = state.get(day, 0) + row["cents"]
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", batch_rows)
+        .option("maxRows", max_rows)
+        .load()
+    )
+    with _bounded_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(absorb).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # an absorb() failure must not leak a running query
+
+    daily = spark.createDataFrame(
+        sorted(state.items()), "event_date date, cents long"
+    )
+    from pyspark.sql import Window
+
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "event_date",
+        "cents",
+        (F.col("n") * F.col("cents") - F.col("s1")).alias("dev"),
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        ).alias("sigma_dev"),
+    )
+    w = Window.orderBy("event_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = dev.withColumn("pref", F.sum("dev").over(w)).withColumn(
+        "cusum",
+        F.col("pref") - F.least(F.min("pref").over(w), F.lit(0).cast("long")),
+    )
+    return cus.select(
+        "event_date",
+        F.col("cents").alias("daily_cents"),
+        F.col("cusum").cast("long").alias("cusum_dev"),
+        F.round(F.col("cusum").cast("double") / F.col("sigma_dev"), 6).alias(
+            "cusum_sigmas"
+        ),
+        F.when(
+            F.col("cusum").cast("double") > F.lit(5.0) * F.col("sigma_dev"), 1
+        )
+        .otherwise(0)
+        .alias("drift_flag"),
+    ).orderBy("event_date")

@@ -394,3 +394,81 @@ def test_assortativity_matches_numpy_pearson(spark):
     assert row["n_edges"] == len(edges)
     assert row["n_nodes"] == len(deg)
     assert row["assortativity"] == pytest.approx(expect, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# T154 streaming CUSUM twin / T155 entropy rate / T156 information gain
+# ---------------------------------------------------------------------------
+
+def test_entropy_rate_matches_numpy(spark):
+    rows = _q(spark, "markov_entropy_rate").collect()[0]
+    pi = {
+        r["event_type"]: r["stationary"]
+        for r in _q(spark, "transition_stationary").collect()
+    }
+    trans = _q(spark, "event_transitions").collect()
+    rowsum: dict[str, int] = {}
+    for t in trans:
+        rowsum[t["from_type"]] = (
+            rowsum.get(t["from_type"], 0) + t["transition_count"]
+        )
+    h = 0.0
+    for t in trans:
+        p = t["transition_count"] / rowsum[t["from_type"]]
+        h -= pi[t["from_type"]] * p * math.log(p)
+    assert rows["entropy_rate_nats"] == pytest.approx(h, abs=1e-4)
+    assert rows["entropy_rate_bits"] == pytest.approx(
+        h / math.log(2), abs=1e-4
+    )
+    assert 0.0 < rows["normalized"] <= 1.0
+
+
+def test_information_gain_matches_numpy(spark):
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    rows = _q(spark, "feature_information_gain").collect()
+    assert {r["feature"] for r in rows} == {
+        "hour_of_day",
+        "day_of_week",
+        "product_bucket",
+    }
+    # gains sorted descending, all within [0, base]
+    gains = [r["info_gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    for r in rows:
+        assert -1e-6 <= r["info_gain"] <= r["base_entropy"] + 1e-9
+        assert r["base_entropy"] == pytest.approx(
+            rows[0]["base_entropy"]
+        )  # same target → same base H
+    # brute-force one feature (hour) in python
+    ev = (
+        read_events(spark, SF_DIR)
+        .select(
+            F.hour("ts").alias("h"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .collect()
+    )
+    import collections
+
+    n = len(ev)
+    yt = sum(r["y"] for r in ev)
+
+    def H(y, m):
+        if y == 0 or y == m:
+            return 0.0
+        p = y / m
+        return -(p * math.log(p) + (1 - p) * math.log(1 - p))
+
+    per = collections.Counter()
+    yper = collections.Counter()
+    for r in ev:
+        per[r["h"]] += 1
+        yper[r["h"]] += r["y"]
+    cond = sum(per[v] / n * H(yper[v], per[v]) for v in per)
+    hour_row = next(r for r in rows if r["feature"] == "hour_of_day")
+    assert hour_row["base_entropy"] == pytest.approx(H(yt, n), abs=1e-5)
+    assert hour_row["cond_entropy"] == pytest.approx(cond, abs=1e-5)
+    assert hour_row["info_gain"] == pytest.approx(
+        H(yt, n) - cond, abs=1e-5
+    )

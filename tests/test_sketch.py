@@ -252,3 +252,57 @@ def test_streaming_kmv_equals_batch_bottom_k(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_streaming_cusum_equals_batch_fold(spark):
+    """T140 streaming twin: per-day cent sums folded across micro-batch
+    boundaries must reproduce the batch CUSUM byte for byte — integer
+    sums merge exactly under any arrival order, and the read-off
+    replays the batch operator's arithmetic."""
+    from pyspark.sql import functions as F2
+
+    from ecommerce_event_pipeline_spark.sources import pyds
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    if not pyds.HAS_DATASOURCE_API:
+        import pytest as _pytest
+
+        _pytest.skip("pyspark lacks the DataSource API")
+    streamed = jobs.run_streaming_cusum(spark, batch_rows=200, max_rows=600)
+    rows = streamed.collect()
+    assert len(rows) > 0
+    # batch recomputation of the same 600 synthetic rows
+    pyds.register(spark)
+    daily = {
+        r["event_date"]: r["cents"]
+        for r in (
+            spark.read.format("synthetic_events").option("rows", 600).load()
+            .where(F2.col("event_type") == "purchase")
+            .groupBy(F2.to_date("ts").alias("event_date"))
+            .agg(
+                F2.sum(F2.round(F2.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("cents")
+            )
+            .collect()
+        )
+    }
+    assert {r["event_date"]: r["daily_cents"] for r in rows} == daily
+    # CUSUM fold over the day-sorted series must match exactly
+    import math
+
+    days = sorted(daily)
+    n, total = len(days), sum(daily.values())
+    sigma = math.sqrt(
+        n * sum(c * c for c in daily.values()) - total * total
+    )
+    s = 0
+    expect = {}
+    for d in days:
+        s = max(0, s + n * daily[d] - total)
+        expect[d] = s
+    for r in rows:
+        assert r["cusum_dev"] == expect[r["event_date"]]
+        assert r["drift_flag"] == (
+            1 if r["cusum_dev"] > 5.0 * sigma else 0
+        )
