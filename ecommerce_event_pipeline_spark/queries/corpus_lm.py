@@ -781,3 +781,95 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T159 — language-ID confusion matrix (classifier-quality readout)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    """Reuses the `language_id` oracle's scoring CTEs (registry.py
+    `_lang_id_oracle`: static profile VALUES + trigram overlap + argmax)
+    and adds the per-(true, predicted) rollup."""
+    from ..functions.lang_profiles import PROFILES
+
+    values = ",\n         ".join(
+        "('{}', '{}')".format(lang, gram.replace("'", "''"))
+        for lang in sorted(PROFILES)
+        for gram in PROFILES[lang]
+    )
+    return f"""
+WITH prof(candidate_lang, gram) AS (
+  VALUES {values}
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substr(text, i, 3))) AS gram
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, candidate_lang, COUNT(*) AS overlap
+  FROM g JOIN prof USING (gram)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_id, lang, candidate_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY overlap DESC, candidate_lang) AS rk
+  FROM scored
+),
+pred AS (
+  SELECT lang, candidate_lang AS predicted_lang FROM ranked WHERE rk = 1
+),
+cell AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+tr AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cell GROUP BY lang
+)
+SELECT c.lang, c.predicted_lang, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / tr.n_true, 6) AS row_share,
+       CASE WHEN c.lang = c.predicted_lang THEN 1 ELSE 0 END AS is_correct
+FROM cell c JOIN tr USING (lang)
+ORDER BY c.lang, c.predicted_lang
+"""
+
+
+@register("lang_id_confusion", _lang_confusion_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T159: confusion matrix of the trigram language-ID classifier
+    against the corpus's labeled `lang` — the classifier-quality
+    readout (per-cell counts, per-true-language recall shares, correct
+    flags) a curation pipeline monitors before trusting automatic
+    language routing. Reuses `language_id`'s scoring (one trigram
+    explode + broadcast profile join); the rollup is two
+    language-grain aggregates, ≤|langs|² output rows at any scale."""
+    from ..functions import text as text_fns
+    from ..sources.readers import spread_small_scan
+
+    pred = text_fns.language_id_ngram(
+        spread_small_scan(read_table(spark, sf_dir, "documents"))
+    )
+    cell = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tr = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("n_true"))
+    return (
+        cell.join(F.broadcast(tr), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_true"), 6
+            ).alias("row_share"),
+            F.when(F.col("lang") == F.col("predicted_lang"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )

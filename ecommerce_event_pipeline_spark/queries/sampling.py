@@ -565,3 +565,104 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T158 — Horvitz-Thompson estimation from a size-stratified dyadic sample
+# ---------------------------------------------------------------------------
+
+_HT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars >= 400 THEN 0
+              WHEN n_chars >= 200 THEN 1
+              WHEN n_chars >= 100 THEN 2
+              ELSE 3 END AS b,
+         CAST(('0x' || substr(md5('ht#' || doc_id), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, b FROM d WHERE hv % (1 << b) = 0
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+         CAST(SUM(1 << b) AS BIGINT) AS est_docs,
+         CAST(SUM(n_chars * (1 << b)) AS BIGINT) AS est_chars
+  FROM s
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS exact_chars
+  FROM documents
+)
+SELECT est.sampled_docs, est.est_docs, ex.exact_docs,
+       CAST(ROUND((est.est_docs - ex.exact_docs) * 1000000.0
+                  / ex.exact_docs) AS BIGINT) AS docs_err_ppm,
+       est.est_chars, ex.exact_chars,
+       CAST(ROUND((est.est_chars - ex.exact_chars) * 1000000.0
+                  / ex.exact_chars) AS BIGINT) AS chars_err_ppm
+FROM est, ex
+"""
+
+
+@register("horvitz_thompson_totals", _HT_ORACLE)
+def horvitz_thompson_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T158: Horvitz-Thompson population totals from a size-stratified
+    DYADIC sample — inclusion probability π = 2⁻ᵇ per size stratum
+    (keep every large doc, 1/2 of mid, 1/4 and 1/8 of small; membership
+    is the portable hash mod 2ᵇ), so every HT term chars·2ᵇ and 1·2ᵇ
+    is an exact BIGINT and the estimator is an order-independent
+    integer sum — no float accumulation, unlike the textbook Σ x/π
+    with arbitrary π. The design-unbiased answer-from-a-sample readout
+    every survey/subsample pipeline needs, next to the sampling family
+    (`weighted_doc_sample`, `stratified_sample_per_lang`). One scan,
+    two map-side-combinable aggregates, single-row output at any
+    scale."""
+    from ..functions.hashing import md5_prefix_long
+
+    docs = read_table(spark, sf_dir, "documents")
+    b = (
+        F.when(F.col("n_chars") >= 400, 0)
+        .when(F.col("n_chars") >= 200, 1)
+        .when(F.col("n_chars") >= 100, 2)
+        .otherwise(3)
+    )
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        b.alias("b"),
+        md5_prefix_long("ht", F.col("doc_id")).alias("hv"),
+    )
+    s = d.where(F.col("hv") % F.expr("shiftleft(1, b)") == 0)
+    est = s.agg(
+        F.count("*").cast("long").alias("sampled_docs"),
+        F.sum(F.expr("shiftleft(1, b)")).cast("long").alias("est_docs"),
+        F.sum(F.expr("n_chars * shiftleft(1, b)"))
+        .cast("long")
+        .alias("est_chars"),
+    )
+    ex = docs.agg(
+        F.count("*").cast("long").alias("exact_docs"),
+        F.sum("n_chars").cast("long").alias("exact_chars"),
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "sampled_docs",
+        "est_docs",
+        "exact_docs",
+        F.round(
+            (F.col("est_docs") - F.col("exact_docs"))
+            * 1000000.0
+            / F.col("exact_docs")
+        )
+        .cast("long")
+        .alias("docs_err_ppm"),
+        "est_chars",
+        "exact_chars",
+        F.round(
+            (F.col("est_chars") - F.col("exact_chars"))
+            * 1000000.0
+            / F.col("exact_chars")
+        )
+        .cast("long")
+        .alias("chars_err_ppm"),
+    )

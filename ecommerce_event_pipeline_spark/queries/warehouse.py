@@ -836,3 +836,139 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id_1", "event_id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# T157 — matched-basket monthly price index (Laspeyres / Paasche / Fisher)
+# ---------------------------------------------------------------------------
+
+_PRICE_INDEX_ORACLE = """
+WITH li AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m, l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+b AS (SELECT MIN(m) AS bm FROM li),
+base AS (
+  SELECT l.l_partkey, l.qty AS qb, l.cents AS cb,
+         row_number() OVER (ORDER BY l.qty DESC, l.l_partkey) AS rk
+  FROM li l, b WHERE l.m = b.bm
+),
+basket AS (SELECT l_partkey, qb, cb FROM base WHERE rk <= 25),
+j AS (
+  SELECT li.m, li.l_partkey, li.qty AS qt, li.cents AS ct, k.qb, k.cb
+  FROM li JOIN basket k USING (l_partkey)
+),
+arr AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(cb) AS BIGINT) AS sum_cb,
+         CAST(SUM(ct) AS BIGINT) AS sum_ct,
+         list((CAST(ct AS DOUBLE) / qt) * qb ORDER BY l_partkey) AS lt,
+         list((CAST(cb AS DOUBLE) / qb) * qt ORDER BY l_partkey) AS pt
+  FROM j GROUP BY m
+),
+idx AS (
+  SELECT m, n_parts,
+         list_reduce(list_prepend(0.0::DOUBLE, lt), (a, x) -> a + x)
+           / sum_cb AS laspeyres,
+         sum_ct / list_reduce(list_prepend(0.0::DOUBLE, pt),
+                              (a, x) -> a + x) AS paasche
+  FROM arr
+)
+SELECT m AS month, n_parts,
+       ROUND(laspeyres, 6) AS laspeyres,
+       ROUND(paasche, 6) AS paasche,
+       ROUND(sqrt(laspeyres * paasche), 6) AS fisher
+FROM idx ORDER BY month
+"""
+
+
+@register("monthly_price_index", _PRICE_INDEX_ORACLE)
+def monthly_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T157: matched-basket monthly price index — Laspeyres (base-month
+    quantity weights), Paasche (current weights), and their geometric
+    mean, the Fisher ideal index. The basket is the base month's top-25
+    parts by quantity (a TakeOrderedAndProject, no global window);
+    index months use only basket parts they actually sold (matched
+    comparison). Float discipline: both denominators collapse to exact
+    BIGINT cent sums (Σpb·qb = Σcb, Σpt·qt = Σct), leaving exactly two
+    float folds per month, each an ordered part-sorted fold of ≤25
+    single-division terms — so a month's index is one fixed expression
+    tree. One (month, part) aggregate over lineitem (map-side
+    combinable) is the only full-data pass; everything after is
+    basket × months grain."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.trunc("l_shipdate", "month").alias("m"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .localCheckpoint()  # consumed by the base-month rank AND the join
+    )
+    b = li.agg(F.min("m").alias("bm"))
+    basket = (
+        li.crossJoin(F.broadcast(b))
+        .where(F.col("m") == F.col("bm"))
+        .select(
+            "l_partkey",
+            F.col("qty").alias("qb"),
+            F.col("cents").alias("cb"),
+        )
+        .orderBy(F.desc("qb"), "l_partkey")
+        .limit(25)
+    )
+    j = li.join(F.broadcast(basket), "l_partkey")
+    lt = (F.col("ct").cast("double") / F.col("qt")) * F.col("qb")
+    pt = (F.col("cb").cast("double") / F.col("qb")) * F.col("qt")
+    arr = (
+        j.select(
+            "m",
+            "l_partkey",
+            F.col("qty").alias("qt"),
+            F.col("cents").alias("ct"),
+            "qb",
+            "cb",
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cb").cast("long").alias("sum_cb"),
+            F.sum("ct").cast("long").alias("sum_ct"),
+            F.sort_array(
+                F.collect_list(F.struct("l_partkey", lt.alias("v")))
+            ).alias("lt"),
+            F.sort_array(
+                F.collect_list(F.struct("l_partkey", pt.alias("v")))
+            ).alias("pt"),
+        )
+    )
+    zero = F.lit(0.0)
+    lasp = (
+        F.aggregate("lt", zero, lambda a, e: a + e["v"]) / F.col("sum_cb")
+    )
+    paas = F.col("sum_ct") / F.aggregate(
+        "pt", zero, lambda a, e: a + e["v"]
+    )
+    idx = arr.select(
+        F.col("m").alias("month"),
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+    )
+    return idx.select(
+        "month",
+        "n_parts",
+        F.round("laspeyres", 6).alias("laspeyres"),
+        F.round("paasche", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6).alias(
+            "fisher"
+        ),
+    ).orderBy("month")

@@ -3835,7 +3835,7 @@ _FRONT: tuple[str, ...] = (
     "item_pagerank",
     "hits_scores",
     "kmv_daily_users",
-    # ---- the 17 stalest r07 seats (ledger order) ----
+    # ---- the 14 stalest r07 seats (ledger order) ----
     "props_key_stats",
     "pricing_summary",
     "shipping_priority",
@@ -3850,10 +3850,7 @@ _FRONT: tuple[str, ...] = (
     "running_user_spend",
     "top_spenders_per_day",
     "traffic_cube",
-    "type_hour_pivot",
-    "overall_stats",
-    "orders_projection",
-    # ---- the 16 round-11 additions (T140-T156), seated on landing so
+    # ---- the 19 round-11 additions (T140-T159), seated on landing so
     # no registered query ever carries zero driver evidence for more
     # than the round it was born in (the r10 verdict's one open loop
     # was exactly this gap for T123-T139; same fix, applied earlier).
@@ -3876,13 +3873,16 @@ _FRONT: tuple[str, ...] = (
     "coview_assortativity",
     "markov_entropy_rate",
     "feature_information_gain",
+    "monthly_price_index",
+    "horvitz_thompson_totals",
+    "lang_id_confusion",
 )
 # Seat accounting for the round-11 window (the driver grades the first 50
 # registered queries). The r10 window went 50/50 (CORRECTNESS_r10 zero
 # err), so the cumulative ledger holds 186-ever-green + 17 ungraded from
-# r10 + 16 born this round; this window retires the ENTIRE never-graded
-# set (17 + 16) plus the 17 stalest r07 seats. The 16 r07 seats it
-# leaves out (union_activity .. revenue_7day_ma) stay within the
+# r10 + 19 born this round; this window retires the ENTIRE never-graded
+# set (17 + 19) plus the 14 stalest r07 seats. The 19 r07 seats it
+# leaves out (type_hour_pivot .. revenue_7day_ma) stay within the
 # latest-4 freshness bound through r12 and are the natural r13 seats.
 # Every seat passes the full local mirror (tools/check_oracle.py
 # 217/217 at sf0.01 and sf0.1 this round), so the expected outcome is

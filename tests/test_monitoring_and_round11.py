@@ -472,3 +472,73 @@ def test_information_gain_matches_numpy(spark):
     assert hour_row["info_gain"] == pytest.approx(
         H(yt, n) - cond, abs=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# T157 price index / T158 Horvitz-Thompson / T159 lang-ID confusion
+# ---------------------------------------------------------------------------
+
+def test_price_index_base_month_is_unity(spark):
+    rows = _q(spark, "monthly_price_index").orderBy("month").collect()
+    assert len(rows) > 3
+    base = rows[0]
+    # the base month compared to itself: all three indices exactly 1
+    assert base["laspeyres"] == pytest.approx(1.0, abs=1e-9)
+    assert base["paasche"] == pytest.approx(1.0, abs=1e-9)
+    assert base["fisher"] == pytest.approx(1.0, abs=1e-9)
+    for r in rows:
+        assert 1 <= r["n_parts"] <= 25
+        assert r["laspeyres"] > 0 and r["paasche"] > 0
+        # Fisher is the geometric mean of the two
+        assert r["fisher"] == pytest.approx(
+            math.sqrt(r["laspeyres"] * r["paasche"]), abs=2e-6
+        )
+
+
+def test_horvitz_thompson_is_design_consistent(spark):
+    import hashlib
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_table
+
+    row = _q(spark, "horvitz_thompson_totals").collect()[0]
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    est_docs = est_chars = sampled = 0
+    for d in docs:
+        c = d["n_chars"]
+        b = 0 if c >= 400 else 1 if c >= 200 else 2 if c >= 100 else 3
+        hv = int(
+            hashlib.md5(f"ht#{d['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        if hv % (1 << b) == 0:
+            sampled += 1
+            est_docs += 1 << b
+            est_chars += c * (1 << b)
+    assert row["sampled_docs"] == sampled
+    assert row["est_docs"] == est_docs
+    assert row["est_chars"] == est_chars
+    assert row["exact_docs"] == len(docs)
+    assert row["exact_chars"] == sum(d["n_chars"] for d in docs)
+    # HT is unbiased by design; on this fixture the realized error
+    # should be well inside ±30%
+    assert abs(row["docs_err_ppm"]) < 300_000
+    assert abs(row["chars_err_ppm"]) < 300_000
+
+
+def test_lang_confusion_is_consistent_with_language_id(spark):
+    import collections
+
+    cells = _q(spark, "lang_id_confusion").collect()
+    pred = _q(spark, "language_id").collect()
+    expect = collections.Counter(
+        (r["lang"], r["predicted_lang"]) for r in pred
+    )
+    got = {(r["lang"], r["predicted_lang"]): r["n"] for r in cells}
+    assert got == dict(expect)
+    # row shares sum to 1 per true language
+    by_lang = collections.defaultdict(float)
+    for r in cells:
+        by_lang[r["lang"]] += r["row_share"]
+    for v in by_lang.values():
+        assert v == pytest.approx(1.0, abs=1e-4)
