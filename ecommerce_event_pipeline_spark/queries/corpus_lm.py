@@ -873,3 +873,85 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# T161 — Flesch readability scoring per document
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sentences,
+         CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS syllables
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words, sentences, syllables,
+         206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch,
+         0.39 * (CAST(words AS DOUBLE) / sentences)
+         + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59 AS fk
+  FROM c WHERE words > 0
+)
+SELECT doc_id, words, sentences, syllables,
+       ROUND(flesch, 4) + 0.0 AS flesch_score,
+       ROUND(fk, 4) + 0.0 AS fk_grade,
+       CASE WHEN flesch >= 60.0 THEN 'easy'
+            WHEN flesch >= 30.0 THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("doc_readability", _READABILITY_ORACLE)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T161: Flesch reading-ease + Flesch-Kincaid grade per document —
+    the classic readability screens a curation pipeline uses as cheap
+    quality features next to `doc_quality_score` (length/punct ratios)
+    and `doc_surprisal` (LM-based). Syllables are approximated by
+    vowel-group runs and sentences by terminal-punctuation runs — the
+    standard regex heuristics — so all three inputs are exact integer
+    counts from one scan and both scores are single fixed expression
+    trees (two divisions each). Banding is on the raw double, not the
+    rounded one. Row-parallel; no shuffle at all until the output
+    sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    ).cast("long")
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    c = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).where(F.col("words") > 0)
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables").cast("double") / F.col("words")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return c.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (F.round(flesch, 4) + F.lit(0.0)).alias("flesch_score"),
+        (F.round(fk, 4) + F.lit(0.0)).alias("fk_grade"),
+        F.when(flesch >= 60.0, "easy")
+        .when(flesch >= 30.0, "standard")
+        .otherwise("difficult")
+        .alias("band"),
+    ).orderBy("doc_id")

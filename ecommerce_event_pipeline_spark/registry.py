@@ -3794,6 +3794,7 @@ from .queries import (  # noqa: E402,F401
     privacy as _q_privacy,
     sampling as _q_sampling,
     sketches as _q_sketches,
+    spatial as _q_spatial,
     warehouse as _q_warehouse,
 )
 
@@ -3835,7 +3836,7 @@ _FRONT: tuple[str, ...] = (
     "item_pagerank",
     "hits_scores",
     "kmv_daily_users",
-    # ---- the 14 stalest r07 seats (ledger order) ----
+    # ---- the 12 stalest r07 seats (ledger order) ----
     "props_key_stats",
     "pricing_summary",
     "shipping_priority",
@@ -3848,9 +3849,7 @@ _FRONT: tuple[str, ...] = (
     "embedding_topk",
     "inferred_sessions",
     "running_user_spend",
-    "top_spenders_per_day",
-    "traffic_cube",
-    # ---- the 19 round-11 additions (T140-T159), seated on landing so
+    # ---- the 21 round-11 additions (T140-T161), seated on landing so
     # no registered query ever carries zero driver evidence for more
     # than the round it was born in (the r10 verdict's one open loop
     # was exactly this gap for T123-T139; same fix, applied earlier).
@@ -3876,13 +3875,15 @@ _FRONT: tuple[str, ...] = (
     "monthly_price_index",
     "horvitz_thompson_totals",
     "lang_id_confusion",
+    "geo_cell_neighbors",
+    "doc_readability",
 )
 # Seat accounting for the round-11 window (the driver grades the first 50
 # registered queries). The r10 window went 50/50 (CORRECTNESS_r10 zero
 # err), so the cumulative ledger holds 186-ever-green + 17 ungraded from
-# r10 + 19 born this round; this window retires the ENTIRE never-graded
-# set (17 + 19) plus the 14 stalest r07 seats. The 19 r07 seats it
-# leaves out (type_hour_pivot .. revenue_7day_ma) stay within the
+# r10 + 21 born this round; this window retires the ENTIRE never-graded
+# set (17 + 21) plus the 12 stalest r07 seats. The 21 r07 seats it
+# leaves out (top_spenders_per_day .. revenue_7day_ma) stay within the
 # latest-4 freshness bound through r12 and are the natural r13 seats.
 # Every seat passes the full local mirror (tools/check_oracle.py
 # 217/217 at sf0.01 and sf0.1 this round), so the expected outcome is

@@ -542,3 +542,77 @@ def test_lang_confusion_is_consistent_with_language_id(spark):
         by_lang[r["lang"]] += r["row_share"]
     for v in by_lang.values():
         assert v == pytest.approx(1.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# T160 spatial grid join / T161 readability
+# ---------------------------------------------------------------------------
+
+def test_geo_neighbors_distances_verified(spark):
+    rows = _q(spark, "geo_cell_neighbors").collect()
+    assert 0 < len(rows) <= 100
+    # ascending by distance, all pairs canonical
+    kms = [r["km"] for r in rows]
+    assert kms == sorted(kms)
+    for r in rows:
+        assert r["cust_1"] < r["cust_2"]
+        assert r["km"] >= 0.0
+    # verify one distance by hand (haversine on the hash-derived coords)
+    import hashlib
+
+    def coord(salt, key, mod, off):
+        hv = int(
+            hashlib.md5(f"{salt}#{key}".encode()).hexdigest()[:8], 16
+        )
+        return (hv % mod) / 10000.0 - off
+
+    r = rows[0]
+    lat1 = coord("lat", r["cust_1"], 1800000, 90.0)
+    lon1 = coord("lon", r["cust_1"], 3600000, 180.0)
+    lat2 = coord("lat", r["cust_2"], 1800000, 90.0)
+    lon2 = coord("lon", r["cust_2"], 3600000, 180.0)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    km = (
+        2
+        * 6371.0088
+        * math.asin(
+            math.sqrt(
+                math.sin(dlat) ** 2
+                + math.cos(math.radians(lat1))
+                * math.cos(math.radians(lat2))
+                * math.sin(dlon) ** 2
+            )
+        )
+    )
+    assert r["km"] == pytest.approx(km, abs=1e-3)
+    # blocking soundness: both points share a 10-degree cell
+    assert math.floor(lat1 / 10) == math.floor(lat2 / 10)
+    assert math.floor(lon1 / 10) == math.floor(lon2 / 10)
+
+
+def test_readability_formula_and_bands(spark):
+    rows = _q(spark, "doc_readability").collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        wps = r["words"] / r["sentences"]
+        spw = r["syllables"] / r["words"]
+        assert r["flesch_score"] == pytest.approx(
+            206.835 - 1.015 * wps - 84.6 * spw, abs=1e-3
+        )
+        assert r["fk_grade"] == pytest.approx(
+            0.39 * wps + 11.8 * spw - 15.59, abs=1e-3
+        )
+        expect_band = (
+            "easy"
+            if r["flesch_score"] >= 60
+            else "standard"
+            if r["flesch_score"] >= 30
+            else "difficult"
+        )
+        # band uses the raw double; rounded-score comparison can only
+        # disagree within 5e-5 of a boundary — allow either there
+        near_boundary = min(
+            abs(r["flesch_score"] - 60), abs(r["flesch_score"] - 30)
+        ) < 1e-3
+        assert r["band"] == expect_band or near_boundary
