@@ -96,6 +96,12 @@ HEADLINERS = [
     "logistic_conversion_irls",
     "kmv_set_ops",
     "coview_assortativity",
+    # round-11 third wave: matched-basket index folds, grid-blocked
+    # spatial join (the plan should show the cell-keyed self-join +
+    # TakeOrderedAndProject), dyadic HT integer estimator
+    "monthly_price_index",
+    "geo_cell_neighbors",
+    "horvitz_thompson_totals",
 ]
 
 
