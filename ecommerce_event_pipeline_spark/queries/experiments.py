@@ -650,7 +650,8 @@ _INFOGAIN_ORACLE = f"""
 WITH ev AS (
   SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_v,
          CAST(isodow(ts) AS BIGINT) AS dow_v,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS kb_v,
+         COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10,
+                  -1) AS kb_v,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
 ),
@@ -715,8 +716,13 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.select(
         F.hour("ts").cast("long").alias("hour_v"),
         (F.weekday("ts") + 1).cast("long").alias("dow_v"),
+        # COALESCE(-1): a row with no parseable props.k must land in a
+        # deterministic bucket — a NULL group sorts FIRST in Spark's
+        # sort_array fold but LAST in the oracle's ORDER BY v, which
+        # would break the ordered-fold summation contract (review r11)
         F.expr(
-            "cast(get_json_object(props, '$.k') as bigint) div 10"
+            "coalesce(cast(get_json_object(props, '$.k') as bigint)"
+            " div 10, -1)"
         ).alias("kb_v"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )

@@ -63,13 +63,16 @@ _CUSUM_ORACLE = (
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cents) AS BIGINT) AS s1,
-         CAST(SUM(cents * cents) AS BIGINT) AS s2
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)
+                  ORDER BY event_date)), (a, b) -> a + b) AS s2d
   FROM daily
 ),
 dev AS (
   SELECT d.event_date, d.cents,
          t.n * d.cents - t.s1 AS dev,
-         sqrt(CAST(t.n * t.s2 - t.s1 * t.s1 AS DOUBLE)) AS sigma_dev
+         sqrt(t.n * t.s2d
+              - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)) AS sigma_dev
   FROM daily d, tot t
 ),
 pre AS (
@@ -104,24 +107,43 @@ def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-window aggregates — no ordered fold, no recursion, and the
     whole statistic stays exact BIGINT (dev_t = n·c_t − Σc, i.e. n×the
     mean deviation, clearing the division). The alarm threshold is the
-    classic h = 5σ with σ_dev = √(n·Σc² − (Σc)²) computed once from the
-    exact sums. Day-grain input ⇒ the windowed part is calendar-bounded;
-    the only full-data pass is the map-side-combinable daily aggregate.
+    classic h = 5σ with σ_dev = √(n·Σc² − (Σc)²); see
+    `cusum_from_daily` for the shared read-off and the overflow-safe σ.
+    Day-grain input ⇒ the windowed part is calendar-bounded; the only
+    full-data pass is the map-side-combinable daily aggregate.
     """
-    daily = _daily_revenue(spark, sf_dir)
+    return cusum_from_daily(_daily_revenue(spark, sf_dir))
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM read-off over a (event_date, cents) day table — ONE
+    definition site shared by `revenue_cusum` and the streaming twin
+    `streaming.jobs.run_streaming_cusum` (review r11: the two are
+    pytest-pinned to agree, so the arithmetic must not be duplicated).
+    σ_dev = √(n·Σc² − (Σc)²) with Σc² accumulated as an ordered
+    day-sorted DOUBLE fold: at 100 TB daily cents reach ~10¹³, whose
+    square overflows int64 (and (Σc)² does ~30× sooner) — DuckDB would
+    error while Spark silently wraps to a NaN σ (review r11 finding).
+    The fold is calendar-bounded, so it stays a scalar expression."""
+    sq = F.col("cents").cast("double") * F.col("cents").cast("double")
     tot = daily.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("event_date", sq.alias("sq")))
+            ),
+            F.lit(0.0),
+            lambda a, e: a + e["sq"],
+        ).alias("s2d"),
     )
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "event_date",
         "cents",
         (F.col("n") * F.col("cents") - F.col("s1")).alias("dev"),
         F.sqrt(
-            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-                "double"
-            )
+            F.col("n") * F.col("s2d")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
         ).alias("sigma_dev"),
     )
     w = Window.orderBy("event_date").rowsBetween(

