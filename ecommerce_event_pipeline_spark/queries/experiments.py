@@ -788,3 +788,73 @@ def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_raw"), "feature")
         .drop("_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# T162 — leave-one-out target encoding of the product feature
+# ---------------------------------------------------------------------------
+
+_TARGET_ENC_ORACLE = """
+WITH ev AS (
+  SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+           AS k,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+  FROM ev GROUP BY k
+)
+SELECT k AS product_k, n, sy AS purchases,
+       ROUND(CAST(sy AS DOUBLE) / n, 6) AS naive_rate,
+       ROUND(CAST(sy - 1 AS DOUBLE) / (n - 1), 6) AS loo_rate_positive,
+       ROUND(CAST(sy AS DOUBLE) / (n - 1), 6) AS loo_rate_negative,
+       ROUND(CAST(sy AS DOUBLE) / (n - 1)
+             - CAST(sy - 1 AS DOUBLE) / (n - 1), 6) AS loo_leakage_gap
+FROM g
+WHERE n >= 2
+ORDER BY product_k
+"""
+
+
+@register("target_encoding_loo", _TARGET_ENC_ORACLE)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T162: leave-one-out target encoding of the product id against
+    the purchase label — the leakage-safe categorical encoder: a row's
+    feature is the category's mean target EXCLUDING the row itself,
+    which for a binary target collapses to two closed forms per
+    category ((Σy−1)/(n−1) for positive rows, Σy/(n−1) for negative),
+    so the full encoder state is one category-grain table of exact
+    integer counts — no per-row pass, no float accumulation. The
+    leakage gap 1/(n−1) (what naive same-row encoding would leak) is
+    reported per category. One map-side-combinable aggregate; catalog-
+    bounded output."""
+    events = read_events(spark, sf_dir)
+    ev = events.select(
+        F.expr(
+            "coalesce(cast(get_json_object(props, '$.k') as bigint), -1)"
+        ).alias("k"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    g = ev.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    n1 = F.col("n") - 1
+    pos = (F.col("sy") - 1).cast("double") / n1
+    neg = F.col("sy").cast("double") / n1
+    return (
+        g.where(F.col("n") >= 2)
+        .select(
+            F.col("k").alias("product_k"),
+            "n",
+            F.col("sy").alias("purchases"),
+            F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+                "naive_rate"
+            ),
+            F.round(pos, 6).alias("loo_rate_positive"),
+            F.round(neg, 6).alias("loo_rate_negative"),
+            F.round(neg - pos, 6).alias("loo_leakage_gap"),
+        )
+        .orderBy("product_k")
+    )

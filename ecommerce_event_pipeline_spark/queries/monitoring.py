@@ -522,3 +522,124 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(64).cast("long").alias("n_replicates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T163 — day-over-day Jensen-Shannon divergence of the behavior mix
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS t,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM daily GROUP BY d),
+days AS (SELECT d, row_number() OVER (ORDER BY d) AS i FROM tot),
+pairs AS (
+  SELECT a.d AS d0, b.d AS d1 FROM days a JOIN days b ON b.i = a.i + 1
+),
+types AS (SELECT DISTINCT t FROM daily),
+cell AS (
+  SELECT pr.d1 AS d, ty.t,
+         COALESCE(CAST(pa.c AS DOUBLE) / ta.n, 0.0) AS p,
+         COALESCE(CAST(pb.c AS DOUBLE) / tb.n, 0.0) AS q
+  FROM pairs pr
+  CROSS JOIN types ty
+  JOIN tot ta ON ta.d = pr.d0
+  JOIN tot tb ON tb.d = pr.d1
+  LEFT JOIN daily pa ON pa.d = pr.d0 AND pa.t = ty.t
+  LEFT JOIN daily pb ON pb.d = pr.d1 AND pb.t = ty.t
+),
+terms AS (
+  SELECT d, t,
+         CASE WHEN p > 0.0
+              THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+         + CASE WHEN q > 0.0
+                THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END AS term
+  FROM cell
+),
+arr AS (SELECT d, list(term ORDER BY t) AS tl FROM terms GROUP BY d),
+jsd AS (
+  SELECT d,
+         0.5 * list_reduce(list_prepend(0.0::DOUBLE, tl),
+                           (a, b) -> a + b) AS j
+  FROM arr
+)
+SELECT d AS event_date,
+       ROUND(j, 6) + 0.0 AS jsd_nats,
+       ROUND(j / ln(2.0), 6) + 0.0 AS jsd_bits
+FROM jsd ORDER BY event_date
+"""
+
+
+@register("daily_behavior_jsd", _JSD_ORACLE)
+def daily_behavior_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T163: day-over-day Jensen-Shannon divergence of the event-type
+    mix — the bounded, symmetric distribution-drift screen (0 ≤ JSD ≤
+    ln 2) that complements `value_drift_psi` (PSI needs binning and
+    blows up on empty bins; JSD handles zero-probability types via its
+    mixture midpoint). Distributions come from exact integer (day,
+    type) counts; each day-pair's divergence is an ordered fold over
+    the type-sorted term list (catalog-bounded, ≤|types| terms), every
+    term a fixed single-division tree. One map-side-combinable
+    aggregate over events; everything after is (days × types) grain."""
+    events = read_events(spark, sf_dir)
+    daily = events.groupBy(
+        F.col("event_date").alias("d"), F.col("event_type").alias("t")
+    ).agg(F.count("*").cast("long").alias("c"))
+    tot = daily.groupBy("d").agg(F.sum("c").cast("long").alias("n"))
+    days = tot.select(
+        "d", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    a = days.select(F.col("d").alias("d0"), F.col("i").alias("ia"))
+    b = days.select(F.col("d").alias("d1"), F.col("i").alias("ib"))
+    pairs = a.join(b, F.col("ib") == F.col("ia") + 1).select("d0", "d1")
+    types = daily.select("t").distinct()
+    ta = tot.select(F.col("d").alias("d0"), F.col("n").alias("na"))
+    tb = tot.select(F.col("d").alias("d1"), F.col("n").alias("nb"))
+    pa = daily.select(
+        F.col("d").alias("d0"), F.col("t").alias("t_a"), F.col("c").alias("ca")
+    )
+    pb = daily.select(
+        F.col("d").alias("d1"), F.col("t").alias("t_b"), F.col("c").alias("cb")
+    )
+    cell = (
+        pairs.crossJoin(F.broadcast(types))
+        .join(F.broadcast(ta), "d0")
+        .join(F.broadcast(tb), "d1")
+    )
+    cell = cell.join(
+        F.broadcast(pa),
+        (cell["d0"] == pa["d0"]) & (cell["t"] == pa["t_a"]),
+        "left",
+    ).drop(pa["d0"])
+    cell = cell.join(
+        F.broadcast(pb),
+        (cell["d1"] == pb["d1"]) & (cell["t"] == pb["t_b"]),
+        "left",
+    ).drop(pb["d1"])
+    p = F.coalesce(F.col("ca").cast("double") / F.col("na"), F.lit(0.0))
+    q = F.coalesce(F.col("cb").cast("double") / F.col("nb"), F.lit(0.0))
+    m = (p + q) / 2.0
+    term = F.when(p > 0.0, p * F.log(p / m)).otherwise(0.0) + F.when(
+        q > 0.0, q * F.log(q / m)
+    ).otherwise(0.0)
+    terms = cell.select(F.col("d1").alias("d"), "t", term.alias("term"))
+    arr = terms.groupBy("d").agg(
+        F.sort_array(F.collect_list(F.struct("t", "term"))).alias("tl")
+    )
+    j = F.lit(0.5) * F.aggregate(
+        "tl", F.lit(0.0), lambda acc, e: acc + e["term"]
+    )
+    return (
+        arr.select(F.col("d").alias("event_date"), j.alias("j"))
+        .select(
+            "event_date",
+            (F.round("j", 6) + F.lit(0.0)).alias("jsd_nats"),
+            (F.round(F.col("j") / F.log(F.lit(2.0)), 6) + F.lit(0.0)).alias(
+                "jsd_bits"
+            ),
+        )
+        .orderBy("event_date")
+    )

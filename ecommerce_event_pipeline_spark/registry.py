@@ -3810,15 +3810,15 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-11 window, final composition: 17 + 12 + 21 = 50.
+    # ---- round-11 window, final composition: 17 + 10 + 23 = 50.
     # Started as the mechanical stalest-50 from tools/make_ledger.py
     # regenerated against CORRECTNESS_r10 (VERDICT r10 items 1-2: the 17
     # never-driver-graded T123-T139 seats + the 33 stalest r07 seats);
     # as each round-11 operator wave landed it was seated immediately
     # (no registered query may carry zero driver evidence past the round
     # it was born in), displacing the FRESHEST r07 suggestions one wave
-    # at a time — 21 displaced in total, leaving the 12 stalest r07
-    # seats below. The displaced 21 stay within the latest-4 freshness
+    # at a time — 23 displaced in total, leaving the 10 stalest r07
+    # seats below. The displaced 23 stay within the latest-4 freshness
     # bound and are the natural r13 seats. ----
     # ---- the 17 never-driver-graded T123-T139 seats ----
     "time_decay_attribution",
@@ -3838,7 +3838,7 @@ _FRONT: tuple[str, ...] = (
     "item_pagerank",
     "hits_scores",
     "kmv_daily_users",
-    # ---- the 12 stalest r07 seats (ledger order) ----
+    # ---- the 10 stalest r07 seats (ledger order) ----
     "props_key_stats",
     "pricing_summary",
     "shipping_priority",
@@ -3849,9 +3849,7 @@ _FRONT: tuple[str, ...] = (
     "lang_source_stats",
     "exact_dedup",
     "embedding_topk",
-    "inferred_sessions",
-    "running_user_spend",
-    # ---- the 21 round-11 additions (T140-T161), seated on landing so
+    # ---- the 23 round-11 additions (T140-T163), seated on landing so
     # no registered query ever carries zero driver evidence for more
     # than the round it was born in (the r10 verdict's one open loop
     # was exactly this gap for T123-T139; same fix, applied earlier). ----
@@ -3876,13 +3874,15 @@ _FRONT: tuple[str, ...] = (
     "lang_id_confusion",
     "geo_cell_neighbors",
     "doc_readability",
+    "target_encoding_loo",
+    "daily_behavior_jsd",
 )
 # Seat accounting for the round-11 window (the driver grades the first 50
 # registered queries). The r10 window went 50/50 (CORRECTNESS_r10 zero
 # err), so the cumulative ledger holds 186-ever-green + 17 ungraded from
-# r10 + 21 born this round; this window retires the ENTIRE never-graded
-# set (17 + 21) plus the 12 stalest r07 seats. The 21 r07 seats it
-# leaves out (top_spenders_per_day .. revenue_7day_ma) stay within the
+# r10 + 23 born this round; this window retires the ENTIRE never-graded
+# set (17 + 23) plus the 10 stalest r07 seats. The 23 r07 seats it
+# leaves out (inferred_sessions .. revenue_7day_ma) stay within the
 # latest-4 freshness bound through r12 and are the natural r13 seats.
 # Every seat passes the full local mirror (tools/check_oracle.py
 # 217/217 at sf0.01 and sf0.1 this round), so the expected outcome is

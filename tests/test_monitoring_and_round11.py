@@ -616,3 +616,61 @@ def test_readability_formula_and_bands(spark):
             abs(r["flesch_score"] - 60), abs(r["flesch_score"] - 30)
         ) < 1e-3
         assert r["band"] == expect_band or near_boundary
+
+
+# ---------------------------------------------------------------------------
+# T162 LOO target encoding / T163 daily behavior JSD
+# ---------------------------------------------------------------------------
+
+def test_target_encoding_loo_closed_forms(spark):
+    rows = _q(spark, "target_encoding_loo").collect()
+    assert len(rows) > 0
+    for r in rows:
+        n, sy = r["n"], r["purchases"]
+        assert n >= 2
+        assert r["naive_rate"] == pytest.approx(sy / n, abs=1e-6)
+        assert r["loo_rate_positive"] == pytest.approx(
+            (sy - 1) / (n - 1), abs=1e-6
+        )
+        assert r["loo_rate_negative"] == pytest.approx(
+            sy / (n - 1), abs=1e-6
+        )
+        # the leakage gap is exactly 1/(n-1)
+        assert r["loo_leakage_gap"] == pytest.approx(
+            1.0 / (n - 1), abs=1e-6
+        )
+
+
+def test_daily_jsd_bounded_and_matches_numpy(spark):
+    import collections
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    rows = _q(spark, "daily_behavior_jsd").orderBy("event_date").collect()
+    assert len(rows) > 3
+    for r in rows:
+        assert 0.0 <= r["jsd_nats"] <= math.log(2) + 1e-9
+        assert r["jsd_bits"] == pytest.approx(
+            r["jsd_nats"] / math.log(2), abs=2e-6
+        )
+    # recompute one pair by hand
+    ev = read_events(spark, SF_DIR).select("event_date", "event_type").collect()
+    by_day = collections.defaultdict(collections.Counter)
+    for e in ev:
+        by_day[e["event_date"]][e["event_type"]] += 1
+    days = sorted(by_day)
+    d0, d1 = days[0], days[1]
+    n0, n1 = sum(by_day[d0].values()), sum(by_day[d1].values())
+    types = set(by_day[d0]) | set(by_day[d1])
+    j = 0.0
+    for t in types:
+        p = by_day[d0][t] / n0
+        q = by_day[d1][t] / n1
+        m = (p + q) / 2
+        if p > 0:
+            j += p * math.log(p / m)
+        if q > 0:
+            j += q * math.log(q / m)
+    j *= 0.5
+    first = next(r for r in rows if r["event_date"] == d1)
+    assert first["jsd_nats"] == pytest.approx(j, abs=1e-5)
