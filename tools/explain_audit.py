@@ -121,6 +121,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "theil_sen_trend": "calendar grain: pairwise over days (≈n²/2 rows)",
     "poisson_bootstrap_ci": "replicate grain: 64 bootstrap means",
     "kmv_set_ops": "register grain: union rank over ≤128 sketch registers",
+    "daily_behavior_jsd": "calendar grain: day-index row_number, one row per day",
 }
 
 
