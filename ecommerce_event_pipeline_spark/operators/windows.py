@@ -155,8 +155,21 @@ def global_row_number(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the ranged assignment before it fans out: every
+    # function below consumes `part` from two subtrees (the local window
+    # and the per-partition totals), and an unmaterialized
+    # repartitionByRange would execute TWICE — with range boundaries
+    # drawn by SAMPLING, two executions over a shuffle-produced input
+    # (whose within-partition row order is nondeterministic) can pick
+    # different boundaries, making _pid inconsistent between the two
+    # consumers and the offsets silently wrong. Caught by the round-11
+    # KS query at sf0.1, whose input comes from a groupBy; scan-fed
+    # inputs (the common case) sampled identically by luck, not by
+    # contract.
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local = part.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
@@ -208,8 +221,21 @@ def global_ntile(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the ranged assignment before it fans out: every
+    # function below consumes `part` from two subtrees (the local window
+    # and the per-partition totals), and an unmaterialized
+    # repartitionByRange would execute TWICE — with range boundaries
+    # drawn by SAMPLING, two executions over a shuffle-produced input
+    # (whose within-partition row order is nondeterministic) can pick
+    # different boundaries, making _pid inconsistent between the two
+    # consumers and the offsets silently wrong. Caught by the round-11
+    # KS query at sf0.1, whose input comes from a groupBy; scan-fed
+    # inputs (the common case) sampled identically by luck, not by
+    # contract.
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local = part.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
@@ -269,8 +295,21 @@ def distributed_prefix_sum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the ranged assignment before it fans out: every
+    # function below consumes `part` from two subtrees (the local window
+    # and the per-partition totals), and an unmaterialized
+    # repartitionByRange would execute TWICE — with range boundaries
+    # drawn by SAMPLING, two executions over a shuffle-produced input
+    # (whose within-partition row order is nondeterministic) can pick
+    # different boundaries, making _pid inconsistent between the two
+    # consumers and the offsets silently wrong. Caught by the round-11
+    # KS query at sf0.1, whose input comes from a groupBy; scan-fed
+    # inputs (the common case) sampled identically by luck, not by
+    # contract.
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     frame_end = -1 if exclusive else 0
     lw = (

@@ -643,3 +643,131 @@ def daily_behavior_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# T164 — exact two-sample Kolmogorov-Smirnov drift test on order values
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+p AS (
+  SELECT CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(e.ts AS DATE) >
+              CAST(b.mn + (date_diff('day', b.mn, b.mx) // 2)
+                   * INTERVAL 1 DAY AS DATE)
+              THEN 1 ELSE 0 END AS post
+  FROM events e, b WHERE e.event_type = 'purchase'
+),
+g AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM p GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f1,
+         SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f2
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS n_support
+  FROM g
+),
+d AS (
+  SELECT CAST(MAX(ABS(cum.f1 * tot.n2 - cum.f2 * tot.n1)) AS BIGINT)
+           AS d_num
+  FROM cum, tot
+)
+SELECT tot.n1 AS n_first, tot.n2 AS n_second, tot.n_support,
+       ROUND(CAST(d.d_num AS DOUBLE)
+             / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)), 6)
+         AS ks_d,
+       ROUND(sqrt(CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)
+                  / (CAST(tot.n1 AS DOUBLE) + CAST(tot.n2 AS DOUBLE)))
+             * (CAST(d.d_num AS DOUBLE)
+                / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))), 4)
+         AS ks_scaled,
+       CASE WHEN sqrt(CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)
+                      / (CAST(tot.n1 AS DOUBLE) + CAST(tot.n2 AS DOUBLE)))
+                 * (CAST(d.d_num AS DOUBLE)
+                    / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)))
+                 > 1.358 THEN 1 ELSE 0 END AS reject_05
+FROM tot, d
+"""
+
+
+@register("value_ks_drift", _KS_ORACLE)
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T164: exact two-sample Kolmogorov-Smirnov test between the first
+    and second half-month order-value distributions — the
+    distribution-FREE drift screen that needs no binning (PSI) and no
+    category structure (JSD): D = max |F₁−F₂| over the pooled support.
+    Everything is exact integers until two final divisions: per-cent
+    counts, running cumulatives via the range-partition + offset
+    prefix sum (operators/windows.distributed_prefix_sum — NO
+    single-partition window even though the support is a total order),
+    and the max of |F₁·n₂ − F₂·n₁| as a BIGINT (common-denominator
+    form, exact while n₁·n₂ cumulative products stay under 2⁶³ ≈ 9·10¹⁸
+    — a billion purchases per half). The scaled statistic √(n₁n₂/n)·D
+    and the α=0.05 rejection flag (critical value 1.358) come from
+    sqrt, the one libm call that IS correctly rounded everywhere."""
+    from ..operators.windows import distributed_prefix_sum
+
+    events = read_events(spark, sf_dir)
+    b = events.agg(
+        F.min("event_date").alias("mn"), F.max("event_date").alias("mx")
+    )
+    cut = F.date_add(F.col("mn"), (F.datediff("mx", "mn") / 2).cast("int"))
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("event_date") > cut).cast("int").alias("post"),
+        )
+    )
+    g = p.groupBy("cents").agg(
+        F.sum((F.col("post") == 0).cast("int")).cast("long").alias("c1"),
+        F.sum((F.col("post") == 1).cast("int")).cast("long").alias("c2"),
+    )
+    cum = distributed_prefix_sum(
+        distributed_prefix_sum(
+            g, ["cents"], "c1", out_col="f1", exclusive=False
+        ),
+        ["cents"],
+        "c2",
+        out_col="f2",
+        exclusive=False,
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count("*").cast("long").alias("n_support"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ks = F.col("d_num").cast("double") / (n1d * n2d)
+    scaled = F.sqrt(n1d * n2d / (n1d + n2d)) * ks
+    return tot.crossJoin(F.broadcast(d)).select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        "n_support",
+        F.round(ks, 6).alias("ks_d"),
+        F.round(scaled, 4).alias("ks_scaled"),
+        F.when(scaled > 1.358, 1).otherwise(0).alias("reject_05"),
+    )

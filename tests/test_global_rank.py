@@ -149,3 +149,35 @@ def test_grouped_ntile_matches_partitioned_sql_ntile(spark):
             ).collect()
         }
         assert got == exp, (n, b)
+
+
+def test_prefix_sum_consistent_over_shuffled_input(spark):
+    """Round-11 regression: distributed_prefix_sum's ranged partition
+    assignment fans out to two consumers; before the materialization
+    fix, a shuffle-produced input (nondeterministic within-partition
+    row order) could sample DIFFERENT range boundaries per consumer
+    and silently corrupt the offsets — caught by the sf0.1 KS query.
+    Reproduce the shape: feed the op from a groupBy, check against an
+    exact sequential fold, several times."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    base = spark.range(0, 20000).select(
+        (F.col("id") % 4999).alias("k"), F.lit(1).alias("one")
+    )
+    g = base.groupBy("k").agg(F.count("*").cast("long").alias("c"))
+    for _ in range(3):
+        got = {
+            r["k"]: r["f"]
+            for r in distributed_prefix_sum(
+                g, ["k"], "c", out_col="f", exclusive=False
+            ).collect()
+        }
+        rows = sorted((r["k"], r["c"]) for r in g.collect())
+        acc = 0
+        for k, c in rows:
+            acc += c
+            assert got[k] == acc, f"prefix mismatch at k={k}"
