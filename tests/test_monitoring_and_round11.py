@@ -674,3 +674,48 @@ def test_daily_jsd_bounded_and_matches_numpy(spark):
     j *= 0.5
     first = next(r for r in rows if r["event_date"] == d1)
     assert first["jsd_nats"] == pytest.approx(j, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# T164 Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+
+def test_ks_drift_matches_bruteforce(spark):
+    import collections
+
+    from ecommerce_event_pipeline_spark.sources.readers import read_events
+
+    row = _q(spark, "value_ks_drift").collect()[0]
+    ev = read_events(spark, SF_DIR).where(
+        F.col("event_type") == "purchase"
+    ).select("event_date", "value").collect()
+    days = sorted({e["event_date"] for e in ev})
+    # same midpoint convention as the query
+    all_days = sorted(
+        {e["event_date"] for e in read_events(spark, SF_DIR).select("event_date").distinct().collect()}
+    )
+    import datetime
+
+    cut = all_days[0] + datetime.timedelta(
+        days=(all_days[-1] - all_days[0]).days // 2
+    )
+    h = collections.defaultdict(lambda: [0, 0])
+    for e in ev:
+        cents = round(e["value"] * 100)
+        h[cents][1 if e["event_date"] > cut else 0] += 1
+    n1 = sum(v[0] for v in h.values())
+    n2 = sum(v[1] for v in h.values())
+    f1 = f2 = 0
+    dmax = 0
+    for c in sorted(h):
+        f1 += h[c][0]
+        f2 += h[c][1]
+        dmax = max(dmax, abs(f1 * n2 - f2 * n1))
+    assert row["n_first"] == n1 and row["n_second"] == n2
+    assert row["n_support"] == len(h)
+    assert row["ks_d"] == pytest.approx(dmax / (n1 * n2), abs=1e-6)
+    import math as _m
+
+    scaled = _m.sqrt(n1 * n2 / (n1 + n2)) * dmax / (n1 * n2)
+    assert row["ks_scaled"] == pytest.approx(scaled, abs=1e-3)
+    assert row["reject_05"] == (1 if scaled > 1.358 else 0)
