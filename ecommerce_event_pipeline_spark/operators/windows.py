@@ -149,6 +149,21 @@ def global_row_number(
     ``order_cols`` may mix column names and sort expressions
     (``F.desc("x")``) — both ``repartitionByRange`` and the window accept
     SortOrder expressions.
+
+    Cost note: the ``localCheckpoint()`` that pins the ranged assignment
+    (see the MATERIALIZE comment below) is EAGER — merely *constructing*
+    this DataFrame runs a Spark job and holds the range-partitioned input
+    in executor storage (memory, spilling to disk) until it is
+    unpersisted. Plan-only consumers (``.explain()`` audits) pay the full
+    materialization, and checkpointed blocks are NOT recomputable on
+    executor loss — the job fails and must re-run, a deliberate trade of
+    fault-tolerance for boundary determinism (an oracle-graded batch
+    prefers a loud re-run over silently inconsistent offsets). If
+    build-time jobs ever become a problem, the alternative is to compute
+    explicit range boundaries once on the driver and derive ``_pid`` from
+    them deterministically; the checkpoint is the simpler contract while
+    inputs fit executor storage. Same trade-off in :func:`global_ntile`,
+    :func:`distributed_prefix_sum`, and :func:`grouped_ntile`.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
@@ -372,8 +387,19 @@ def grouped_ntile(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *gcols, *ocols).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the ranged assignment before it fans out — identical
+    # shape to global_row_number: `part` feeds both the local row_number
+    # window and the cnts groupBy, and an unmaterialized
+    # repartitionByRange samples range boundaries independently per
+    # consumer, so a shuffle-fed input can land rows in different _pid
+    # assignments between the two subtrees and silently corrupt the
+    # offsets. Scan-fed callers (value_quartiles_per_type) passed by
+    # luck, not by contract — same fix as the round-11 global_row_number
+    # hardening, regression-tested in tests/test_global_rank.py.
+    part = (
+        df.repartitionByRange(num_partitions, *gcols, *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local = part.withColumn(
         "_lrn",

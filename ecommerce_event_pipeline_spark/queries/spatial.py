@@ -69,7 +69,22 @@ def geo_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded. Production swap-ins: real lat/lon columns, a finer cell
     size matched to the query radius, and neighbor-cell union for
     radius queries crossing cell borders — the plan shape is
-    unchanged."""
+    unchanged.
+
+    ACCEPTED LIBM RISK (documented per ADVICE r11): unlike sqrt (IEEE
+    correctly rounded everywhere, the discipline value_ks_drift relies
+    on), sin/cos/asin are only ~1-ulp accurate and may differ between
+    the JVM and DuckDB's libm. A 1-ulp divergence near a 4-decimal
+    rounding boundary, or near the rank-100 tie, could in principle
+    change the reported km or the cutoff set on another platform. Both
+    engines agree on this host (driver-hash green r11). The cutoff
+    half of the risk could be removed by ranking on an integer
+    squared-chord proxy, but the displayed km would still be
+    libm-computed and hash-relevant, so the proxy buys no cross-engine
+    guarantee — we accept and document instead. A production variant
+    that must be engine-portable should report fixed-point distances
+    computed from an integer-only metric, or tolerate last-decimal
+    slack in comparisons."""
     cust = read_table(spark, sf_dir, "customer")
     from ..functions.hashing import md5_prefix_long
 

@@ -102,8 +102,10 @@ def _run_to_memory(agg: DataFrame, mode: str = "complete") -> str:
             .queryName(name)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # a sink failure must not leak a running query
     return name
 
 
@@ -241,8 +243,10 @@ def run_streaming_to_parquet(
             .foreachBatch(write_batch)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # a write_batch failure must not leak a running query
     return spark.read.parquet(output_path).orderBy("window_start")
 
 

@@ -188,6 +188,7 @@ def test_tail_position_clustering_in_summary():
     assert tail["span"] == [20, 22]
     assert tail["pos_med"] == 21
     assert tail["contig"] is True
+    assert tail["clusters"] == 1  # one contiguous burst
     # scattered tail: same worst ratios at positions 1, 15, 30
     timings2 = {}
     for i, n in enumerate(names):
@@ -195,6 +196,36 @@ def test_tail_position_clustering_in_summary():
         timings2[n] = rec["queries"][n] * mult
     _, summary2 = bench.stall_ratios(timings2, sf=rec["sf"])
     assert summary2["tail"]["contig"] is False
+    assert summary2["tail"]["clusters"] == 3  # gaps 14 and 15 both > k=3
+
+
+def test_tail_cluster_count_reads_two_bursts():
+    """VERDICT r11 item 5: the r11 driver tail was two load bursts
+    (positions 73-89 and 169-170) that the contiguity test correctly
+    declined to flag — the cluster count must make "two bursts" readable
+    straight from the record. Reproduce the shape at 30-query scale:
+    worst ratios at positions 5-6 and 25 → two clusters, contig False."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = max(
+        (
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(repo, "bench_local_r*.json"))
+            if (m := re.fullmatch(r"bench_local_r(\d+)\.json", os.path.basename(p)))
+        )
+    )[1]
+    rec = json.load(open(latest))
+    names = [n for n, t in rec["queries"].items() if t >= 0.1][:30]
+    timings = {}
+    for i, n in enumerate(names):
+        mult = 20.0 if i in (4, 5, 24) else 1.0
+        timings[n] = rec["queries"][n] * mult
+    _, summary = bench.stall_ratios(timings, sf=rec["sf"])
+    tail = summary["tail"]
+    assert tail["contig"] is False
+    assert tail["clusters"] == 2  # 5-6 packed (gap 1 ≤ k=3), 25 separate
 
 
 def test_stalled_marker_requires_all_three_signals():

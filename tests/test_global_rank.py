@@ -181,3 +181,34 @@ def test_prefix_sum_consistent_over_shuffled_input(spark):
         for k, c in rows:
             acc += c
             assert got[k] == acc, f"prefix mismatch at k={k}"
+
+
+def test_grouped_ntile_consistent_over_shuffled_input(spark):
+    """Round-12 extension of the materialize-once regression to
+    grouped_ntile, which has the identical fan-out shape (`part` feeds
+    both the local row_number window and the per-(group, partition)
+    counts groupBy). Feed it from a groupBy — nondeterministic
+    within-partition row order, so unmaterialized range boundaries can
+    differ per consumer — and check bit-identity with the SQL window,
+    several times."""
+    from ecommerce_event_pipeline_spark.operators.windows import grouped_ntile
+
+    base = spark.range(0, 20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 4999).alias("k"),
+    )
+    shuffled = base.groupBy("g", "k").agg(F.count("*").alias("c"))
+    exp = {
+        (r["g"], r["k"], r["nt"])
+        for r in shuffled.withColumn(
+            "nt", F.ntile(4).over(Window.partitionBy("g").orderBy("k"))
+        ).collect()
+    }
+    for _ in range(3):
+        got = {
+            (r["g"], r["k"], r["nt"])
+            for r in grouped_ntile(
+                shuffled, 4, ["g"], ["k"], out_col="nt"
+            ).collect()
+        }
+        assert got == exp
