@@ -909,3 +909,70 @@ def run_streaming_cusum(
     from ..queries.monitoring import cusum_from_daily
 
     return cusum_from_daily(daily)
+
+
+def run_streaming_ddsketch(
+    spark: SparkSession,
+    batch_rows: int = 200,
+    max_rows: int = 600,
+) -> DataFrame:
+    """Streaming twin of the log-domain quantile sketch (T165,
+    ``queries/sketches.ddsketch_value_quantiles``): maintain per-
+    (event_type, octave, sub-bucket) counts over a stream via
+    ``foreachBatch``. The sketch merges by PLAIN ADDITION, so the folded
+    state is bit-identical to the batch bucket table under ANY micro-
+    batch boundary or arrival order — the same merge property that makes
+    the CUSUM (integer sums) and KMV (bottom-k) twins exact, pinned in
+    tests/test_sketch.py. State is ≤ 16·⌈log₂ range⌉ rows per event
+    type — bounded sketch state, not data; the per-batch driver transfer
+    is one row per bucket touched. Returns the merged bucket table
+    (event_type, p, s, cnt) — the mergeable artifact a serving layer
+    reads quantiles off (the read-off arithmetic lives in the batch
+    query and is oracle-graded there)."""
+    from ..sources import pyds
+
+    if not pyds.register(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+
+    state: dict = {}
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        pexp = "length(bin(cents)) - 1"
+        pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+        rows = (
+            batch_df.where(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .where(F.col("cents") >= 1)
+            .selectExpr(
+                "event_type",
+                f"{pexp} AS p",
+                f"((cents - {pow2}) * 16) div {pow2} AS s",
+            )
+            .groupBy("event_type", "p", "s")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .collect()
+        )
+        for row in rows:
+            key = (row["event_type"], row["p"], row["s"])
+            state[key] = state.get(key, 0) + row["cnt"]
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", batch_rows)
+        .option("maxRows", max_rows)
+        .load()
+    )
+    with _bounded_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(absorb).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # an absorb() failure must not leak a running query
+
+    return spark.createDataFrame(
+        [(t, p, s, c) for (t, p, s), c in sorted(state.items())],
+        "event_type string, p int, s int, cnt long",
+    )

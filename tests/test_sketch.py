@@ -345,3 +345,41 @@ def test_ddsketch_buckets_merge_by_addition_and_bound_error(spark):
         # relative error of reporting lo is bounded by width / 2^p ≤ 1/16
         # (+1 integer-truncation slack at tiny octaves)
         assert (r["cents"] - lo) <= (1 << r["p"]) // 16 + 1
+
+
+def test_streaming_ddsketch_equals_batch_buckets(spark):
+    """T165 streaming twin: per-(type, octave, sub-bucket) counts folded
+    across micro-batches must equal the one-shot batch bucket table of
+    the same rows — additive merge is exact under any batch boundary or
+    arrival order, the property the batch query's daily→type rollup and
+    this streaming fold both stand on."""
+    from pyspark.sql import functions as F2
+
+    from ecommerce_event_pipeline_spark.sources import pyds
+    from ecommerce_event_pipeline_spark.streaming import jobs
+
+    if not pyds.HAS_DATASOURCE_API:
+        import pytest as _pytest
+
+        _pytest.skip("pyspark lacks the DataSource API")
+    streamed = jobs.run_streaming_ddsketch(spark, batch_rows=200, max_rows=600)
+    pyds.register(spark)
+    pexp = "length(bin(cents)) - 1"
+    pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+    whole = (
+        spark.read.format("synthetic_events").option("rows", 600).load()
+        .where(F2.col("value").isNotNull())
+        .select(
+            "event_type",
+            F2.round(F2.col("value") * 100).cast("long").alias("cents"),
+        )
+        .where(F2.col("cents") >= 1)
+        .selectExpr(
+            "event_type", f"{pexp} AS p", f"((cents - {pow2}) * 16) div {pow2} AS s"
+        )
+        .groupBy("event_type", "p", "s")
+        .agg(F2.count("*").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
