@@ -282,8 +282,13 @@ def stall_ratios(
         # the same cluster when their gap is at most the tail size
         # (within a burst, top-decile seats are packed far denser than
         # that; between bursts, the gap is a large fraction of the run).
-        # clusters == 1 ⇔ contig by construction; 2+ reads directly as
-        # "N separate load bursts" in BENCH_r*.json.
+        # NOTE clusters and contig are DIFFERENT lenses, not equivalent:
+        # contig is span-based (span ≤ 2k) and clusters is gap-based
+        # (every gap ≤ k), so evenly-spread positions can read clusters=1
+        # with contig=false (all gaps small, span wide) and a tight span
+        # can still split on one k+1 gap (contig=true, clusters=2). Read
+        # contig as "one segment of the run" and clusters as "how many
+        # bursts"; adjudicate stalls from both plus the load samples.
         "clusters": 1
         + sum(1 for a, b in zip(pos, pos[1:]) if b - a > len(pos)),
     }

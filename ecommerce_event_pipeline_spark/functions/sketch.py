@@ -375,3 +375,22 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: Bloom) -> DataFrame:
         word = F.element_at(arr, (F.shiftright(F.col(p), 6) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(F.col(m)) != 0)
     return out.where(cond).drop(*tmp)
+
+
+def log_bucket_exprs(value_col: str = "cents", m: int = 16) -> tuple[str, str]:
+    """SQL expression strings ``(p_expr, s_expr)`` for the DDSketch-family
+    log-domain bucket of a positive BIGINT column: octave
+    p = floor(log2(v)) computed engine-portably as ``length(bin(v)) − 1``
+    (pure integer/string ops — no libm, so the JVM and DuckDB replay it
+    bit-identically), and linear sub-bucket
+    s = ((v − 2^p)·m) div 2^p ∈ [0, m), giving ≤ 1/m relative bucket
+    width at every magnitude. Shared by the batch quantile query
+    (``queries/sketches.ddsketch_value_quantiles``), its streaming twin
+    (``streaming/jobs.run_streaming_ddsketch``), and their pytest pins,
+    so the batch/streaming bit-equivalence can never silently diverge on
+    a one-sided retune of ``m``. The DuckDB oracle SQL spells the same
+    arithmetic out literally, as every oracle string does by design."""
+    p = f"length(bin({value_col})) - 1"
+    pow2 = f"shiftleft(CAST(1 AS BIGINT), {p})"
+    s = f"(({value_col} - {pow2}) * {m}) div {pow2}"
+    return p, s

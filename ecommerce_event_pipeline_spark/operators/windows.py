@@ -154,11 +154,17 @@ def global_row_number(
     (see the MATERIALIZE comment below) is EAGER — merely *constructing*
     this DataFrame runs a Spark job and holds the range-partitioned input
     in executor storage (memory, spilling to disk) until it is
-    unpersisted. Plan-only consumers (``.explain()`` audits) pay the full
-    materialization, and checkpointed blocks are NOT recomputable on
-    executor loss — the job fails and must re-run, a deliberate trade of
-    fault-tolerance for boundary determinism (an oracle-graded batch
-    prefers a loud re-run over silently inconsistent offsets). If
+    unpersisted. No code path unpersists explicitly (the returned
+    DataFrame still reads the pinned blocks lazily, so an early
+    unpersist would break consumers); blocks release when the driver
+    garbage-collects the DataFrame and the ContextCleaner drops them —
+    a session that constructs MANY order-statistics consumers without
+    dropping references can therefore hold several full-input
+    checkpoints in executor storage at once. Checkpointed blocks are
+    also NOT recomputable on executor loss — the job fails and must
+    re-run, a deliberate trade of fault-tolerance for boundary
+    determinism (an oracle-graded batch prefers a loud re-run over
+    silently inconsistent offsets). If
     build-time jobs ever become a problem, the alternative is to compute
     explicit range boundaries once on the driver and derive ``_pid`` from
     them deterministically; the checkpoint is the simpler contract while

@@ -999,13 +999,14 @@ def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     ).where(F.col("cents") >= 1)
-    pexp = "length(bin(cents)) - 1"
-    pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+    from ..functions.sketch import log_bucket_exprs
+
+    pexp, sexp = log_bucket_exprs("cents", m=16)
     b = c.select(
         "event_type",
         "day",
         F.expr(pexp).alias("p"),
-        F.expr(f"((cents - {pow2}) * 16) div {pow2}").alias("s"),
+        F.expr(sexp).alias("s"),
     )
     daily = b.groupBy("event_type", "day", "p", "s").agg(
         F.count("*").cast("long").alias("cnt")

@@ -3810,19 +3810,24 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-12 window: 29 + 4 + 1 + 16 = 50 (VERDICT r11 items
+    # ---- round-12 window: 29 + 5 + 1 + 15 = 50 (VERDICT r11 items
     # 1 and 7). Mechanically the stalest evidence from the ledger
     # regenerated against CORRECTNESS_r11 (the whole last-green-r07
-    # block, 29 seats) plus every order-statistics consumer whose
+    # block, 29 seats) plus EVERY order-statistics consumer whose
     # plan changed in the materialize-once fix (commit 1b591ef and
-    # this round's grouped_ntile twin) that is not already in the
-    # r07 block (4 seats: pack_sequences r08, rfm_segments r09,
-    # peak_concurrency r10, revenue_concentration r10 — plan-changed
-    # queries deserve fresh driver hashes even with the local mirror
-    # green), plus the one operator born this round (seated on
-    # landing, per the no-zero-evidence rule), plus the 16 stalest
-    # r08 seats in ledger order. The r08 seats left out
-    # (repeat_buyers_two_days .. contamination_check) stay within
+    # this round's grouped_ntile twin) that is not already covered —
+    # the full registered-consumer set of global_row_number /
+    # global_ntile / distributed_prefix_sum / grouped_ntile is
+    # eight: customer_balance_deciles + value_quartiles_per_type sit
+    # in the r07 block, value_ks_drift was graded post-fix in r11,
+    # and the remaining five are seated here (pack_sequences r08,
+    # abc_inventory_classes r08, rfm_segments r09, peak_concurrency
+    # r10, revenue_concentration r10 — plan-changed queries deserve
+    # fresh driver hashes even with the local mirror green), plus
+    # the one operator born this round (seated on landing, per the
+    # no-zero-evidence rule), plus the 15 stalest r08 seats in
+    # ledger order. The r08 seats left out (streaming_user_state,
+    # repeat_buyers_two_days .. contamination_check) stay within
     # the latest-4 freshness bound through r13 and are the natural
     # next seats. ----
     # ---- the 29 stalest seats (all last green r07) ----
@@ -3857,12 +3862,13 @@ _FRONT: tuple[str, ...] = (
     "rolling_active_users",
     # ---- order-statistics consumers with changed plans ----
     "pack_sequences",
+    "abc_inventory_classes",
     "rfm_segments",
     "peak_concurrency",
     "revenue_concentration",
     # ---- born this round (T165) ----
     "ddsketch_value_quantiles",
-    # ---- the 16 stalest r08 seats (ledger order) ----
+    # ---- the 15 stalest r08 seats (ledger order) ----
     "top_parts_by_revenue",
     "market_segment_summary",
     "quality_trend",
@@ -3878,13 +3884,13 @@ _FRONT: tuple[str, ...] = (
     "streaming_dedup",
     "events_asof_orders",
     "user_purchase_trend",
-    "streaming_user_state",
 )
 # Seat accounting for the round-12 window (the driver grades the first
 # 50 registered queries). The r11 window went 50/50 (CORRECTNESS_r11
 # zero err), closing the last never-graded gap: every registered query
 # has been driver-hash-green in at least one round. This window is pure
-# rotation + hardening: the 45 displaced r11 seats are r11-fresh, and
+# rotation + hardening: the two windows share no seats (all 50 r11
+# seats rotate out r11-fresh), and
 # every seat here passes the full local mirror (tools/check_oracle.py
 # at sf0.01 and sf0.1 this round), so the expected outcome is 50/50.
 # The freshness invariant is pinned by

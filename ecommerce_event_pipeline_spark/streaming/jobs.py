@@ -936,9 +936,10 @@ def run_streaming_ddsketch(
 
     state: dict = {}
 
+    from ..functions.sketch import log_bucket_exprs
+
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        pexp = "length(bin(cents)) - 1"
-        pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+        pexp, sexp = log_bucket_exprs("cents", m=16)
         rows = (
             batch_df.where(F.col("value").isNotNull())
             .select(
@@ -946,11 +947,7 @@ def run_streaming_ddsketch(
                 F.round(F.col("value") * 100).cast("long").alias("cents"),
             )
             .where(F.col("cents") >= 1)
-            .selectExpr(
-                "event_type",
-                f"{pexp} AS p",
-                f"((cents - {pow2}) * 16) div {pow2} AS s",
-            )
+            .selectExpr("event_type", f"{pexp} AS p", f"{sexp} AS s")
             .groupBy("event_type", "p", "s")
             .agg(F.count("*").cast("long").alias("cnt"))
             .collect()

@@ -322,11 +322,8 @@ def test_ddsketch_buckets_merge_by_addition_and_bound_error(spark):
          123456, 999999, 5, 7, 31, 33, 64, 65]
     )]
     df = spark.createDataFrame(rows, "day int, cents bigint")
-    pexp = "length(bin(cents)) - 1"
-    pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
-    b = df.selectExpr(
-        "day", "cents", f"{pexp} AS p", f"((cents - {pow2}) * 16) div {pow2} AS s"
-    )
+    pexp, sexp = sketch.log_bucket_exprs("cents", m=16)
+    b = df.selectExpr("day", "cents", f"{pexp} AS p", f"{sexp} AS s")
     daily = b.groupBy("day", "p", "s").agg(F.count("*").alias("cnt"))
     merged = {
         (r["p"], r["s"]): r["c"]
@@ -364,8 +361,7 @@ def test_streaming_ddsketch_equals_batch_buckets(spark):
         _pytest.skip("pyspark lacks the DataSource API")
     streamed = jobs.run_streaming_ddsketch(spark, batch_rows=200, max_rows=600)
     pyds.register(spark)
-    pexp = "length(bin(cents)) - 1"
-    pow2 = f"shiftleft(CAST(1 AS BIGINT), {pexp})"
+    pexp, sexp = sketch.log_bucket_exprs("cents", m=16)
     whole = (
         spark.read.format("synthetic_events").option("rows", 600).load()
         .where(F2.col("value").isNotNull())
@@ -374,9 +370,7 @@ def test_streaming_ddsketch_equals_batch_buckets(spark):
             F2.round(F2.col("value") * 100).cast("long").alias("cents"),
         )
         .where(F2.col("cents") >= 1)
-        .selectExpr(
-            "event_type", f"{pexp} AS p", f"((cents - {pow2}) * 16) div {pow2} AS s"
-        )
+        .selectExpr("event_type", f"{pexp} AS p", f"{sexp} AS s")
         .groupBy("event_type", "p", "s")
         .agg(F2.count("*").cast("long").alias("cnt"))
     )
