@@ -47,9 +47,22 @@ def grouped_exact_percentiles(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(
-        num_partitions, *group_cols, value_col
-    ).withColumn("_pid", F.spark_partition_id())
+    # MATERIALIZE the ranged assignment before it fans out — identical
+    # shape to operators/windows.py's order-statistics operators: `part`
+    # feeds both the local row_number window and the cnts groupBy, and an
+    # unmaterialized repartitionByRange samples range boundaries
+    # independently per consumer, so a shuffle-fed input could land rows
+    # in different _pid assignments between the two subtrees and silently
+    # corrupt the ranks. The registered callers are scan-fed (correct by
+    # luck, not by contract — the round-11 lesson); found by the round-12
+    # fan-out sweep, regression-tested in tests/test_global_rank.py. See
+    # global_row_number's docstring for the eager-cost / executor-loss
+    # trade-off this inherits.
+    part = (
+        df.repartitionByRange(num_partitions, *group_cols, value_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     local = part.withColumn(
         "_lrn",
         F.row_number().over(

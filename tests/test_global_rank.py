@@ -212,3 +212,38 @@ def test_grouped_ntile_consistent_over_shuffled_input(spark):
             ).collect()
         }
         assert got == exp
+
+
+def test_grouped_percentiles_consistent_over_shuffled_input(spark):
+    """Round-12 fan-out sweep: grouped_exact_percentiles has the same
+    two-consumer range-partition shape as the order-statistics operators
+    (`part` feeds the local rank window AND the counts groupBy), so it
+    gets the same materialize-once fix and the same shuffled-input
+    regression: feed it from a groupBy and check bit-identity with the
+    single-buffer SQL percentile, several times."""
+    from ecommerce_event_pipeline_spark.functions.stats import (
+        grouped_exact_percentiles,
+    )
+
+    base = spark.range(0, 20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 4999).cast("double").alias("v"),
+    )
+    shuffled = base.groupBy("g", "v").agg(F.count("*").alias("c")).drop("c")
+    exp = {
+        (r["g"], r["p50"], r["p90"])
+        for r in shuffled.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5D)").alias("p50"),
+            F.expr("percentile(v, 0.9D)").alias("p90"),
+        )
+        .collect()
+    }
+    for _ in range(3):
+        got = {
+            (r["g"], r["p50"], r["p90"])
+            for r in grouped_exact_percentiles(
+                shuffled, "v", {"p50": 0.5, "p90": 0.9}, ["g"]
+            ).collect()
+        }
+        assert got == exp
