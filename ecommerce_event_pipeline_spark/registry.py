@@ -3819,7 +3819,10 @@ _FRONT: tuple[str, ...] = (
     # the full registered-consumer set of global_row_number /
     # global_ntile / distributed_prefix_sum / grouped_ntile is
     # eight: customer_balance_deciles + value_quartiles_per_type sit
-    # in the r07 block, value_ks_drift was graded post-fix in r11,
+    # in the r07 block (as does value_percentiles, whose plan also
+    # changed via the same fix applied to functions/stats.py's
+    # grouped_exact_percentiles), value_ks_drift was graded post-fix
+    # in r11,
     # and the remaining five are seated here (pack_sequences r08,
     # abc_inventory_classes r08, rfm_segments r09, peak_concurrency
     # r10, revenue_concentration r10 — plan-changed queries deserve
