@@ -47,22 +47,14 @@ def grouped_exact_percentiles(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # MATERIALIZE the ranged assignment before it fans out — identical
-    # shape to operators/windows.py's order-statistics operators: `part`
-    # feeds both the local row_number window and the cnts groupBy, and an
-    # unmaterialized repartitionByRange samples range boundaries
-    # independently per consumer, so a shuffle-fed input could land rows
-    # in different _pid assignments between the two subtrees and silently
-    # corrupt the ranks. The registered callers are scan-fed (correct by
-    # luck, not by contract — the round-11 lesson); found by the round-12
-    # fan-out sweep, regression-tested in tests/test_global_rank.py. See
-    # global_row_number's docstring for the eager-cost / executor-loss
-    # trade-off this inherits.
-    part = (
-        df.repartitionByRange(num_partitions, *group_cols, value_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    # `part` feeds both the local row_number window and the cnts groupBy;
+    # the helper materializes the ranged assignment once so the two
+    # consumers cannot sample different range boundaries (the round-11
+    # bug shape, found here by the round-12 fan-out sweep and
+    # regression-tested in tests/test_global_rank.py).
+    from ..operators.windows import pinned_range_partition
+
+    part = pinned_range_partition(df, num_partitions, *group_cols, value_col)
     local = part.withColumn(
         "_lrn",
         F.row_number().over(

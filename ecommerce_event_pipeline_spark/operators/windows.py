@@ -118,6 +118,34 @@ def running_user_spend(events: DataFrame, amount_type: str = "purchase") -> Data
     )
 
 
+def pinned_range_partition(df: DataFrame, num_partitions: int, *cols) -> DataFrame:
+    """Range-partition ``df`` on ``cols``, stamp ``_pid`` =
+    ``spark_partition_id()``, and MATERIALIZE the assignment with an eager
+    ``localCheckpoint()`` before any consumer sees it.
+
+    This is the non-optional spelling of the
+    ``repartitionByRange → spark_partition_id`` idiom for every operator
+    whose ranged frame fans out to two subtrees (a local window AND a
+    per-partition counts aggregate): range boundaries are drawn by
+    SAMPLING, so an unmaterialized plan executes the shuffle once per
+    consumer and — over a shuffle-fed input whose within-partition row
+    order is nondeterministic — can sample DIFFERENT boundaries per
+    consumer, making ``_pid`` inconsistent between the subtrees and the
+    derived offsets silently wrong. Caught by the round-11 KS query at
+    sf0.1 (groupBy-fed input); scan-fed inputs passed every prior oracle
+    by luck, not by contract. Centralized in round 12 after the same bug
+    shape was found in a fifth site (``functions/stats``): with the
+    checkpoint inside the helper, a new call site cannot silently omit
+    it. Cost/fault-tolerance trade-off: see :func:`global_row_number`'s
+    docstring (eager job at construction, blocks released only via
+    driver GC, no recompute on executor loss)."""
+    return (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols,
@@ -176,22 +204,7 @@ def global_row_number(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # MATERIALIZE the ranged assignment before it fans out: every
-    # function below consumes `part` from two subtrees (the local window
-    # and the per-partition totals), and an unmaterialized
-    # repartitionByRange would execute TWICE — with range boundaries
-    # drawn by SAMPLING, two executions over a shuffle-produced input
-    # (whose within-partition row order is nondeterministic) can pick
-    # different boundaries, making _pid inconsistent between the two
-    # consumers and the offsets silently wrong. Caught by the round-11
-    # KS query at sf0.1, whose input comes from a groupBy; scan-fed
-    # inputs (the common case) sampled identically by luck, not by
-    # contract.
-    part = (
-        df.repartitionByRange(num_partitions, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    part = pinned_range_partition(df, num_partitions, *cols)
     local = part.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
     )
@@ -242,22 +255,7 @@ def global_ntile(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # MATERIALIZE the ranged assignment before it fans out: every
-    # function below consumes `part` from two subtrees (the local window
-    # and the per-partition totals), and an unmaterialized
-    # repartitionByRange would execute TWICE — with range boundaries
-    # drawn by SAMPLING, two executions over a shuffle-produced input
-    # (whose within-partition row order is nondeterministic) can pick
-    # different boundaries, making _pid inconsistent between the two
-    # consumers and the offsets silently wrong. Caught by the round-11
-    # KS query at sf0.1, whose input comes from a groupBy; scan-fed
-    # inputs (the common case) sampled identically by luck, not by
-    # contract.
-    part = (
-        df.repartitionByRange(num_partitions, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    part = pinned_range_partition(df, num_partitions, *cols)
     local = part.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
     )
@@ -316,22 +314,7 @@ def distributed_prefix_sum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # MATERIALIZE the ranged assignment before it fans out: every
-    # function below consumes `part` from two subtrees (the local window
-    # and the per-partition totals), and an unmaterialized
-    # repartitionByRange would execute TWICE — with range boundaries
-    # drawn by SAMPLING, two executions over a shuffle-produced input
-    # (whose within-partition row order is nondeterministic) can pick
-    # different boundaries, making _pid inconsistent between the two
-    # consumers and the offsets silently wrong. Caught by the round-11
-    # KS query at sf0.1, whose input comes from a groupBy; scan-fed
-    # inputs (the common case) sampled identically by luck, not by
-    # contract.
-    part = (
-        df.repartitionByRange(num_partitions, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    part = pinned_range_partition(df, num_partitions, *cols)
     frame_end = -1 if exclusive else 0
     lw = (
         Window.partitionBy("_pid")
@@ -393,20 +376,7 @@ def grouped_ntile(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # MATERIALIZE the ranged assignment before it fans out — identical
-    # shape to global_row_number: `part` feeds both the local row_number
-    # window and the cnts groupBy, and an unmaterialized
-    # repartitionByRange samples range boundaries independently per
-    # consumer, so a shuffle-fed input can land rows in different _pid
-    # assignments between the two subtrees and silently corrupt the
-    # offsets. Scan-fed callers (value_quartiles_per_type) passed by
-    # luck, not by contract — same fix as the round-11 global_row_number
-    # hardening, regression-tested in tests/test_global_rank.py.
-    part = (
-        df.repartitionByRange(num_partitions, *gcols, *ocols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    part = pinned_range_partition(df, num_partitions, *gcols, *ocols)
     local = part.withColumn(
         "_lrn",
         F.row_number().over(

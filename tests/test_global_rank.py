@@ -247,3 +247,52 @@ def test_grouped_percentiles_consistent_over_shuffled_input(spark):
             ).collect()
         }
         assert got == exp
+
+
+def test_materialize_once_pin_all_fanout_operators(spark):
+    """THE falsifiable regression for the materialize-once fix (the
+    shuffled-input tests above check bit-identity, but at unit scale the
+    two un-checkpointed consumers usually sample identical boundaries —
+    measured 0/6 divergence — so they can pass even with the fix
+    reverted; the race only reproduced at sf0.1). What IS deterministic:
+    with the checkpoint in place, every consumer's executed plan reads
+    the pinned ExistingRDD leaf and contains NO re-executable
+    rangepartitioning exchange and NO scan of the original source.
+    Revert the localCheckpoint and this fails immediately."""
+    from ecommerce_event_pipeline_spark.functions.stats import (
+        grouped_exact_percentiles,
+    )
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+        global_ntile,
+        global_row_number,
+        grouped_ntile,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("uid"),
+    )
+    outs = {
+        "global_row_number": global_row_number(df, ["v", "uid"]),
+        "global_ntile": global_ntile(df, 4, ["v", "uid"]),
+        "distributed_prefix_sum": distributed_prefix_sum(
+            df, ["v", "uid"], "uid"
+        ),
+        "grouped_ntile": grouped_ntile(df, 4, ["g"], ["v", "uid"]),
+        "grouped_exact_percentiles": grouped_exact_percentiles(
+            df, "v", {"p50": 0.5}, ["g"]
+        ),
+    }
+    for name, out in outs.items():
+        out.collect()  # finalize adaptive plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, f"{name}: checkpoint leaf missing"
+        assert "rangepartitioning" not in plan, (
+            f"{name}: re-executable range exchange in consumer plan — "
+            "the ranged assignment is not materialized once"
+        )
+        assert "Scan Range" not in plan, (
+            f"{name}: consumer re-scans the original source"
+        )
