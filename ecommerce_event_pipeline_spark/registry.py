@@ -3810,84 +3810,84 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-12 window: 29 + 5 + 1 + 15 = 50 (VERDICT r11 items
-    # 1 and 7). Mechanically the stalest evidence from the ledger
-    # regenerated against CORRECTNESS_r11 (the whole last-green-r07
-    # block, 29 seats) plus EVERY order-statistics consumer whose
-    # plan changed in the materialize-once fix (commit 1b591ef and
-    # this round's grouped_ntile twin) that is not already covered —
-    # the full registered-consumer set of global_row_number /
-    # global_ntile / distributed_prefix_sum / grouped_ntile is
-    # eight: customer_balance_deciles + value_quartiles_per_type sit
-    # in the r07 block (as does value_percentiles, whose plan also
-    # changed via the same fix applied to functions/stats.py's
-    # grouped_exact_percentiles), value_ks_drift was graded post-fix
-    # in r11,
-    # and the remaining five are seated here (pack_sequences r08,
-    # abc_inventory_classes r08, rfm_segments r09, peak_concurrency
-    # r10, revenue_concentration r10 — plan-changed queries deserve
-    # fresh driver hashes even with the local mirror green), plus
-    # the one operator born this round (seated on landing, per the
-    # no-zero-evidence rule), plus the 15 stalest r08 seats in
-    # ledger order. The r08 seats left out (streaming_user_state,
-    # repeat_buyers_two_days .. contamination_check) stay within
-    # the latest-4 freshness bound through r13 and are the natural
-    # next seats. ----
-    # ---- the 29 stalest seats (all last green r07) ----
-    "embedding_topk",
-    "inferred_sessions",
-    "running_user_spend",
-    "top_spenders_per_day",
-    "traffic_cube",
-    "type_hour_pivot",
-    "overall_stats",
-    "orders_projection",
-    "union_activity",
-    "regex_token_count",
-    "doc_quality_score",
-    "token_frequencies",
-    "json_order_items",
-    "funnel_violations",
-    "skew_safe_type_totals",
-    "customers_without_orders",
-    "viewers_never_purchased",
-    "value_percentiles",
-    "scalar_functions_showcase",
-    "daily_kpis",
-    "cheapest_part_per_brand",
-    "volume_shipping",
-    "promo_revenue_share",
-    "revenue_7day_ma",
-    "customer_balance_deciles",
-    "type_hour_unpivot",
-    "linear_attribution",
-    "value_quartiles_per_type",
-    "rolling_active_users",
-    # ---- order-statistics consumers with changed plans ----
-    "pack_sequences",
-    "abc_inventory_classes",
-    "rfm_segments",
-    "peak_concurrency",
-    "revenue_concentration",
-    # ---- born this round (T165) ----
-    "ddsketch_value_quantiles",
-    # ---- the 15 stalest r08 seats (ledger order) ----
-    "top_parts_by_revenue",
-    "market_segment_summary",
-    "quality_trend",
-    "embedding_near_dupes",
-    "embedding_lsh_near_dupes",
-    "ngram_jaccard_pairs",
-    "simhash_near_dupes",
-    "dedup_clusters",
-    "ann_topk",
-    "order_amount_integrity",
-    "platform_device_rule_check",
-    "streaming_hourly_traffic",
-    "streaming_dedup",
-    "events_asof_orders",
-    "user_purchase_trend",
+    # ---- round-13 window: 31 + 19 = 50 (VERDICT r12 items 1 and 7).
+    # Mechanically COVERAGE.md's "suggested next-round window" after
+    # regenerating the ledger against CORRECTNESS_r12: the ENTIRE
+    # last-green-r08 block (31 seats — they hit the latest-4 freshness
+    # invariant exactly this round, so seating them is forced by
+    # tests/test_registry_coverage.py::test_front_window_reseats_stalest)
+    # plus the 19 stalest r09 seats in ledger order. No query was born
+    # this round ungraded and no off-window plan changed before this
+    # rotation landed; the pinned_range_partition boundary-variant work
+    # (VERDICT item 2) keeps bit-identical outputs under the shuffled-
+    # input regression tests, and its consumers were ALL driver-graded
+    # post-materialize-once in r12 (value_percentiles,
+    # value_quartiles_per_type, customer_balance_deciles, pack_sequences,
+    # abc_inventory_classes, rfm_segments, peak_concurrency,
+    # revenue_concentration, ddsketch_value_quantiles) — any of them
+    # whose physical plan changes this round are the first seats of the
+    # r14 window per the ADVICE-r9 plan-change rule. ----
+    # ---- the 31 stalest seats (all last green r08) ----
+    "streaming_user_state",
+    "repeat_buyers_two_days",
+    "large_orders",
+    "rich_idle_customers",
+    "shipping_lag_buckets",
+    "dedup_corpus_stats",
+    "curated_corpus",
+    "tfidf_top_terms",
+    "event_transitions",
+    "sampled_corpus_stats",
+    "funnel_completion_time",
+    "value_outliers_per_type",
+    "multimodal_features",
+    "session_platform_flips",
+    "streaming_attribution_join",
+    "contamination_check",
+    "doc_chunks",
+    "pii_scrub_stats",
+    "doc_quality_flags",
+    "training_shards",
+    "embedding_quantize",
+    "bm25_search",
+    "token_cms_estimates",
+    "ivf_topk_static",
+    "holt_revenue_backtest",
+    "weekday_seasonal_anomalies",
+    "mad_outlier_days",
+    "nation_market_share",
+    "hll_distinct_daily",
+    "hll_weekly_rollup",
+    "hll_segment_overlap",
+    # ---- the 19 stalest r09 seats (ledger order) ----
+    "funnel_daily",
+    "quality_report",
+    "minhash_near_dupes",
+    "simhash_fingerprints",
+    "doc_fingerprints",
+    "product_daily",
+    "orders_mart",
+    "streaming_enriched_traffic",
+    "streaming_session_windows",
+    "ivf_topk",
+    "multimodal_frames",
+    "multimodal_resize",
+    "semantic_dedup_static",
+    "semantic_dedup",
+    "pq_encode_static",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "ewma_daily_traffic",
+    "daily_volume_anomalies",
 )
+# Seat accounting for the round-13 window (the driver grades the first
+# 50 registered queries). The r12 window went 50/50 (CORRECTNESS_r12
+# zero err). This window is pure forced rotation: after it lands,
+# nothing in the ledger is staler than r09, and the freshness math for
+# r14 is the ~48-seat r09/r10 block plus any consumer whose plan the
+# round-13 pinned_range_partition boundary variant changed. Every seat
+# here passes the full local mirror (tools/check_oracle.py at sf0.01
+# and sf0.1 this round), so the expected outcome is 50/50.
 # Seat accounting for the round-12 window (the driver grades the first
 # 50 registered queries). The r11 window went 50/50 (CORRECTNESS_r11
 # zero err), closing the last never-graded gap: every registered query
