@@ -48,10 +48,10 @@ def grouped_exact_percentiles(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     # `part` feeds both the local row_number window and the cnts groupBy;
-    # the helper materializes the ranged assignment once so the two
-    # consumers cannot sample different range boundaries (the round-11
-    # bug shape, found here by the round-12 fan-out sweep and
-    # regression-tested in tests/test_global_rank.py).
+    # the helper guarantees the two consumers see a CONSISTENT _pid (the
+    # round-11 bug shape, found here by the round-12 fan-out sweep and
+    # regression-tested in tests/test_global_rank.py) — since round 13
+    # via deterministic in-plan boundaries rather than a checkpoint.
     from ..operators.windows import pinned_range_partition
 
     part = pinned_range_partition(df, num_partitions, *group_cols, value_col)

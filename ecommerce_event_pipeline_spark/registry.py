@@ -2940,7 +2940,7 @@ SELECT decile,
        COUNT(*) AS customer_count,
        MIN(c_acctbal) AS min_bal,
        MAX(c_acctbal) AS max_bal,
-       SUM(c_acctbal) AS total_bal
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
 FROM (
   SELECT c_acctbal,
          CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
@@ -2969,7 +2969,12 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("customer_count"),
             F.min("c_acctbal").alias("min_bal"),
             F.max("c_acctbal").alias("max_bal"),
-            F.sum("c_acctbal").alias("total_bal"),
+            # exact integer cents, not a float sum: double accumulation
+            # is order-dependent, and the pre-r13 oracle match relied on
+            # the range-sorted layout making both engines add ascending —
+            # fragile luck the r13 _pid rework exposed (house money rule)
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0))
+            .alias("total_bal"),
         )
         .orderBy("decile")
     )

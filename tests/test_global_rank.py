@@ -249,16 +249,7 @@ def test_grouped_percentiles_consistent_over_shuffled_input(spark):
         assert got == exp
 
 
-def test_materialize_once_pin_all_fanout_operators(spark):
-    """THE falsifiable regression for the materialize-once fix (the
-    shuffled-input tests above check bit-identity, but at unit scale the
-    two un-checkpointed consumers usually sample identical boundaries —
-    measured 0/6 divergence — so they can pass even with the fix
-    reverted; the race only reproduced at sf0.1). What IS deterministic:
-    with the checkpoint in place, every consumer's executed plan reads
-    the pinned ExistingRDD leaf and contains NO re-executable
-    rangepartitioning exchange and NO scan of the original source.
-    Revert the localCheckpoint and this fails immediately."""
+def _fanout_outputs(spark, df):
     from ecommerce_event_pipeline_spark.functions.stats import (
         grouped_exact_percentiles,
     )
@@ -269,12 +260,7 @@ def test_materialize_once_pin_all_fanout_operators(spark):
         grouped_ntile,
     )
 
-    df = spark.range(0, 2000).select(
-        (F.col("id") % 3).cast("string").alias("g"),
-        (F.col("id") % 97).cast("double").alias("v"),
-        F.col("id").alias("uid"),
-    )
-    outs = {
+    return {
         "global_row_number": global_row_number(df, ["v", "uid"]),
         "global_ntile": global_ntile(df, 4, ["v", "uid"]),
         "distributed_prefix_sum": distributed_prefix_sum(
@@ -285,14 +271,169 @@ def test_materialize_once_pin_all_fanout_operators(spark):
             df, "v", {"p50": 0.5}, ["g"]
         ),
     }
-    for name, out in outs.items():
+
+
+def test_deterministic_pid_pin_all_fanout_operators(spark):
+    """THE falsifiable regression for the consistent-_pid contract
+    (round 13, VERDICT r12 item 2). The shuffled-input tests above check
+    bit-identity, but at unit scale two independently-derived
+    assignments usually agree anyway, so they can pass even with the
+    contract broken — the race only reproduced at sf0.1. What IS
+    deterministic is the plan shape. Under the default (boundary)
+    variant every consumer's executed plan must contain:
+
+    - NO ``spark_partition_id`` — the nondeterministic source the
+      round-11 bug class grew from is gone entirely;
+    - NO ``rangepartitioning`` exchange — ``_pid`` is an expression,
+      not a physical partitioning;
+    - NO ``ExistingRDD`` checkpoint leaf — nothing is pinned in
+      executor storage (the plan stays fully lazy and lineage-
+      recoverable).
+
+    Swap the _pid expression back to spark_partition_id (or the helper
+    back to repartitionByRange) and this fails immediately."""
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("uid"),
+    )
+    for name, out in _fanout_outputs(spark, df).items():
         out.collect()  # finalize adaptive plan
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "ExistingRDD" in plan, f"{name}: checkpoint leaf missing"
+        assert "SPARK_PARTITION_ID" not in plan.upper(), (
+            f"{name}: _pid still derived from the nondeterministic "
+            "spark_partition_id"
+        )
         assert "rangepartitioning" not in plan, (
-            f"{name}: re-executable range exchange in consumer plan — "
-            "the ranged assignment is not materialized once"
+            f"{name}: physical range exchange in consumer plan — the "
+            "assignment must be a deterministic expression"
         )
-        assert "Scan Range" not in plan, (
-            f"{name}: consumer re-scans the original source"
+        assert "ExistingRDD" not in plan, (
+            f"{name}: checkpoint leaf present — the boundary variant "
+            "must not pin executor storage"
         )
+
+
+def test_checkpoint_fallback_pin(spark):
+    """The checkpoint variant stays available as the fallback for sort
+    specs the boundary derivation can't express, with its original
+    materialize-once plan shape: the consumer reads the pinned
+    ExistingRDD leaf, with no re-executable rangepartitioning exchange
+    and no re-scan of the original source (ADVICE r12: the old
+    'Scan Range' spelling was vacuous — a spark.range leaf prints as
+    'Range (', which is what must be absent)."""
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        pinned_range_partition,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("uid")
+    )
+    part = pinned_range_partition(df, 8, "k", "uid", method="checkpoint")
+    local = part.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("k", "uid"))
+    )
+    local.collect()
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "checkpoint leaf missing"
+    assert "rangepartitioning" not in plan
+    assert "Range (" not in plan, "consumer re-scans the original source"
+
+
+def test_boundary_pid_monotone_and_balanced(spark):
+    """The boundary variant's _pid must be monotone in the sort order
+    (all rows of pid i sort strictly before rows of pid i+1 — the
+    property the offset math relies on) and must actually spread a
+    non-tiny input over multiple partitions (boundaries exist and are
+    distinct), including descending specs."""
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        pinned_range_partition,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 1000).alias("k"), F.col("id").alias("uid")
+    )
+    for order, keyfn in [
+        (["k", "uid"], lambda r: (r["k"], r["uid"])),
+        ([F.desc("k"), F.asc("uid")], lambda r: (-r["k"], r["uid"])),
+    ]:
+        rows = pinned_range_partition(
+            df, 16, *order, method="boundaries"
+        ).collect()
+        by_pid = {}
+        for r in rows:
+            by_pid.setdefault(r["_pid"], []).append(keyfn(r))
+        pids = sorted(by_pid)
+        assert len(pids) >= 8, f"poor spread: {len(pids)} pids"
+        for lo, hi in zip(pids, pids[1:]):
+            assert max(by_pid[lo]) <= min(by_pid[hi]), (lo, hi)
+
+
+def test_boundary_pid_handles_nulls_like_window_defaults(spark):
+    """Null sort keys must land on the same side the window's DEFAULT
+    null ordering puts them (asc → nulls first, desc → nulls last):
+    the proxy struct's null-rank indicator field encodes exactly that.
+    Checked end-to-end: global_row_number over a nullable column in
+    both directions must be bit-identical to the SQL window."""
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 400).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 53)
+        .alias("k"),
+        F.col("id").alias("uid"),
+    )
+    for order in (["k", "uid"], [F.desc("k"), F.asc("uid")]):
+        got = {
+            (r["uid"], r["global_rn"])
+            for r in global_row_number(df, order).collect()
+        }
+        exp = {
+            (r["uid"], r["rn"])
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == exp, str(order[0])
+
+
+def test_boundary_variant_is_lazy_and_fallback_triggers(spark):
+    """Construction + .explain() of every fan-out operator under the
+    default variant must run ZERO Spark jobs (the checkpoint variant's
+    build-time job was the ADVICE r12 storage/cost finding; plan-only
+    consumers like tools/explain_audit.py must stay free). Also pins
+    method dispatch: strings/floats can't be negated, so descending
+    specs on them fall back to the checkpoint variant under 'auto' and
+    raise under method='boundaries'."""
+    import pytest
+
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        pinned_range_partition,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("uid"),
+    )
+    sc = spark.sparkContext
+    group = "lazy-pin-test"
+    sc.setJobGroup(group, "plan-only construction must run no jobs")
+    try:
+        for name, out in _fanout_outputs(spark, df).items():
+            out.explain("formatted")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"construction/explain ran Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+
+    # desc on a string column is not boundary-expressible
+    auto = pinned_range_partition(df, 8, F.desc("g"), "uid")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "auto should fall back to checkpoint"
+    with pytest.raises(ValueError, match="not expressible"):
+        pinned_range_partition(df, 8, F.desc("g"), "uid", method="boundaries")
+    with pytest.raises(ValueError, match="method"):
+        pinned_range_partition(df, 8, "uid", method="bogus")
