@@ -76,10 +76,13 @@ def main() -> None:
     warmup = round(time.perf_counter() - t_warm, 3)
 
     load_start = round(os.getloadavg()[0], 1)
+    qs = registry.queries()
+    round_no = detect_round(os.path.dirname(os.path.abspath(__file__)))
+    order = run_order(list(qs), round_no)
     timings: dict[str, float] = {}
-    for name, fn in registry.queries().items():
+    for name in order:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
     load_end = round(os.getloadavg()[0], 1)
 
@@ -102,6 +105,8 @@ def main() -> None:
                 "ratio_vs_committed": ratios,
                 "ratio_summary": ratio_summary,
                 "stalled": stalled,
+                "round": round_no,
+                "run_shift": (round_no * RUN_SHIFT_STEP) % max(len(order), 1),
             },
             f,
             indent=1,
@@ -120,6 +125,48 @@ def main() -> None:
     print(probe)
     print(line)
     spark.stop()
+
+
+#: Rotation stride for the per-round execution order. 83 is coprime with
+#: every plausible registry size (it's prime and the registry is nowhere
+#: near a multiple), so consecutive rounds start the run far apart.
+RUN_SHIFT_STEP = 83
+
+
+def detect_round(repo: str) -> int:
+    """The round this bench run belongs to, inferred from the driver's
+    own artifacts: the driver runs bench BEFORE writing BENCH_r{N}, so
+    the current round is one past the newest committed BENCH_r*.json
+    (0 + 1 = round 1 on a fresh clone). Used only to seed the run-order
+    rotation — wrong-by-one would still decorrelate, but this is exact
+    for the driver's cadence."""
+    import glob
+
+    recs = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    return max(recs, default=0) + 1
+
+
+def run_order(names: list[str], round_no: int) -> list[str]:
+    """Deterministic per-round rotation of the timed execution order
+    (VERDICT r12 item 3). The r11 and r12 driver tails were host-load
+    bursts landing on FIXED run positions (73–89, then 149–156), which
+    made cross-round per-query comparison noisy exactly where the
+    registry is contiguous — the corpus_lm/experiments block ate both
+    bursts. Rotating the start position by round decorrelates seat
+    position from query identity: a burst at positions p..q hits
+    DIFFERENT queries every round, so any query slow in two consecutive
+    rounds is a plan problem, not a position problem. Rotation (not
+    shuffling) preserves the contiguity diagnostics in
+    ``stall_ratios`` — a load burst still maps to one contiguous run
+    segment."""
+    if not names:
+        return names
+    s = (round_no * RUN_SHIFT_STEP) % len(names)
+    return names[s:] + names[:s]
 
 
 def is_stalled(

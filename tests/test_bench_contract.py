@@ -259,3 +259,44 @@ def test_stalled_flag_rides_in_the_payload_and_is_priced():
     )
     payload = json.loads(line)
     assert payload["dropped"] > 0 and payload["stalled"] is True
+
+
+def test_run_order_rotates_by_round_and_is_a_permutation(tmp_path):
+    """VERDICT r12 item 3: the timed execution order must rotate
+    deterministically by round so a host-load burst at fixed run
+    positions stops mapping to the same queries every round, while
+    staying a rotation (not a shuffle) so the contiguity/cluster
+    diagnostics in stall_ratios keep their meaning."""
+    names = [f"q{i:03d}" for i in range(228)]
+    orders = {r: bench.run_order(names, r) for r in (12, 13, 14)}
+    for r, order in orders.items():
+        assert sorted(order) == sorted(names), r  # permutation
+        assert order == bench.run_order(names, r), r  # deterministic
+        # a rotation: some split point reassembles the original list
+        s = names.index(order[0])
+        assert order == names[s:] + names[:s], r
+    # consecutive rounds start far apart (the whole point)
+    starts = {names.index(o[0]) for o in orders.values()}
+    assert len(starts) == 3
+    gaps = sorted(starts)
+    assert min(
+        (b - a) % len(names) for a, b in zip(gaps, gaps[1:])
+    ) >= 20
+    # degenerate inputs stay safe
+    assert bench.run_order([], 13) == []
+    assert bench.run_order(["only"], 13) == ["only"]
+
+
+def test_detect_round_reads_driver_artifacts(tmp_path, monkeypatch):
+    """Round = newest committed BENCH_r*.json + 1 (the driver runs bench
+    before writing its record); fresh clone ⇒ round 1; decoy files that
+    match the glob but not the exact name pattern are ignored."""
+    assert bench.detect_round(str(tmp_path)) == 1
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    (tmp_path / "BENCH_raw.json").write_text("{}")  # decoy
+    assert bench.detect_round(str(tmp_path)) == 12
+    # the repo itself: rotation shift recorded this round must match
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    rnd = bench.detect_round(repo)
+    assert rnd >= 13
