@@ -610,6 +610,71 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_HOT_JOIN_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN event_type IN ('view', 'click') THEN 0
+              ELSE CAST(user_id % 25 AS INTEGER) END AS hot_key,
+         value
+  FROM events
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM e JOIN nation n ON n.n_nationkey = e.hot_key
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("skew_salted_hot_join", _SALTED_HOT_JOIN_ORACLE)
+def skew_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a DELIBERATELY skewed key (VERDICT r12 item 6,
+    the explicit-salting half of the skew demonstration; the AQE
+    skew-join split itself is plan-pinned in tests/test_skew_and_io.py).
+
+    Fixture skew by construction: the two highest-volume event types
+    (view + click, ~40 % of all events) collapse onto hot_key 0 while
+    the rest spread over ``user_id % 25`` — exactly the shape
+    ``join_key_skew_report`` (T63) exists to detect. The join goes
+    through :func:`operators.skew.salted_join`: the dimension side is
+    replicated once per salt bucket and the fact side salted by a
+    deterministic ``xxhash64(event_id)``, so the shuffle key
+    ``(hot_key, _salt)`` fans the hot key across 8 reducers instead of
+    serializing one. The salt never reaches the output, so the result is
+    bit-identical to the plain join (the oracle IS the plain join), and
+    the money column is summed as exact integer cents (house rule —
+    float-sum accumulation order is not a contract).
+
+    At 100 TB: explicit salting covers the cases AQE's skew-join split
+    cannot — broadcast-ineligible dimension joins where one fact key
+    exceeds an executor, and first-shuffle aggregation skew — while AQE
+    (``spark.sql.adaptive.skewJoin.enabled``, pinned in session.py)
+    handles sort-merge join stragglers automatically; T63's log2
+    histogram is the decision input for which tier a key needs."""
+    from ..operators.skew import salted_join
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_type").isin("view", "click"), F.lit(0))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(25)))
+        .cast("int")
+        .alias("hot_key"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("hot_key"), "n_name"
+    )
+    return (
+        salted_join(ev, dim, "hot_key", salt_buckets=8, salt_source="event_id")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("event_count"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
 _SCD2_ASOF_ORACLE = """
 WITH base AS (
   SELECT o_custkey, o_orderdate::DATE AS order_date,

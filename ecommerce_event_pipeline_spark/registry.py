@@ -3883,7 +3883,12 @@ _FRONT: tuple[str, ...] = (
     "pq_adc_topk",
     "ivf_pq_topk",
     "ewma_daily_traffic",
-    "daily_volume_anomalies",
+    # ---- born this round (VERDICT r12 item 6: the AQE/salting skew
+    # demonstration) — seated on landing per the no-zero-evidence rule,
+    # taking the seat of daily_volume_anomalies, the FRESHEST of the 19
+    # suggested r09 seats (still r09-green, it joins the ~48-seat r09
+    # block the latest-4 invariant forces into the r14 window) ----
+    "skew_salted_hot_join",
 )
 # Seat accounting for the round-13 window (the driver grades the first
 # 50 registered queries). The r12 window went 50/50 (CORRECTNESS_r12

@@ -217,3 +217,72 @@ def test_multi_row_group_file_scans_with_parallel_nonempty_partitions(
         f"got {per_part}"
     )
     assert sum(r["count"] for r in nonempty) == 200_000
+
+
+def test_salted_hot_join_plan_fans_hot_key_across_salt(spark):
+    """The registered skew demonstration (VERDICT r12 item 6): the
+    physical join must key on (hot_key, _salt) — the salt is what fans
+    the deliberately hot key across reducers — and the salt must never
+    reach the output schema."""
+    from ecommerce_event_pipeline_spark.queries.warehouse import (
+        skew_salted_hot_join,
+    )
+
+    out = skew_salted_hot_join(spark, SF_DIR)
+    assert "_salt" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        line
+        for line in plan.splitlines()
+        if "Join" in line and "hot_key" in line
+    ]
+    assert join_lines, "no join on hot_key in the plan"
+    assert all("_salt" in line for line in join_lines), join_lines
+
+
+def test_aqe_skew_join_actually_splits(spark):
+    """AQE's skew-join split is asserted as config in session.py; this
+    pins that it FIRES in this engine (VERDICT r12 item 6): under a
+    deliberately skewed sort-merge join with test-scaled thresholds,
+    the final adaptive plan must carry SortMergeJoin(skew=true) and an
+    AQEShuffleRead marked `skewed`. Thresholds are restored afterwards
+    — other tests share the session."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k in tuned:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        out = big.join(small, "k").groupBy().agg(
+            F.sum("payload").alias("p"), F.sum("v").alias("s")
+        )
+        rows = out.collect()
+        assert rows[0]["p"] is not None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

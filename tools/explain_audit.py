@@ -106,6 +106,11 @@ HEADLINERS = [
     # partial-agg groupBys — daily sketch, merge — and event_type-
     # partitioned windows only; no full-data sort)
     "ddsketch_value_quantiles",
+    # round-13: the skew demonstration (the plan should show the join
+    # keyed on (hot_key, _salt) — the salt fans the deliberately hot
+    # key across reducers; AQE's skew=true split is pinned separately
+    # in tests/test_skew_and_io.py with test-scaled thresholds)
+    "skew_salted_hot_join",
 ]
 
 
