@@ -461,8 +461,8 @@ def global_ntile(
 def distributed_prefix_sum(
     df: DataFrame,
     order_cols,
-    value_col: str,
-    out_col: str = "prefix_sum",
+    value_col,
+    out_col="prefix_sum",
     exclusive: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -474,7 +474,23 @@ def distributed_prefix_sum(
     broadcast self-join). ``exclusive=True`` gives the sum of strictly
     preceding rows (the sequence-packing/offset convention); ``False``
     includes the current row (SQL's default running-sum frame).
+
+    ``value_col``/``out_col`` accept a LIST of columns to compute several
+    prefix sums over the SAME order in one pinned frame. This matters
+    under the stateless ``_pid`` design (round 13): every consumer branch
+    of the pinned frame re-executes the input subtree, so NESTING two
+    single-column calls (as the KS query originally did) multiplies the
+    branches of the inner call by those of the outer — ~9 executions of
+    the upstream aggregate instead of ~3. One multi-column call keeps the
+    fan-out flat: same window, same partition-totals aggregate, one extra
+    sum expression per column.
     """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError(
+            f"value_col/out_col length mismatch: {vcols} vs {ocols}"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         num_partitions = int(
@@ -487,22 +503,38 @@ def distributed_prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    local = part.withColumn(
-        "_lcum", F.coalesce(F.sum(value_col).over(lw), F.lit(0))
+    # same window spec for every column — Catalyst collapses these into
+    # ONE Window operator, so extra columns are extra expressions, not
+    # extra sorts
+    local = part.withColumns(
+        {
+            f"_lcum{i}": F.coalesce(F.sum(v).over(lw), F.lit(0))
+            for i, v in enumerate(vcols)
+        }
     )
-    ptots = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    ptots = part.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_ptot{i}") for i, v in enumerate(vcols)]
+    )
     prior = ptots.select(
-        F.col("_pid").alias("_pid2"), F.col("_ptot").alias("_ptot2")
+        F.col("_pid").alias("_pid2"),
+        *[F.col(f"_ptot{i}").alias(f"_ptot2{i}") for i in range(len(vcols))],
     )
     offs = (
         ptots.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
         .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_ptot2"), F.lit(0)).alias("_off"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_ptot2{i}"), F.lit(0)).alias(f"_off{i}")
+                for i in range(len(vcols))
+            ]
+        )
     )
-    return (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_off")
+    out = local.join(F.broadcast(offs), "_pid").withColumns(
+        {o: F.col(f"_off{i}") + F.col(f"_lcum{i}") for i, o in enumerate(ocols)}
+    )
+    return out.drop(
+        "_pid", *[f"_lcum{i}" for i in range(len(vcols))],
+        *[f"_off{i}" for i in range(len(vcols))],
     )
 
 

@@ -735,14 +735,12 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("post") == 0).cast("int")).cast("long").alias("c1"),
         F.sum((F.col("post") == 1).cast("int")).cast("long").alias("c2"),
     )
+    # one multi-column call, NOT two nested single-column calls: under
+    # the stateless _pid design each pinned-frame consumer re-executes
+    # its input subtree, so nesting multiplied the branch count (~9
+    # executions of g); the flat call keeps it at ~3 for both cumulatives
     cum = distributed_prefix_sum(
-        distributed_prefix_sum(
-            g, ["cents"], "c1", out_col="f1", exclusive=False
-        ),
-        ["cents"],
-        "c2",
-        out_col="f2",
-        exclusive=False,
+        g, ["cents"], ["c1", "c2"], out_col=["f1", "f2"], exclusive=False
     )
     tot = g.agg(
         F.sum("c1").cast("long").alias("n1"),

@@ -8,6 +8,7 @@ so any divergence is a correctness bug, not an approximation.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -121,6 +122,48 @@ def test_distributed_prefix_sum_matches_window(spark):
             ).collect()
         }
         assert got == exp, exclusive
+
+
+def test_distributed_prefix_sum_multi_column(spark):
+    """The multi-column form (one pinned frame, several value columns —
+    the flat-fan-out replacement for nested single-column calls, round
+    13) must equal two independent single-column window truths, over a
+    shuffle-fed input."""
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    df = (
+        _frame(spark, 137)
+        .withColumn("v1", (F.col("uid") % 13) + 1)
+        .withColumn("v2", (F.col("uid") % 7) * 2)
+        .repartition(7)  # shuffle-fed: partition layout nondeterministic
+    )
+    for exclusive in (True, False):
+        got = {
+            (r["uid"], r["p1"], r["p2"])
+            for r in distributed_prefix_sum(
+                df,
+                ["k", "uid"],
+                ["v1", "v2"],
+                out_col=["p1", "p2"],
+                exclusive=exclusive,
+            ).collect()
+        }
+        w = Window.orderBy("k", "uid").rowsBetween(
+            Window.unboundedPreceding, -1 if exclusive else 0
+        )
+        exp = {
+            (r["uid"], r["p1"], r["p2"])
+            for r in df.withColumn(
+                "p1", F.coalesce(F.sum("v1").over(w), F.lit(0))
+            )
+            .withColumn("p2", F.coalesce(F.sum("v2").over(w), F.lit(0)))
+            .collect()
+        }
+        assert got == exp, exclusive
+    with pytest.raises(ValueError, match="length mismatch"):
+        distributed_prefix_sum(df, ["k"], ["v1", "v2"], out_col="p1x")
 
 
 def test_grouped_ntile_matches_partitioned_sql_ntile(spark):
