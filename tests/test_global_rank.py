@@ -166,6 +166,33 @@ def test_distributed_prefix_sum_multi_column(spark):
         distributed_prefix_sum(df, ["k"], ["v1", "v2"], out_col="p1x")
 
 
+def test_multi_column_prefix_sum_single_window_pin(spark):
+    """Plan pin for the flat-fan-out claim: N value columns share ONE
+    physical Window operator (same spec → Catalyst collapses them), so
+    the multi-column form adds expressions, not sorts."""
+    import re
+
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 13).alias("v1"),
+        (F.col("id") % 5).alias("v2"),
+    )
+    out = distributed_prefix_sum(
+        df, ["k", "uid"], ["v1", "v2"], out_col=["p1", "p2"], exclusive=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = [
+        line for line in plan.splitlines() if re.search(r"\bWindow\b", line)
+    ]
+    assert len(windows) == 1, windows
+    assert "v1" in windows[0] and "v2" in windows[0]
+
+
 def test_grouped_ntile_matches_partitioned_sql_ntile(spark):
     """The grouped range-partition NTILE must be bit-identical to
     NTILE(b) OVER (PARTITION BY g ORDER BY ...) — including groups
