@@ -421,3 +421,46 @@ def test_prefix_sum_always_matches_serial_fold(spark, vals, exclusive):
         else:
             acc += v
             assert got[i] == acc, (i, vals)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=-5, max_value=5),  # value (heavy ties)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@SETTINGS
+def test_grouped_percentiles_always_match_builtin(spark, rows):
+    """For ANY (group, value) multiset — heavy exact-value ties are the
+    point, since the round-13 weighted rank selection compresses equal
+    values into one row with a rank RANGE — the support-compressed
+    operator stays bit-identical to Spark's exact `percentile`
+    aggregate at interpolated and boundary positions."""
+    from ecommerce_event_pipeline_spark.functions.stats import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(str(g), v / 2.0) for g, v in rows], "g string, v double"
+    )
+    ps = {"p0": 0.0, "p37": 0.37, "p50": 0.5, "p100": 1.0}
+    got = {
+        r["g"]: (r["p0"], r["p37"], r["p50"], r["p100"])
+        for r in grouped_exact_percentiles(df, "v", ps, ["g"]).collect()
+    }
+    exp = {
+        r["g"]: (r["p0"], r["p37"], r["p50"], r["p100"])
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.percentile("v", F.lit(p)).alias(name)
+                for name, p in ps.items()
+            ]
+        )
+        .collect()
+    }
+    assert got == exp
