@@ -461,8 +461,8 @@ def global_ntile(
 def distributed_prefix_sum(
     df: DataFrame,
     order_cols,
-    value_col,
-    out_col="prefix_sum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "prefix_sum",
     exclusive: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -485,12 +485,28 @@ def distributed_prefix_sum(
     fan-out flat: same window, same partition-totals aggregate, one extra
     sum expression per column.
     """
-    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
-    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    def _as_name_list(arg, what: str) -> list[str]:
+        if isinstance(arg, str):
+            return [arg]
+        # reject Column (not iterable — would raise an opaque PySpark
+        # TypeError) and anything else that isn't a list of names
+        if not isinstance(arg, (list, tuple)) or not all(
+            isinstance(n, str) for n in arg
+        ):
+            raise TypeError(
+                f"{what} must be a column NAME or list of names, got "
+                f"{arg!r} — pass strings, not Column expressions"
+            )
+        return list(arg)
+
+    vcols = _as_name_list(value_col, "value_col")
+    ocols = _as_name_list(out_col, "out_col")
     if len(vcols) != len(ocols):
         raise ValueError(
             f"value_col/out_col length mismatch: {vcols} vs {ocols}"
         )
+    if len(set(ocols)) != len(ocols):
+        raise ValueError(f"duplicate out_col names: {ocols}")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         num_partitions = int(

@@ -507,3 +507,25 @@ def test_boundary_variant_is_lazy_and_fallback_triggers(spark):
         pinned_range_partition(df, 8, F.desc("g"), "uid", method="boundaries")
     with pytest.raises(ValueError, match="method"):
         pinned_range_partition(df, 8, "uid", method="bogus")
+
+
+def test_prefix_sum_rejects_bad_value_col_specs(spark):
+    """Loud errors for the misuse shapes the widened signature invites:
+    Column expressions (previously an opaque 'Column is not iterable'
+    TypeError) and duplicate output names (previously a silent collapse
+    in the withColumns dict)."""
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("v1"),
+        (F.col("id") % 3).alias("v2"),
+    )
+    with pytest.raises(TypeError, match="pass strings"):
+        distributed_prefix_sum(df, ["k"], F.col("v1"))
+    with pytest.raises(TypeError, match="pass strings"):
+        distributed_prefix_sum(df, ["k"], "v1", out_col=F.col("v1"))
+    with pytest.raises(ValueError, match="duplicate out_col"):
+        distributed_prefix_sum(df, ["k"], ["v1", "v2"], out_col=["p", "p"])
