@@ -20,6 +20,7 @@ def grouped_exact_percentiles(
     percentiles: dict[str, float],
     group_cols: list[str],
     num_partitions: int | None = None,
+    materialize_support: bool = False,
 ) -> DataFrame:
     """Exact PERCENTILE_CONT per group WITHOUT buffering any group's
     values in one task.
@@ -66,6 +67,16 @@ def grouped_exact_percentiles(
     freq = df.groupBy(*group_cols, value_col).agg(
         F.count("*").cast("long").alias("_w")
     )
+    if materialize_support:
+        # r13 opt, OPT-IN (default False keeps the operator fully lazy —
+        # the plan-only contract pinned by tests/test_global_rank.py):
+        # the stateless pinned frame re-executes its input per consumer
+        # branch (~3×) and `cnts`/`totals` add more — here that input is
+        # the full-data support aggregate. The support is (groups ×
+        # distinct values), bounded at any volume, so pinning it trades
+        # one bounded job for three data passes (guide §5). Query-level
+        # callers that execute exactly once opt in.
+        freq = freq.localCheckpoint()
     part = pinned_range_partition(freq, num_partitions, *group_cols, value_col)
     local = part.withColumn(
         "_lcum",
@@ -145,6 +156,126 @@ def grouped_exact_percentiles(
     ).agg(F.first("_val"))
 
 
+def grouped_ntile_histogram(
+    df: DataFrame,
+    n_buckets: int,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+    materialize_support: bool = False,
+) -> DataFrame:
+    """Per-(group, bucket) row count + value bounds of
+    ``NTILE(n) OVER (PARTITION BY group ORDER BY value, <tiebreak>)`` —
+    WITHOUT ranking a single data row.
+
+    Key observation (r13 opt, the same compression as
+    :func:`grouped_exact_percentiles` step 0): the aggregated histogram
+    of an NTILE binning is a pure function of each DISTINCT value's rank
+    RANGE. Rows sharing a value are contiguous in the sort order — any
+    tie-break only permutes rows *within* the run, which is invisible to
+    per-bucket counts and min/max. So: compress to the value support
+    ``(group, value) → weight`` with one map-side-combinable aggregate,
+    compute each distinct value's global rank range with the pinned
+    range-partition machinery over (groups × distinct values) rows, and
+    intersect rank ranges with the closed-form NTILE bucket intervals
+    (with N rows and B buckets the first N % B buckets hold ⌊N/B⌋+1
+    rows). At 100× data volume the support saturates and the cost past
+    the first aggregate goes flat, where ranking data rows stays linear.
+
+    Returns ``group_cols + [out_col, "n", "min_<value_col>",
+    "max_<value_col>"]`` — bit-identical to aggregating the exact
+    per-row NTILE (pinned by tests/test_stats.py against
+    :func:`operators.windows.grouped_ntile`).
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.windows import pinned_range_partition
+
+    b = int(n_buckets)
+    if b < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gnames = list(group_cols)
+    freq = df.groupBy(*gnames, value_col).agg(
+        F.count("*").cast("long").alias("_w")
+    )
+    if materialize_support:
+        # same opt-in trade as grouped_exact_percentiles: pin the
+        # bounded support once instead of re-running the data aggregate
+        # per pinned-frame consumer branch (r13 opt, guide §5)
+        freq = freq.localCheckpoint()
+    part = pinned_range_partition(freq, num_partitions, *gnames, value_col)
+    local = part.withColumn(
+        "_lcum",
+        F.sum("_w").over(
+            W.partitionBy("_pid", *gnames)
+            .orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    cnts = part.groupBy(*gnames, "_pid").agg(F.sum("_w").alias("_cnt"))
+    pw = (
+        W.partitionBy(*gnames)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
+    ).select(*gnames, "_pid", "_off")
+    totals = cnts.groupBy(*gnames).agg(F.sum("_cnt").alias("_n"))
+    ranked = (
+        local.join(offs, [*gnames, "_pid"])
+        .withColumn("_rank_hi", F.col("_off") + F.col("_lcum"))
+        .withColumn("_rank_lo", F.col("_rank_hi") - F.col("_w") + 1)
+        .join(totals, gnames)
+    )
+    # closed-form NTILE bucket of a rank r (same arithmetic as
+    # operators/windows.global_ntile, guarded for the base = 0 case)
+    def bucket_of(r: str) -> str:
+        return (
+            f"CASE WHEN {r} <= (_n % {b}) * (_n div {b} + 1) "
+            f"THEN ({r} - 1) div (_n div {b} + 1) + 1 "
+            f"ELSE (_n % {b}) "
+            f"  + ({r} - (_n % {b}) * (_n div {b} + 1) - 1) "
+            f"    div greatest(_n div {b}, 1) + 1 END"
+        )
+
+    # each distinct value overlaps only buckets bucket_of(rank_lo) ..
+    # bucket_of(rank_hi) — ≤ B rows generated per support row
+    spanned = ranked.select(
+        *gnames,
+        value_col,
+        "_rank_lo",
+        "_rank_hi",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.expr(bucket_of("_rank_lo")).cast("int"),
+                F.expr(bucket_of("_rank_hi")).cast("int"),
+            )
+        ).alias("_q"),
+    )
+    # the bucket's rank interval, intersected with the value's rank range
+    start = f"(_q - 1) * (_n div {b}) + least(_q - 1, _n % {b}) + 1"
+    end = f"_q * (_n div {b}) + least(_q, _n % {b})"
+    rows_in = F.expr(
+        f"least({end}, _rank_hi) - greatest({start}, _rank_lo) + 1"
+    )
+    return (
+        spanned.groupBy(*gnames, "_q")
+        .agg(
+            F.sum(rows_in).alias("n"),
+            F.min(value_col).alias(f"min_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
+        )
+        .withColumnRenamed("_q", out_col)
+    )
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact p50/p90/p99 of value per event type (linear interpolation —
     matches ANSI PERCENTILE_CONT / DuckDB quantile_cont), computed by
@@ -160,6 +291,7 @@ def value_percentiles(events: DataFrame) -> DataFrame:
         "value",
         {"p50": 0.5, "p90": 0.9, "p99": 0.99},
         ["event_type"],
+        materialize_support=True,  # one-shot query path: pin the support
     )
     totals = events.groupBy("event_type").agg(
         F.count("*").alias("event_count")

@@ -311,10 +311,16 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs to one double expression). The self-join is keyed by order —
     pair volume is Σ(items-per-order choose 2), bounded by basket size,
     never parts²."""
+    # Materialized ONCE (r13 opt): the deduped 2-column projection feeds
+    # four branches (both self-join sides, part_orders, tot); unpinned,
+    # each branch re-runs the lineitem scan + distinct. Pinning is the
+    # guide-§5 persist-when-reused trade — the pinned frame is far
+    # narrower than lineitem at any scale.
     items = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     tot = items.agg(F.count_distinct("l_orderkey").alias("n"))
@@ -589,31 +595,35 @@ def value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type — quartile label per event, rolled up to (type, quartile)
     count + bounds.
 
-    Buckets come from :func:`operators.windows.grouped_ntile`: the
-    partitioned-window NTILE idiom still funnels each GROUP through one
-    reducer (a hot event type at 100 TB = billions of rows on one task);
-    the grouped range-partition + offset form splits big groups across
-    contiguous order ranges and stays bit-identical to the SQL window,
-    which the oracle runs."""
-    from ..operators.windows import grouped_ntile
+    Since r13 (opt round) the histogram is computed on the VALUE SUPPORT
+    (:func:`functions.stats.grouped_ntile_histogram`): the aggregated
+    (count, min, max) per bucket depends only on each distinct value's
+    rank range — the event_id tie-break merely permutes rows within a
+    tie run, invisible to the rollup — so no data row is ever ranked.
+    One map-side-combinable aggregate compresses events to (type, value)
+    weights; the rank machinery then runs on the support, which
+    SATURATES as volume grows (the same flat-at-100× shape as the exact
+    percentiles). Bit-identical to aggregating the per-row
+    ``grouped_ntile`` (pinned by tests/test_stats.py), which the oracle
+    replays as the plain SQL window."""
+    from ..functions.stats import grouped_ntile_histogram
 
     ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
-    binned = grouped_ntile(
-        ev.select("event_type", "value", "event_id"),
+    hist = grouped_ntile_histogram(
+        ev.select("event_type", "value"),
         4,
         ["event_type"],
-        ["value", "event_id"],
+        "value",
         out_col="quartile",
+        materialize_support=True,  # one-shot query path: pin the support
     )
-    return (
-        binned.groupBy("event_type", "quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("event_type", "quartile")
-    )
+    return hist.select(
+        "event_type",
+        F.col("quartile").cast("int").alias("quartile"),
+        "n",
+        "min_value",
+        "max_value",
+    ).orderBy("event_type", "quartile")
 
 
 _ROLLING_ACTIVE_ORACLE = """
@@ -881,10 +891,16 @@ def daily_topn_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_c").alias("cents"))
     )
     w = Window.partitionBy("day").orderBy(F.desc("cents"), "l_partkey")
+    # The board is (days × 5) rows but its lineage is a full lineitem
+    # aggregation + window — and it feeds FIVE branches below (days, the
+    # entered anti-join's both sides, the exited semi/anti joins).
+    # Materialize it once (r13 opt): one small job instead of ~4
+    # lineitem passes re-executed per branch.
     m = (
         rev.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
         .select("day", "l_partkey")
+        .localCheckpoint()
     )
     days = m.select("day").distinct()
     y = m.select(
@@ -1087,10 +1103,15 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer product, so it hash-matches the oracle bit-for-bit."""
     from pyspark.sql import Window
 
+    # items and pairs are each consumed by MULTIPLE branches (items by
+    # both self-join sides + part_orders; pairs twice by the symmetrize
+    # union) — unpinned, the expensive basket self-join would run twice.
+    # Materialize both once (r13 opt, guide §5 persist-when-reused).
     items = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     a = items.select(
@@ -1105,6 +1126,7 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_1", "part_2")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("part_1").alias("part_id"),
@@ -1197,9 +1219,15 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import distributed_prefix_sum
 
     ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    # Materialize the (user, day) span rollup ONCE: the stateless pinned
+    # frame inside distributed_prefix_sum re-executes its input subtree
+    # per consumer branch (~3×), and here that subtree is a full-events
+    # aggregation. The rollup is tiny (≤ users × days rows) at any
+    # volume, so pinning it trades one small job for three events
+    # passes — the §2.4 "remove shuffles outright" shape (r13 opt).
     s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min("ts").alias("ts_start"), F.max("ts").alias("ts_end")
-    )
+    ).localCheckpoint()
     deltas = s.select(
         F.col("ts_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
     ).unionByName(
@@ -1628,19 +1656,24 @@ def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    dated = li.join(
-        od, li["l_orderkey"] == od["o_orderkey"]
-    ).select("l_orderkey", "l_partkey", "o_orderdate")
-    train = (
-        dated.where(F.col("o_orderdate") < "2000-01-01")
-        .select("l_orderkey", "l_partkey")
+    # ONE join + distinct pass over lineitem⋈orders, materialized once
+    # (r13 opt): train is consumed by 3 branches (both self-join sides +
+    # the order count) and test by 3 more (eligible, the hits join, t2) —
+    # unpinned, each branch re-ran the join+distinct. The split flag is
+    # order-constant, so distinct over (order, part, is_train) has the
+    # same cardinality as the two separate distincts combined.
+    flagged = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("o_orderdate") < "2000-01-01").alias("_is_train"),
+        )
         .distinct()
+        .localCheckpoint()
     )
-    test = (
-        dated.where(F.col("o_orderdate") >= "2000-01-01")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    train = flagged.where(F.col("_is_train")).select("l_orderkey", "l_partkey")
+    test = flagged.where(~F.col("_is_train")).select("l_orderkey", "l_partkey")
     a = train.select(
         F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_1")
     )
@@ -1653,6 +1686,9 @@ def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_1", "part_2")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
+        # pinned: the symmetrize union below consumes pairs TWICE, and
+        # its lineage is the expensive basket self-join (r13 opt)
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("part_1").alias("part_id"),

@@ -731,10 +731,15 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_date") > cut).cast("int").alias("post"),
         )
     )
+    # Materialized ONCE (r13 opt): g is the per-cent support table —
+    # bounded by the value support, tiny at any volume — but its input
+    # subtree is a full purchase scan + aggregation, and it feeds FOUR
+    # branches (the pinned frame's ~3 under the stateless _pid design,
+    # plus `tot`). Pinning trades one small job for three purchase scans.
     g = p.groupBy("cents").agg(
         F.sum((F.col("post") == 0).cast("int")).cast("long").alias("c1"),
         F.sum((F.col("post") == 1).cast("int")).cast("long").alias("c2"),
-    )
+    ).localCheckpoint()
     # one multi-column call, NOT two nested single-column calls: under
     # the stateless _pid design each pinned-frame consumer re-executes
     # its input subtree, so nesting multiplied the branch count (~9

@@ -363,6 +363,11 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey")
         .agg(F.sum("_c").alias("cents"))
+        # materialized ONCE (r13 opt): per-part revenue is catalog-sized,
+        # but its input is a full lineitem scan + aggregation consumed by
+        # FOUR branches (the stateless pinned frame's ~3 plus `total`) —
+        # pinning trades one catalog-sized job for three lineitem passes
+        .localCheckpoint()
     )
     cum = distributed_prefix_sum(
         pr.select(

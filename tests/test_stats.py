@@ -144,3 +144,47 @@ def test_value_percentiles_null_and_all_null_groups(spark):
     assert out["a"]["p50"] == 4.5  # median of 0..9, nulls excluded
     assert out["nulls"]["event_count"] == 2
     assert out["nulls"]["p50"] is None
+
+
+def test_grouped_ntile_histogram_matches_per_row_ntile(spark):
+    """The value-support histogram (r13 opt) must be bit-identical to
+    aggregating the exact per-row grouped_ntile: heavy exact-value ties
+    straddling bucket boundaries, group sizes not divisible by the
+    bucket count, and a group smaller than the bucket count."""
+    import random
+
+    from ecommerce_event_pipeline_spark.functions.stats import (
+        grouped_ntile_histogram,
+    )
+    from ecommerce_event_pipeline_spark.operators.windows import grouped_ntile
+
+    rnd = random.Random(13)
+    rows = []
+    rid = 0
+    for g, (n, vals) in {
+        "a": (37, [1.0, 2.5, 2.5, 7.0]),   # ties straddle boundaries
+        "b": (10, [0.0]),                   # one giant tie run
+        "c": (3, [5.0, 6.0]),               # n < buckets
+        "d": (101, [float(v) for v in range(9)]),
+    }.items():
+        for _ in range(n):
+            rows.append((g, rnd.choice(vals), rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, v double, rid long")
+
+    hist = {
+        (r["g"], r["bucket"]): (r["n"], r["min_v"], r["max_v"])
+        for r in grouped_ntile_histogram(
+            df.select("g", "v"), 4, ["g"], "v", num_partitions=5
+        ).collect()
+    }
+    per_row = grouped_ntile(df, 4, ["g"], ["v", "rid"], out_col="q",
+                            num_partitions=5)
+    expect = {
+        (r["g"], r["q"]): (r["n"], r["mn"], r["mx"])
+        for r in per_row.groupBy("g", "q")
+        .agg(F.count("*").alias("n"), F.min("v").alias("mn"),
+             F.max("v").alias("mx"))
+        .collect()
+    }
+    assert hist == expect
