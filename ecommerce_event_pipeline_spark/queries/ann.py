@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..functions import curation, similarity
-from ..sources.readers import read_table
+from ..sources.readers import read_table, spread_small_scan
 from ..registry_core import register
 
 
@@ -87,8 +87,11 @@ def ivf_topk_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe n_probe/16 of the corpus per query), fully oracle-checked
     end-to-end unlike the refit-per-run `ivf_topk`."""
     emb = read_table(spark, sf_dir, "embeddings")
+    # corpus side spread so the row-local fold scoring parallelizes on the
+    # single-row-group fixture (no-op on multi-split production scans);
+    # query side stays on the raw scan — a 1-row fetch needs no shuffle
     return similarity.ivf_topk_static(
-        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4
+        spread_small_scan(emb), emb.where(F.col("vec_id") == 0), k=10, n_probe=4
     )
 
 
@@ -127,7 +130,7 @@ def semantic_dedup_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     so unlike the refit-per-run `semantic_dedup` the whole operator is
     SQL-oracle-checked."""
     return curation.semantic_dedup_static(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.7
+        spread_small_scan(read_table(spark, sf_dir, "embeddings")), threshold=0.7
     )
 
 
@@ -237,7 +240,9 @@ def pq_encode_static_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     — codes AND reconstruction errors value-hash-checked end to end (the
     quantizer family's fourth member: int8 scalar, IVF coarse, SemDeDup
     cells, PQ codes)."""
-    return similarity.pq_encode_static(read_table(spark, sf_dir, "embeddings"))
+    return similarity.pq_encode_static(
+        spread_small_scan(read_table(spark, sf_dir, "embeddings"))
+    )
 
 
 def _pq_adc_oracle(k: int = 10) -> str:
@@ -309,7 +314,9 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores every encoded vector from its 8 code ids alone — the scan
     never re-reads the vectors. Fully oracle-checked ranking."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.pq_adc_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
+    return similarity.pq_adc_topk(
+        spread_small_scan(emb), emb.where(F.col("vec_id") == 0), k=10
+    )
 
 
 def _ivf_pq_oracle(k: int = 10, n_probe: int = 4, shortlist: int = 50) -> str:
@@ -403,7 +410,11 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled by its component query."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
-        emb, emb.where(F.col("vec_id") == 0), k=10, n_probe=4, shortlist=50
+        spread_small_scan(emb),
+        emb.where(F.col("vec_id") == 0),
+        k=10,
+        n_probe=4,
+        shortlist=50,
     )
 
 

@@ -480,9 +480,15 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the shared-span set - no pairwise term at any corpus size.
     Spans travel as 60-bit md5-prefix digests (8 bytes), never raw
     strings — the shuffle-width fix for the heaviest r05 bench entry;
-    both engines hash identically (see cross_doc_span_stats)."""
+    both engines hash identically (see cross_doc_span_stats). The scan is
+    widened (`spread_small_scan`) before the O(tokens) md5 window explode:
+    the single-row-group fixture otherwise runs that whole map stage on
+    one core (measured 6.2 s -> 1.3 s at sf0.1; a no-op on multi-split
+    production scans)."""
+    from ..sources.readers import spread_small_scan
+
     return dedup.cross_doc_span_stats(
-        read_table(spark, sf_dir, "documents"), span=8, min_docs=2
+        spread_small_scan(read_table(spark, sf_dir, "documents")), span=8, min_docs=2
     )
 
 
