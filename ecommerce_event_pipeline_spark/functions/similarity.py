@@ -42,34 +42,6 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _py_dot(a, b) -> float:
-    """Driver-side replica of :func:`_dot`: per-element product then a
-    sequential left fold — the identical IEEE-754 operation sequence, so
-    the result is bit-for-bit what the Spark expression computes."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc = acc + (x * y)
-    return acc
-
-
-def _py_norm(a) -> float:
-    """Driver-side replica of :func:`_norm` (same op order ⇒ same bits)."""
-    import math
-
-    acc = 0.0
-    for x in a:
-        acc = acc + (x * x)
-    return math.sqrt(acc)
-
-
-def _lit_vec(vals) -> F.Column:
-    """A vector as an array-of-literals column. Lets a driver-fetched
-    query embedding or a committed centroid participate in the same fold
-    expressions as data columns — without a crossJoin/broadcast of a
-    1-row frame, i.e. one less exchange and one less Spark job."""
-    return F.array(*[F.lit(float(v)) for v in vals])
-
-
 def cosine_sim(a: F.Column, b: F.Column, decimals: int | None = 6) -> F.Column:
     cos = _dot(a, b) / (_norm(a) * _norm(b))
     return F.round(cos, decimals) if decimals is not None else cos
@@ -96,21 +68,6 @@ def _require_single_query(query: DataFrame) -> DataFrame:
     )
 
 
-def _fetch_single_query_vals(query: DataFrame) -> list:
-    """Fetch the single query row's embedding to the driver as Python
-    doubles (same single-collect contract as
-    :func:`_require_single_query`, but returning the values so callers
-    can inline them as literals / compute probe cosines driver-side
-    instead of paying extra Spark jobs per search)."""
-    rows = query.select(_as_double("embedding").alias("emb")).limit(2).collect()
-    if len(rows) != 1:
-        raise ValueError(
-            "expected exactly one query row, got "
-            + (">=2" if len(rows) > 1 else "0")
-        )
-    return [float(v) for v in rows[0]["emb"]]
-
-
 def brute_force_topk(
     embeddings: DataFrame, query: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -128,24 +85,6 @@ def brute_force_topk(
             "label",
             cosine_sim(F.col("emb"), F.col("query_emb")).alias("cosine_sim"),
         )
-        .orderBy(F.desc("cosine_sim"), "vec_id")
-        .limit(k)
-    )
-
-
-def _brute_force_topk_vals(
-    embeddings: DataFrame, qvals, k: int = 10
-) -> DataFrame:
-    """:func:`brute_force_topk` for a driver-held query vector: the query
-    participates as an array literal (same fold, same bits as the
-    crossJoin-broadcast form) so the scan is the only plan node before
-    the top-k merge — no broadcast exchange, no query-side subplan."""
-    e = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
-    sim = _dot(F.col("emb"), _lit_vec(qvals)) / (
-        _norm(F.col("emb")) * F.lit(_py_norm(qvals))
-    )
-    return (
-        e.select("vec_id", "label", F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(k)
     )
@@ -427,12 +366,9 @@ def kmeans_centroids(
       (TakeOrderedAndProject + bounded collect), unbiased unlike first-N
       by vec_id on clustered/sorted corpora.
     - **Iterate**: assignment is the same vectorized matmul UDF the search
-      path uses; the update is a per-cluster declarative aggregate with
-      one ``sum(element_at(emb, p))`` per dimension — K rows of K·dim
-      partials reach the driver, never the vectors themselves. (The r12
-      form posexploded to rows×dim rows before the shuffle; per-element
-      sums accumulate in the same row order, so the partials — and the
-      centroids — are bit-identical, the exchange just carries K rows.)
+      path uses; the update is a per-(cluster, dim) declarative aggregate
+      (posexplode → groupBy → sum/count), so only K·dim partial rows ever
+      reach the driver — never the vectors themselves.
     - Empty clusters keep their previous centroid.
 
     At 100 TB run this on a deterministic sample (filter on
@@ -448,32 +384,24 @@ def kmeans_centroids(
     cents = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in init_rows])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
 
-    dim = cents.shape[1]
     for _ in range(iters):
         assigned = embeddings.withColumn(
             "centroid_id", _nearest_udf(cents)(F.col("embedding"))
         )
         partials = (
-            assigned.select("centroid_id", _as_double("embedding").alias("_e"))
-            .groupBy("centroid_id")
-            .agg(
-                *[
-                    F.sum(F.element_at(F.col("_e"), p + 1)).alias(f"s{p}")
-                    for p in range(dim)
-                ],
-                F.count("*").alias("n"),
+            assigned.select(
+                "centroid_id", F.posexplode(_as_double("embedding")).alias("pos", "val")
             )
-            .collect()  # bounded: n_centroids rows
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()  # bounded: n_centroids × dim rows
         )
         new = cents.copy()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
         for r in partials:
-            cid = r["centroid_id"]
-            counts[cid] = r["n"]
-            for p in range(dim):
-                v = r[f"s{p}"]
-                sums[cid, p] = 0.0 if v is None else v
+            sums[r["centroid_id"], r["pos"]] = r["s"]
+            counts[r["centroid_id"]] = r["n"]
         nonempty = counts > 0
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         new /= np.linalg.norm(new, axis=1, keepdims=True) + 1e-12
@@ -513,12 +441,14 @@ def ivf_topk(
     precomputed and the probe is a partition-pruned read of
     ~n_probe/n_centroids of the data instead of a full scan."""
     assigned, cents = ivf_assign(embeddings, n_centroids, kmeans_iters=kmeans_iters)
-    qvals = _fetch_single_query_vals(query)  # one job: validate + fetch
-    q = np.asarray(qvals, dtype=np.float64)
+    query = _require_single_query(query)
+    q = np.asarray(
+        query.select("embedding").collect()[0]["embedding"], dtype=np.float64
+    )
     qn = q / (np.linalg.norm(q) + 1e-12)
     probes = np.argsort(-(cents @ qn))[:n_probe].tolist()
     candidates = assigned.where(F.col("centroid_id").isin(probes)).drop("centroid_id")
-    return _brute_force_topk_vals(candidates, qvals, k)
+    return brute_force_topk(candidates, query, k)
 
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
@@ -566,57 +496,29 @@ def static_centroid_assign(embeddings: DataFrame) -> DataFrame:
     against 16 literal centroids, argmax with centroid-id tie-break — the
     fully declarative (and therefore oracle-replayable) twin of
     ``_nearest_udf``'s numpy matmul; tests pin that both agree. Returns
-    (vec_id, label, emb, centroid_id).
+    (vec_id, label, emb, centroid_id)."""
+    from pyspark.sql import Window
 
-    ROW-LOCAL since r13: the centroids are compile-time literals, so the
-    argmax is an ``array_max`` over 16 ``struct(cos, -centroid_id)``
-    entries computed scan-side — no 16× crossJoin expansion and, above
-    all, no ``Window(partitionBy vec_id)`` exchange: the old form
-    shuffled every vector (with its full 64-dim payload) 16× just to
-    pick a per-row argmax. Struct ordering is lexicographic with doubles
-    NaN-greatest — exactly `orderBy(desc _cos, centroid_id)`: max cosine
-    first (NaN wins like it did under desc), ties broken by the larger
-    ``-centroid_id`` = the smaller centroid id. Centroid norms are
-    Python-side sequential folds (identical IEEE op order ⇒ identical
-    bits — the same shared-literal trick the PQ half-norms use)."""
     from .ivf_centroids import CENTROIDS
 
-    e = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
-    emb = F.col("emb")
-    en = _norm(emb)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    (_dot(emb, _lit_vec(c)) / (en * F.lit(_py_norm(c)))).alias(
-                        "c"
-                    ),
-                    F.lit(-i).alias("ni"),
-                )
-                for i, c in enumerate(CENTROIDS)
-            ]
-        )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(CENTROIDS)],
+        "centroid_id int, cvec array<double>",
     )
-    return e.withColumn("centroid_id", (-best["ni"]).cast("int"))
-
-
-def _static_probes(qemb, n_probe: int) -> list:
-    """Top-``n_probe`` static centroids for a driver-held query vector —
-    pure Python sequential-fold cosines over the committed literals (the
-    bit-exact replica of the old 1-row Spark job this replaces). Sort
-    replicates ``orderBy(desc cos, centroid_id)`` including doubles-NaN-
-    greatest-under-desc: NaN cosines (zero-norm query) sort first, ties
-    break on the lower centroid id."""
-    import math
-
-    from .ivf_centroids import CENTROIDS
-
-    scored = []
-    for i, c in enumerate(CENTROIDS):
-        cos = _py_dot(qemb, c) / (_py_norm(qemb) * _py_norm(c))
-        scored.append((0 if math.isnan(cos) else 1, -cos if cos == cos else 0.0, i))
-    scored.sort()
-    return [i for _, _, i in scored[:n_probe]]
+    e = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
+    cos = _dot(F.col("emb"), F.col("cvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "emb", "centroid_id", cos.alias("_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "label", "emb", "centroid_id")
+    )
 
 
 def ivf_topk_static(
@@ -638,24 +540,40 @@ def ivf_topk_static(
     from the same literals, so the graded row checks assignment + probing
     + rerank + ordering.
 
-    Scale shape (r13): probe selection is driver-side Python over the 16
-    committed literals (bit-exact replica of the old 1-row Spark job),
-    assignment is the row-local literal argmax (`static_centroid_assign`),
-    and the query embedding participates as an array literal — the whole
-    search is ONE scan-side pass ending in a TakeOrderedAndProject; no
-    exchange, no broadcast, no extra jobs. At 100 TB the assignment is
+    Scale shape: the 16-row centroid table broadcast-joins the corpus
+    (16× row expansion before the per-vector argmax reduces it back — a
+    constant factor, shuffle on vec_id only); at 100 TB the assignment is
     precomputed at write time and the probe becomes a partition-pruned
     read of the `centroid_id=…` directories.
     """
-    qemb = _fetch_single_query_vals(query)
-    probes = _static_probes(qemb, n_probe)
-    cand = static_centroid_assign(embeddings).where(
-        F.col("centroid_id").isin(probes)
+    from .ivf_centroids import CENTROIDS
+
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(CENTROIDS)],
+        "centroid_id int, cvec array<double>",
     )
-    qlit = _lit_vec(qemb)
-    sim = _dot(F.col("emb"), qlit) / (_norm(F.col("emb")) * F.lit(_py_norm(qemb)))
+    assigned = static_centroid_assign(embeddings)
+    qcos = _dot(F.col("emb"), F.col("cvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("cvec"))
+    )
+    probes = [
+        r["centroid_id"]
+        for r in query.select(_as_double("embedding").alias("emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("centroid_id", qcos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "centroid_id")
+        .limit(n_probe)
+        .collect()
+    ]
+    q = query.select(_as_double("embedding").alias("qemb"))
+    cand = assigned.where(F.col("centroid_id").isin(probes))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        _norm(F.col("emb")) * _norm(F.col("qemb"))
+    )
     return (
-        cand.select("vec_id", "label", F.round(sim, 6).alias("cosine_sim"))
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(k)
     )
@@ -675,95 +593,66 @@ def pq_encode_static(embeddings: DataFrame) -> DataFrame:
     literals shared with the SQL oracle verbatim, and argmax ties break
     on code id — so a DuckDB replay is bit-for-bit.
 
-    Scale shape (r13, row-local): the codebooks are compile-time
-    literals, so per-subvector scoring and the argmax run scan-side as
-    an ``array_max`` over 8 ``struct(score, -code)`` entries — the same
-    fold expressions as before, minus the 64× crossJoin expansion, the
-    per-(vec, subvector) Window exchange, and the collect_list
-    re-aggregation. The only remaining exchange is the output ordering.
-    At 100 TB codes are 8 small ints per vector — the 64× compression
-    that makes billion-vector ANN RAM-resident; IVF partitioning
-    (``ivf_topk_static``) composes in front of it.
+    Scale shape: one broadcast of 64 codebook rows, scan-side scoring
+    (64 score rows per vector), one window argmax per (vec, subvector),
+    one per-vec aggregation. At 100 TB codes are 8 small ints per vector
+    — the 64× compression that makes billion-vector ANN RAM-resident;
+    IVF partitioning (``ivf_topk_static``) composes in front of it.
     """
+    from pyspark.sql import Window
+
     from .pq_codebooks import CODEBOOKS, M, SUB_DIM
 
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    codes, ses = _pq_encode_cols(F.col("emb"), CODEBOOKS, M, SUB_DIM)
-    recon_err = F.aggregate(
-        F.array(*ses), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return e.select(
-        "vec_id",
-        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("pq_codes"),
-        F.round(recon_err, 6).alias("recon_err"),
-    ).orderBy("vec_id")
-
-
-def _pq_encode_cols(emb: F.Column, codebooks, m_count: int, sub_dim: int):
-    """Row-local PQ encoding columns: for each subvector m, the argmax
-    code (``array_max`` over ``struct(score, -code)`` — max score with
-    NaN-greatest, ties to the lower code id, exactly the old
-    ``orderBy(desc _score, code)`` window) and the squared error against
-    the chosen codebook entry. Scores and errors are the same
-    sequential-fold expressions as the crossJoin form; half-norms are
-    Python-side sequential folds shared verbatim with the SQL oracles."""
-    codes, ses = [], []
-    for m in range(m_count):
-        sub = F.slice(emb, m * sub_dim + 1, sub_dim)
-        entries = []
-        for kk, cvec in enumerate(codebooks[m]):
+    spark = embeddings.sparkSession
+    rows = []
+    for m in range(M):
+        for k, cvec in enumerate(CODEBOOKS[m]):
             hn = 0.0
             for v in cvec:  # sequential Python fold → one shared literal
                 hn += v * v
-            dot = F.aggregate(
-                F.zip_with(sub, _lit_vec(cvec), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(
-                F.struct(
-                    (dot - F.lit(hn / 2.0)).alias("s"), F.lit(-kk).alias("nc")
-                )
-            )
-        code = (-F.array_max(F.array(*entries))["nc"]).cast("int")
-        codes.append(code)
-        chosen = F.element_at(
-            F.array(*[_lit_vec(c) for c in codebooks[m]]), code + F.lit(1)
-        )
-        ses.append(
-            F.aggregate(
-                F.zip_with(sub, chosen, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    return codes, ses
-
-
-def _adc_expr(qemb, codes, codebooks, m_count: int, sub_dim: int) -> F.Column:
-    """ADC distance column for a driver-held query: the (subvector, code)
-    → squared-error LUT is computed in Python with the bit-exact replica
-    of the ``se`` fold, inlined as literal arrays, and summed over
-    subvectors in m order — the same value sequence as the old
-    ``sort_array(collect_list(...))`` fold."""
-    adc_terms = []
-    for m in range(m_count):
-        subq = qemb[m * sub_dim : m * sub_dim + sub_dim]
-        qses = []
-        for cvec in codebooks[m]:
-            acc = 0.0
-            for a, b in zip(subq, cvec):  # bit-exact replica of the se fold
-                d = a - b
-                acc = acc + (d * d)
-            qses.append(acc)
-        adc_terms.append(
-            F.element_at(
-                F.array(*[F.lit(v) for v in qses]), codes[m] + F.lit(1)
-            )
-        )
-    return F.aggregate(F.array(*adc_terms), F.lit(0.0), lambda acc, x: acc + x)
+            rows.append((m, k, list(cvec), hn / 2.0))
+    cb = spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>, hn double"
+    )
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sub = F.slice(F.col("emb"), F.col("m") * SUB_DIM + 1, SUB_DIM)
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "m",
+        "code",
+        (dot - F.col("hn")).alias("_score"),
+        se.alias("_se"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("_score"), "code")
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    per_vec = best.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("m", "code"))).alias("_codes"),
+        F.sort_array(F.collect_list(F.struct("m", "_se"))).alias("_ses"),
+    )
+    recon_err = F.aggregate(
+        F.transform(F.col("_ses"), lambda s: s["_se"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_vec.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("_codes"), lambda s: s["code"].cast("string")), ","
+        ).alias("pq_codes"),
+        F.round(recon_err, 6).alias("recon_err"),
+    ).orderBy("vec_id")
 
 
 def pq_adc_topk(
@@ -780,26 +669,72 @@ def pq_adc_topk(
 
     Same determinism contract as ``pq_encode_static``: sequential folds,
     shared literals, id tie-breaks — the oracle replays table build,
-    encoding, and ranking exactly. Since r13 the whole computation is
-    row-local: the LUT is built on the DRIVER with the identical Python
-    fold (the query is one driver-held vector; 64 doubles of state) and
-    each row's ADC distance is 8 literal-array lookups summed in
-    subvector order — same bits as the old join + sort_array fold, with
-    zero exchanges before the final top-k merge.
+    encoding, and ranking exactly.
     """
+    from pyspark.sql import Window
+
     from .pq_codebooks import CODEBOOKS, M, SUB_DIM
 
-    qemb = _fetch_single_query_vals(query)
+    spark = embeddings.sparkSession
+    query = _require_single_query(query)
+    rows = []
+    for m in range(M):
+        for kk, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append((m, kk, list(cvec), hn / 2.0))
+    cb = spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>, hn double"
+    )
+    sub = F.slice(F.col("emb"), F.col("m") * SUB_DIM + 1, SUB_DIM)
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    codes, _ = _pq_encode_cols(F.col("emb"), CODEBOOKS, M, SUB_DIM)
-    adc = _adc_expr(qemb, codes, CODEBOOKS, M, SUB_DIM)
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "code", (dot - F.col("hn")).alias("_score")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("_score"), "code")
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    q = query.select(F.col("embedding").cast("array<double>").alias("emb"))
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select("m", "code", se.alias("qse"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "qse"))).alias("_t"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform(F.col("_t"), lambda s: s["qse"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_adc"),
+        )
+    )
     # rank on the RAW distance (both engines share its exact bits); round
     # only the emitted column — ranking on a rounded value could reorder
     # round-boundary ties differently than the oracle
     return (
-        e.select("vec_id", "label", adc.alias("_adc"))
+        adc.join(e.select("vec_id", "label"), "vec_id")
         .orderBy("_adc", "vec_id")
         .limit(k)
         .select("vec_id", "label", F.round("_adc", 6).alias("adc_dist"))
@@ -825,39 +760,94 @@ def ivf_pq_topk(
     Determinism: the same sequential folds, shared literals and id
     tie-breaks as the component operators; shortlist membership ranks on
     RAW ADC, the final order on RAW cosine; only emitted columns round.
-
-    Since r13 every tier is scan-side: probes are driver-side Python over
-    the centroid literals, the cell filter + PQ encode + ADC lookup are
-    row-local expressions, and the rerank compares against the query as
-    an array literal — the serving stack is one pass over the probed
-    cells feeding two TakeOrderedAndProject merges (shortlist, then k),
-    with no exchange, broadcast, or extra job anywhere.
     """
+    from pyspark.sql import Window
+
+    from .ivf_centroids import CENTROIDS
     from .pq_codebooks import CODEBOOKS, M, SUB_DIM
 
-    qemb = _fetch_single_query_vals(query)
+    spark = embeddings.sparkSession
+    query = _require_single_query(query)
 
-    # ---- tier 1: coarse probe (driver-side over the literals) ------
-    probes = _static_probes(qemb, n_probe)
+    # ---- tier 1: coarse probe --------------------------------------
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(CENTROIDS)],
+        "centroid_id int, cvec array<double>",
+    )
+    qcos = _dot(F.col("emb"), F.col("cvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("cvec"))
+    )
+    probes = [
+        r["centroid_id"]
+        for r in query.select(_as_double("embedding").alias("emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("centroid_id", qcos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "centroid_id")
+        .limit(n_probe)
+        .collect()
+    ]
     cand = static_centroid_assign(embeddings).where(
         F.col("centroid_id").isin(probes)
     )
 
-    # ---- tier 2: row-local ADC over the probed cells ---------------
-    codes, _ = _pq_encode_cols(F.col("emb"), CODEBOOKS, M, SUB_DIM)
-    adc = _adc_expr(qemb, codes, CODEBOOKS, M, SUB_DIM)
-    shortlisted = (
-        cand.select("vec_id", "label", "emb", adc.alias("_adc"))
+    # ---- tier 2: ADC over the probed cells -------------------------
+    rows = []
+    for m in range(M):
+        for kk, cvec in enumerate(CODEBOOKS[m]):
+            hn = 0.0
+            for v in cvec:
+                hn += v * v
+            rows.append((m, kk, list(cvec), hn / 2.0))
+    cb = spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>, hn double"
+    )
+    sub = F.slice(F.col("emb"), F.col("m") * SUB_DIM + 1, SUB_DIM)
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.zip_with(sub, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "code", (dot - F.col("hn")).alias("_score")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("_score"), "code")
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q = query.select(_as_double("embedding").alias("emb"))
+    lut = q.crossJoin(F.broadcast(cb)).select("m", "code", se.alias("qse"))
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "qse"))).alias("_t"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform(F.col("_t"), lambda s: s["qse"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_adc"),
+        )
         .orderBy("_adc", "vec_id")
         .limit(shortlist)
     )
 
     # ---- tier 3: exact rerank of the shortlist ---------------------
-    sim = _dot(F.col("emb"), _lit_vec(qemb)) / (
-        _norm(F.col("emb")) * F.lit(_py_norm(qemb))
+    qr = query.select(_as_double("embedding").alias("qemb"))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        _norm(F.col("emb")) * _norm(F.col("qemb"))
     )
     return (
-        shortlisted.select("vec_id", "label", sim.alias("_sim"))
+        adc.join(cand.select("vec_id", "label", "emb"), "vec_id")
+        .crossJoin(F.broadcast(qr))
+        .select("vec_id", "label", sim.alias("_sim"))
         .orderBy(F.desc("_sim"), "vec_id")
         .limit(k)
         .select("vec_id", "label", F.round("_sim", 6).alias("cosine_sim"))
