@@ -3815,97 +3815,80 @@ from .queries import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FRONT: tuple[str, ...] = (
-    # ---- round-13 window: 31 + 19 = 50 (VERDICT r12 items 1 and 7).
-    # Mechanically COVERAGE.md's "suggested next-round window" after
-    # regenerating the ledger against CORRECTNESS_r12: the ENTIRE
-    # last-green-r08 block (31 seats — they hit the latest-4 freshness
-    # invariant exactly this round, so seating them is forced by
-    # tests/test_registry_coverage.py::test_front_window_reseats_stalest)
-    # plus the 19 stalest r09 seats in ledger order. No query was born
-    # this round ungraded and no off-window plan changed before this
-    # rotation landed; the pinned_range_partition boundary-variant work
-    # (VERDICT item 2) keeps bit-identical outputs under the shuffled-
-    # input regression tests, and its consumers were ALL driver-graded
-    # post-materialize-once in r12 (value_percentiles,
-    # value_quartiles_per_type, customer_balance_deciles, pack_sequences,
-    # abc_inventory_classes, rfm_segments, peak_concurrency,
-    # revenue_concentration, ddsketch_value_quantiles) — any of them
-    # whose physical plan changes this round are the first seats of the
-    # r14 window per the ADVICE-r9 plan-change rule. ----
-    # ---- the 31 stalest seats (all last green r08) ----
-    "streaming_user_state",
-    "repeat_buyers_two_days",
-    "large_orders",
-    "rich_idle_customers",
-    "shipping_lag_buckets",
-    "dedup_corpus_stats",
-    "curated_corpus",
-    "tfidf_top_terms",
-    "event_transitions",
-    "sampled_corpus_stats",
-    "funnel_completion_time",
-    "value_outliers_per_type",
-    "multimodal_features",
-    "session_platform_flips",
-    "streaming_attribution_join",
-    "contamination_check",
-    "doc_chunks",
-    "pii_scrub_stats",
-    "doc_quality_flags",
-    "training_shards",
-    "embedding_quantize",
-    "bm25_search",
-    "token_cms_estimates",
-    "ivf_topk_static",
-    "holt_revenue_backtest",
-    "weekday_seasonal_anomalies",
-    "mad_outlier_days",
-    "nation_market_share",
-    "hll_distinct_daily",
-    "hll_weekly_rollup",
-    "hll_segment_overlap",
-    # ---- the 19 stalest r09 seats (ledger order) ----
-    "funnel_daily",
-    "quality_report",
-    "minhash_near_dupes",
-    "simhash_fingerprints",
-    "doc_fingerprints",
-    "product_daily",
-    "orders_mart",
-    "streaming_enriched_traffic",
-    "streaming_session_windows",
-    "ivf_topk",
-    "multimodal_frames",
-    "multimodal_resize",
-    "semantic_dedup_static",
-    "semantic_dedup",
-    "pq_encode_static",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "ewma_daily_traffic",
-    # ---- born this round (VERDICT r12 item 6: the AQE/salting skew
-    # demonstration) — seated on landing per the no-zero-evidence rule,
-    # taking the seat of daily_volume_anomalies, the FRESHEST of the 19
-    # suggested r09 seats (still r09-green, it joins the ~48-seat r09
-    # block the latest-4 invariant forces into the r14 window) ----
-    "skew_salted_hot_join",
+    # ---- round-14 window (VERDICT r13 item 1, verbatim): the 15 query
+    # paths whose physical plans changed in round 13 while OFF-window
+    # (their new plans had only the builder's local 229/229 mirror, no
+    # driver hash) are seated FIRST, customer_balance_deciles at the very
+    # front because its ORACLE changed in r13 (float sum → integer-cents
+    # sum, query+oracle in lockstep) and the new form has no driver hash
+    # yet. Remaining 35 seats are COVERAGE.md's mechanical stalest-50
+    # suggestion in ledger order: the full last-green-r09 block (30 seats
+    # after basket_pairs moved up) plus the 5 stalest r10 seats. ----
+    # ---- the 15 r13-plan-changed, ungraded seats ----
+    "customer_balance_deciles",
+    "value_percentiles",
+    "value_quartiles_per_type",
+    "value_ks_drift",
+    "peak_concurrency",
+    "abc_inventory_classes",
+    "rfm_segments",
+    "pack_sequences",
+    "revenue_concentration",
+    "basket_pairs",
+    "item_similarity_topk",
+    "item_rec_hitrate",
+    "daily_topn_churn",
+    "span_dedup_stats",
+    "embedding_topk",
+    # ---- the last-green-r09 block (ledger order; latest-4 freshness:
+    # these hit the invariant exactly when CORRECTNESS_r14 lands) ----
+    "daily_volume_anomalies",
+    "retention_cohorts",
+    "first_touch_attribution",
+    "jaccard_prefix_pairs",
+    "token_heavy_hitters",
+    "dup_chain_stats",
+    "lang_distinctive_terms",
+    "doc_surprisal",
+    "incremental_dedup_report",
+    "cluster_representatives",
+    "lineitem_stats_by_flag",
+    "small_quantity_revenue",
+    "dataset_split",
+    "language_mix_weights",
+    "weighted_doc_sample",
+    "stratified_sample_per_lang",
+    "daily_revenue_gapfill",
+    "purchase_context_interval_join",
+    "orders_cdc_merge",
+    "customer_value_scd2",
+    "user_lifetime_incremental",
+    "zorder_box_stats",
+    "value_median_udaf",
+    "daily_reconciliation_full_outer",
+    "traffic_rollup",
+    "bloom_pruned_brand_revenue",
+    "variant_props_stats",
+    "sql_udf_funnel_rate",
+    "try_arithmetic_stats",
+    "join_key_skew_report",
+    # ---- the 5 stalest r10 seats (ledger order, skipping the two
+    # already seated above as plan-changed) ----
+    "hourly_traffic",
+    "user_daily",
+    "session_patterns",
+    "pattern_frequency",
+    "language_id",
 )
-# Seat accounting for the round-13 window (the driver grades the first
-# 50 registered queries). The r12 window went 50/50 (CORRECTNESS_r12
-# zero err). This window is pure forced rotation: after it lands,
-# nothing in the ledger is staler than r09, and the freshness math for
-# r14 is the ~48-seat r09/r10 block plus any consumer whose plan the
-# round-13 pinned_range_partition boundary variant changed. Every seat
-# here passes the full local mirror (tools/check_oracle.py at sf0.01
-# and sf0.1 this round), so the expected outcome is 50/50.
-# Seat accounting for the round-12 window (the driver grades the first
-# 50 registered queries). The r11 window went 50/50 (CORRECTNESS_r11
-# zero err), closing the last never-graded gap: every registered query
-# has been driver-hash-green in at least one round. This window is pure
-# rotation + hardening: the two windows share no seats (all 50 r11
-# seats rotate out r11-fresh), and
-# every seat here passes the full local mirror (tools/check_oracle.py
-# at sf0.01 and sf0.1 this round), so the expected outcome is 50/50.
+# Seat accounting for the round-14 window (the driver grades the first
+# 50 registered queries). The r13 window went 50/50 (CORRECTNESS_r13
+# zero err). Composition: VERDICT r13 item 1's list name-for-name (the
+# 15 r13-plan-changed consumers of the order-statistics/fan-out-pinning
+# rework), then the mechanical stalest fill. Any query whose plan
+# changes THIS round while off-window is seated here too before the
+# round closes, swapping out the freshest r10 fills (ADVICE r9 rule).
+# Every seat passes the full local mirror (tools/check_oracle.py at
+# sf0.01 and sf0.1 this round), so the expected outcome is 50/50.
 # The freshness invariant is pinned by
 # tests/test_registry_coverage.py::test_front_window_reseats_stalest.
 
