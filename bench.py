@@ -224,25 +224,102 @@ def _engine_primer(spark, sf_dir: str) -> None:
         [("view", 1), ("click", 2), ("purchase", 3)], "t string, k int"
     )
     ev.join(F.broadcast(dim), ev.event_type == dim.t).count()
+    # Python boundary: the first Arrow-Python job of the session pays
+    # Python worker spawn + pandas/pyarrow import in every worker plus
+    # MapInPandas first-use — measured 2.36 s first / 0.33 s repeat, and
+    # it warms the scalar pandas-UDF path too (2.64 s → 0.31 s after
+    # this runs). A session cost the first ANN/PQ seat was eating.
+    import pandas as pd  # noqa: F401 — workers import it on first use
+
+    def _primer_passthrough(pdfs):
+        for pdf in pdfs:
+            yield pdf[["value"]]
+
+    ev.limit(2_000).select("value").mapInPandas(
+        _primer_passthrough, "value double"
+    ).collect()
     # micro-batch streaming engine (state store, MicroBatchExecution):
-    # one availableNow file-stream batch into a throwaway memory sink
+    # one availableNow file-stream batch into a throwaway memory sink.
+    # Extended in round 14 for the two stateful-fixture paths with a
+    # MEASURED one-time component: session-window merge codegen
+    # (0.85 s first / 0.63 s repeat) and the applyInPandasWithState
+    # Python state-server protocol (1.41 s first / 1.06 s repeat).
+    # The stream-stream join and dropDuplicatesWithinWatermark paths
+    # were probed too and deliberately NOT primed: their first/repeat
+    # times are equal (join 2.42/2.37 s — per-query engine cost, no
+    # amortizable component), so priming them would only inflate
+    # warmup_sec. Each primer query runs one availableNow batch over a
+    # 1000-row throwaway input under the same bounded state-partition
+    # cap the fixtures use; no registered query's plan or micro-batch
+    # count changes.
+    from ecommerce_event_pipeline_spark.streaming.jobs import (
+        _bounded_state_partitions,
+    )
+
     with tempfile.TemporaryDirectory() as tmp:
         ev.limit(1_000).write.mode("overwrite").parquet(f"{tmp}/in")
-        q = (
-            spark.readStream.schema(
-                spark.read.parquet(f"{tmp}/in").schema
+        schema = spark.read.parquet(f"{tmp}/in").schema
+
+        def _sdf():
+            # the parquet round-trip resolves ts as TIMESTAMP_NTZ, which
+            # EventTimeWatermark rejects; with the session timezone
+            # pinned UTC the cast is wall-clock-preserving (same handling
+            # as streaming.jobs.streaming_events)
+            return (
+                spark.readStream.schema(schema)
+                .parquet(f"{tmp}/in")
+                .withColumn("ts", F.col("ts").cast("timestamp"))
             )
-            .parquet(f"{tmp}/in")
-            .groupBy("event_type")
-            .count()
-            .writeStream.format("memory")
-            .queryName("bench_primer")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        spark.catalog.dropTempView("bench_primer")
+
+        def _drain(stream_df, mode):
+            name = "bench_primer"
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            spark.catalog.dropTempView(name)
+
+        with _bounded_state_partitions(spark):
+            # plain stateful aggregate (HDFSBackedStateStore init)
+            _drain(_sdf().groupBy("event_type").count(), "complete")
+            # session-window merge path
+            _drain(
+                _sdf()
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+                .count(),
+                "complete",
+            )
+            # applyInPandasWithState (Python state server + workers)
+            from pyspark.sql.streaming.state import (
+                GroupState,
+                GroupStateTimeout,
+            )
+
+            def _primer_update(key, pdfs, state: GroupState):
+                n = state.get[0] if state.exists else 0
+                for pdf in pdfs:
+                    n += len(pdf)
+                state.update((n,))
+                yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+            _drain(
+                _sdf()
+                .select("user_id", "value")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    _primer_update,
+                    outputStructType="user_id long, n long",
+                    stateStructType="n long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                ),
+                "update",
+            )
 
 
 def stall_ratios(

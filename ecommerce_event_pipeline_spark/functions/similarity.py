@@ -353,6 +353,46 @@ def _nearest_udf(cents: np.ndarray):
     return nearest
 
 
+def _lloyd_partials(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
+    """One Lloyd iteration's sufficient statistics as a single NARROW
+    pass: nearest-centroid assignment and the per-cluster (Σvec, count)
+    partials are fused into one ``mapInPandas`` stage, so an iteration
+    is one job with no shuffle and no per-dimension row explosion — each
+    task emits at most K rows of (centroid_id, dim-vector sum, count)
+    and the driver folds the ≤ tasks × K partials (guide §5: bounded
+    collect volume; §2.3: ship sufficient statistics, not rows).
+
+    ``np.add.at`` accumulates in row order within each batch, matching
+    the row-order partial aggregation of the previous posexplode →
+    groupBy formulation — on a single-split scan the sums are
+    bit-identical to it, and across tasks the driver folds partials in
+    collect (partition) order, which is deterministic for a fixed input
+    layout where shuffle-fetch merge order was not."""
+    k, dim = cents.shape
+
+    def partials(pdfs):
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen = True
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            assign = np.argmax(normed @ cents.T, axis=1)
+            counts += np.bincount(assign, minlength=k)
+            np.add.at(sums, assign, mat)
+        if seen:
+            yield pd.DataFrame(
+                {"centroid_id": np.arange(k), "s": list(sums), "n": counts}
+            )
+
+    return embeddings.select(_as_double("embedding").alias("embedding")).mapInPandas(
+        partials, "centroid_id int, s array<double>, n long"
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -365,10 +405,13 @@ def kmeans_centroids(
       ``xxhash64(vec_id, seed)`` — a deterministic pseudo-random sample
       (TakeOrderedAndProject + bounded collect), unbiased unlike first-N
       by vec_id on clustered/sorted corpora.
-    - **Iterate**: assignment is the same vectorized matmul UDF the search
-      path uses; the update is a per-(cluster, dim) declarative aggregate
-      (posexplode → groupBy → sum/count), so only K·dim partial rows ever
-      reach the driver — never the vectors themselves.
+    - **Iterate**: assignment and the per-cluster (Σvec, count) update
+      are ONE fused narrow pass per iteration (:func:`_lloyd_partials`)
+      — one job, no shuffle, only ≤ tasks × K sufficient-statistic rows
+      ever reach the driver, never the vectors themselves. (Previously
+      each iteration ran an assignment UDF projection plus a
+      posexplode → groupBy(centroid, dim) aggregate — a K·dim-row
+      shuffle and several AQE-materialized stages per iteration.)
     - Empty clusters keep their previous centroid.
 
     At 100 TB run this on a deterministic sample (filter on
@@ -385,23 +428,13 @@ def kmeans_centroids(
     cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
 
     for _ in range(iters):
-        assigned = embeddings.withColumn(
-            "centroid_id", _nearest_udf(cents)(F.col("embedding"))
-        )
-        partials = (
-            assigned.select(
-                "centroid_id", F.posexplode(_as_double("embedding")).alias("pos", "val")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()  # bounded: n_centroids × dim rows
-        )
+        partial_rows = _lloyd_partials(embeddings, cents).collect()
         new = cents.copy()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
-        for r in partials:
-            sums[r["centroid_id"], r["pos"]] = r["s"]
-            counts[r["centroid_id"]] = r["n"]
+        for r in partial_rows:
+            sums[r["centroid_id"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["centroid_id"]] += r["n"]
         nonempty = counts > 0
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         new /= np.linalg.norm(new, axis=1, keepdims=True) + 1e-12

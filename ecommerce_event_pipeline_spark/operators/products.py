@@ -65,7 +65,16 @@ def product_interactions(
             "event_date",
             "event_type",
             "user_id",
-            F.explode(F.col("payload.products")).alias("item"),
+            # explode_OUTER on purpose (r14 opt, guide §1.2 per-task
+            # work): plain explode lets InferFiltersFromGenerate push a
+            # `size(..) > 0 AND isnotnull(..)` filter below the
+            # Generate, and both predicates re-evaluate the from_json
+            # parse — 2 JSON parses per purchase row instead of 1 (plan-
+            # verified). The outer variant infers no filter; empty/null
+            # payloads yield a NULL item that the existing
+            # product_id-not-null filter below drops, so the output rows
+            # are identical.
+            F.explode_outer(F.col("payload.products")).alias("item"),
         )
         .select(
             "event_date",

@@ -164,6 +164,12 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(F.sum("_c").alias("cents"))
+        # materialized ONCE (r14, found by the shrink-before-pinning AST
+        # scan): per-customer revenue is bounded, but its input is a full
+        # orders scan + aggregation consumed by FOUR branches (the
+        # stateless pinned frame's ~3 plus `stats`) — pinning trades one
+        # customer-sized job for three orders passes (guide §5)
+        .localCheckpoint()
     )
     ranked = global_row_number(pc, [F.desc("cents"), "o_custkey"], "rn")
     stats = pc.agg(

@@ -1428,12 +1428,19 @@ def json_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("extra_data")
     )
+    # explode_OUTER + null-item filter (r14 opt): plain explode lets
+    # InferFiltersFromGenerate push `size(..) > 0 AND isnotnull(..)`
+    # below the Generate, re-evaluating the from_json parse per
+    # predicate — 2 extra JSON parses per order row (plan-verified on
+    # product_daily, same shape). The outer variant infers no filter;
+    # the payloads here are built from a non-empty collect_list so no
+    # NULL item row ever exists, and the guard keeps that airtight.
     items = with_payload.select(
         "l_orderkey",
-        F.explode(
+        F.explode_outer(
             F.from_json(F.col("extra_data"), payload_schema)["products"]
         ).alias("item"),
-    )
+    ).where(F.col("item").isNotNull())
     return (
         items.groupBy(F.col("item.product_id").alias("product_id"))
         .agg(
@@ -2961,7 +2968,10 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps plain SQL NTILE; over a total order the two are bit-identical."""
     from .operators.windows import global_ntile
 
-    c = read_table(spark, sf_dir, "customer")
+    # project to the two columns the ranking and rollup need BEFORE the
+    # rank machinery: the _pid window shuffle would otherwise carry every
+    # customer column (guide §2.3 — project before the exchange)
+    c = read_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     return (
         global_ntile(c, 10, ["c_acctbal", "c_custkey"], out_col="decile")
         .groupBy("decile")

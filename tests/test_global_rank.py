@@ -529,3 +529,31 @@ def test_prefix_sum_rejects_bad_value_col_specs(spark):
         distributed_prefix_sum(df, ["k"], "v1", out_col=F.col("v1"))
     with pytest.raises(ValueError, match="duplicate out_col"):
         distributed_prefix_sum(df, ["k"], ["v1", "v2"], out_col=["p", "p"])
+
+
+def test_sort_spec_repr_canary(spark):
+    """``_sort_specs`` parses ``str(Column)`` with a regex, and Spark
+    does not guarantee ``Column.__repr__``'s format — a PySpark upgrade
+    that changes it would silently degrade every boundary-expressible
+    call site to the checkpoint fallback (correct but eager + pinned
+    storage). Pin the repr format loudly (VERDICT r13 item 7)."""
+    from ecommerce_event_pipeline_spark.operators.windows import (
+        _SORT_RE,
+        _sort_specs,
+    )
+
+    assert _SORT_RE.fullmatch(str(F.col("x"))), str(F.col("x"))
+    assert _SORT_RE.fullmatch(str(F.asc("x"))), str(F.asc("x"))
+    assert _SORT_RE.fullmatch(str(F.desc("x"))), str(F.desc("x"))
+
+    df = spark.range(3).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    # the parse must carry direction through, not just match
+    assert _sort_specs(df, ["x", F.asc("y")]) == [("x", True), ("y", True)]
+    assert _sort_specs(df, [F.desc("x")]) == [("x", False)]
+    # non-default null ordering and computed expressions stay
+    # checkpoint-fallback (None), by design
+    assert _sort_specs(df, [F.asc_nulls_last("x")]) is None
+    assert _sort_specs(df, [F.col("x") + 1]) is None
+    assert _sort_specs(df, ["not_a_column"]) is None

@@ -93,6 +93,53 @@ def test_kmeans_centroids_deterministic(spark):
     assert np.allclose(a, b)
 
 
+def test_lloyd_partials_match_declarative_update(spark):
+    """The fused mapInPandas iteration (r14 opt) must produce the same
+    per-cluster sufficient statistics as the pre-r14 declarative update
+    (assignment UDF + posexplode → groupBy(centroid, dim) sums)."""
+    import numpy as np
+
+    emb = _clustered_corpus(spark).cache()
+    k = 6
+    init = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(42)), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+
+    # fused form
+    sums_f = np.zeros_like(cents)
+    counts_f = np.zeros(k, dtype=np.int64)
+    for r in similarity._lloyd_partials(emb, cents).collect():
+        sums_f[r["centroid_id"]] += np.asarray(r["s"], dtype=np.float64)
+        counts_f[r["centroid_id"]] += r["n"]
+
+    # declarative reference (the pre-r14 formulation)
+    assigned = emb.withColumn(
+        "centroid_id", similarity._nearest_udf(cents)(F.col("embedding"))
+    )
+    ref = (
+        assigned.select(
+            "centroid_id",
+            F.posexplode(similarity._as_double("embedding")).alias("pos", "val"),
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    sums_r = np.zeros_like(cents)
+    counts_r = np.zeros(k, dtype=np.int64)
+    for r in ref:
+        sums_r[r["centroid_id"], r["pos"]] = r["s"]
+        counts_r[r["centroid_id"]] = r["n"]
+
+    assert np.array_equal(counts_f, counts_r)
+    assert np.allclose(sums_f, sums_r, rtol=0, atol=1e-9)
+
+
 def test_ivf_kmeans_recall_on_clustered_corpus(spark):
     emb = _clustered_corpus(spark).cache()
     q = emb.where(F.col("vec_id") == 5)
