@@ -62,7 +62,7 @@ def grouped_exact_percentiles(
     # round-11 bug shape, found here by the round-12 fan-out sweep and
     # regression-tested in tests/test_global_rank.py) — since round 13
     # via deterministic in-plan boundaries rather than a checkpoint.
-    from ..operators.windows import pinned_range_partition
+    from ..operators.windows import pin_frame, pinned_range_partition
 
     freq = df.groupBy(*group_cols, value_col).agg(
         F.count("*").cast("long").alias("_w")
@@ -76,7 +76,7 @@ def grouped_exact_percentiles(
         # distinct values), bounded at any volume, so pinning it trades
         # one bounded job for three data passes (guide §5). Query-level
         # callers that execute exactly once opt in.
-        freq = freq.localCheckpoint()
+        freq = pin_frame(freq)
     part = pinned_range_partition(freq, num_partitions, *group_cols, value_col)
     local = part.withColumn(
         "_lcum",
@@ -87,73 +87,61 @@ def grouped_exact_percentiles(
         ),
     )
     cnts = part.groupBy(*group_cols, "_pid").agg(F.sum("_w").alias("_cnt"))
-    # ≤ P rows per group: the running sum is a PARTITIONED window
+    # ≤ P rows per group: the running offset AND the group total come
+    # from ONE window pass over cnts (same group partitioning, two
+    # frames — no extra exchange). Pre-r14 the total was a separate
+    # groupBy branch of cnts, which under the stateless pinned frame
+    # re-executed the whole support subtree once more and fed a second
+    # sort-merge join into `ranked` (guide §2.4).
     pw = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = cnts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
-    ).select(*group_cols, "_pid", "_off")
+    gw = Window.partitionBy(*group_cols)
+    offs = cnts.select(
+        *group_cols,
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(pw), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(gw).alias("_n"),
+    )
     ranked = (
         local.join(offs, [*group_cols, "_pid"])
         .withColumn("_rank_hi", F.col("_off") + F.col("_lcum"))
         .withColumn("_rank_lo", F.col("_rank_hi") - F.col("_w") + 1)
     )
-    totals = cnts.groupBy(*group_cols).agg(F.sum("_cnt").alias("_n"))
-    # one row per (group, percentile): target position, bracketing ranks
-    targets = totals.select(
-        *group_cols,
-        "_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("_pname"), F.lit(p).alias("_p")
-                    )
-                    for name, p in percentiles.items()
-                ]
-            )
-        ).alias("_t"),
-    ).select(
-        *group_cols,
-        "_n",
-        F.col("_t._pname").alias("_pname"),
-        ((F.col("_n") - 1).cast("double") * F.col("_t._p")).alias("_pos"),
-    )
-    targets = targets.select(
-        *group_cols,
-        "_n",
-        "_pname",
-        (F.floor("_pos") + 1).cast("long").alias("_lo"),
-        (F.ceil("_pos") + 1).cast("long").alias("_hi"),
-        (F.col("_pos") - F.floor("_pos")).alias("_frac"),
-    )
-    lo_in = F.col("_lo").between(F.col("_rank_lo"), F.col("_rank_hi"))
-    hi_in = F.col("_hi").between(F.col("_rank_lo"), F.col("_rank_hi"))
-    hits = ranked.join(
-        targets,
-        [
-            *group_cols,
-        ],
-    ).where(lo_in | hi_in)
-    vals = hits.groupBy(*group_cols, "_pname", "_frac", "_n").agg(
-        F.min(F.when(lo_in, F.col(value_col))).alias("_vlo"),
-        F.min(F.when(hi_in, F.col(value_col))).alias("_vhi"),
-    )
-    # two-sided lerp, NOT v_lo + (v_hi − v_lo)·frac: both Spark's
-    # Percentile and DuckDB's quantile_cont compute
-    # v_lo·(1−frac) + v_hi·frac, and the two associations differ by a few
-    # ulps — enough to fail a bit-exact hash compare
-    interp = vals.withColumn(
-        "_val",
-        F.col("_vlo") * (F.lit(1.0) - F.col("_frac"))
-        + F.col("_vhi") * F.col("_frac"),
-    )
-    return interp.groupBy(*group_cols, "_n").pivot(
-        "_pname", list(percentiles)
-    ).agg(F.first("_val"))
+    # Per-percentile selection as plain expressions on `ranked` — with
+    # `_n` riding on every row there is NO targets frame, NO hits join
+    # and NO pivot (r14 fusion; pre-r14 this was an exploded targets
+    # table joined back per group). The arithmetic is expression-for-
+    # expression the old one: pos = (N−1)·p, brackets ⌊pos⌋+1/⌈pos⌉+1,
+    # two-sided lerp v_lo·(1−frac) + v_hi·frac — both Spark's Percentile
+    # and DuckDB's quantile_cont compute exactly this association, so
+    # results stay bit-identical.
+    aggs, outs = [], []
+    for name, p in percentiles.items():
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        lo = (F.floor(pos) + 1).cast("long")
+        hi = (F.ceil(pos) + 1).cast("long")
+        lo_in = lo.between(F.col("_rank_lo"), F.col("_rank_hi"))
+        hi_in = hi.between(F.col("_rank_lo"), F.col("_rank_hi"))
+        aggs.append(
+            F.min(F.when(lo_in, F.col(value_col))).alias(f"_vlo_{name}")
+        )
+        aggs.append(
+            F.min(F.when(hi_in, F.col(value_col))).alias(f"_vhi_{name}")
+        )
+    vals = ranked.groupBy(*group_cols, "_n").agg(*aggs)
+    for name, p in percentiles.items():
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        frac = pos - F.floor(pos)
+        outs.append(
+            (
+                F.col(f"_vlo_{name}") * (F.lit(1.0) - frac)
+                + F.col(f"_vhi_{name}") * frac
+            ).alias(name)
+        )
+    return vals.select(*group_cols, "_n", *outs)
 
 
 def grouped_ntile_histogram(
@@ -190,7 +178,7 @@ def grouped_ntile_histogram(
     """
     from pyspark.sql import Window as W
 
-    from ..operators.windows import pinned_range_partition
+    from ..operators.windows import pin_frame, pinned_range_partition
 
     b = int(n_buckets)
     if b < 1:
@@ -207,7 +195,7 @@ def grouped_ntile_histogram(
         # same opt-in trade as grouped_exact_percentiles: pin the
         # bounded support once instead of re-running the data aggregate
         # per pinned-frame consumer branch (r13 opt, guide §5)
-        freq = freq.localCheckpoint()
+        freq = pin_frame(freq)
     part = pinned_range_partition(freq, num_partitions, *gnames, value_col)
     local = part.withColumn(
         "_lcum",
@@ -218,20 +206,26 @@ def grouped_ntile_histogram(
         ),
     )
     cnts = part.groupBy(*gnames, "_pid").agg(F.sum("_w").alias("_cnt"))
+    # running offset AND group total in ONE window pass over cnts (same
+    # fusion as grouped_exact_percentiles, r14): pre-r14 `totals` was a
+    # separate groupBy branch of cnts — one more re-execution of the
+    # support subtree and a second sort-merge join into `ranked`
     pw = (
         W.partitionBy(*gnames)
         .orderBy("_pid")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    offs = cnts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
-    ).select(*gnames, "_pid", "_off")
-    totals = cnts.groupBy(*gnames).agg(F.sum("_cnt").alias("_n"))
+    gw = W.partitionBy(*gnames)
+    offs = cnts.select(
+        *gnames,
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(pw), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(gw).alias("_n"),
+    )
     ranked = (
         local.join(offs, [*gnames, "_pid"])
         .withColumn("_rank_hi", F.col("_off") + F.col("_lcum"))
         .withColumn("_rank_lo", F.col("_rank_hi") - F.col("_w") + 1)
-        .join(totals, gnames)
     )
     # closed-form NTILE bucket of a rank r (same arithmetic as
     # operators/windows.global_ntile, guarded for the base = 0 case)

@@ -120,6 +120,28 @@ def running_user_spend(events: DataFrame, amount_type: str = "purchase") -> Data
     )
 
 
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a bounded intermediate that fans out into
+    several consumer branches (``localCheckpoint`` — the guide-§5
+    persist-when-reused trade the query call sites opted into in r13),
+    with a PLAN-ONLY escape hatch: when ``SPARK_GRAFT_PLAN_ONLY=1`` the
+    frame is returned lazy, so tooling that only builds plans (explain
+    audits over every registered query) triggers zero data jobs at query
+    construction (ADVICE r13). The hatch trades plan fidelity for
+    laziness — the audited plan shows the full subtree instead of the
+    ``ExistingRDD`` scan — which is the right trade for invariant scans
+    (no unpartitioned window, join strategies) but NOT for timing.
+    Iterative fixed-point queries keep raw ``localCheckpoint`` on
+    purpose: without lineage truncation their plan itself grows
+    exponentially in the iteration count, and a plan-only consumer
+    would hang in the optimizer instead."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PLAN_ONLY") == "1":
+        return df
+    return df.localCheckpoint()
+
+
 #: Cap on the deterministic boundary sample (rows held in one array on
 #: one task). 4096 samples for ≤ a few hundred partitions keeps the
 #: equi-depth error small while the array stays KB-sized at any input
@@ -425,18 +447,25 @@ def global_ntile(
     local = part.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
     )
-    # prefix sum + total over ≤ P rows via broadcast self-join, not a
-    # window — see the note in global_row_number
+    # prefix sum + total over ≤ P rows via ONE broadcast cross self-join,
+    # not a window — see the note in global_row_number. The total rides
+    # as a conditional sum of the same cross (r14 fusion): a separate
+    # `tot` aggregate branch re-executed the cnts subtree (and
+    # transitively the pinned frame's input) once more.
     cnts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     prior = cnts.select(
         F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
     )
-    tot = cnts.agg(F.sum("_cnt").alias("_n"))
     offs = (
-        cnts.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        cnts.crossJoin(F.broadcast(prior))
         .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_off"))
-        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_pid2") < F.col("_pid"), F.col("_cnt2"))),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_cnt2").alias("_n"),
+        )
     )
     b = int(n_buckets)
     # all-integer NTILE arithmetic (base = ⌊N/B⌋, rem = N % B): the first
@@ -598,15 +627,21 @@ def grouped_ntile(
         ),
     )
     cnts = part.groupBy(*gnames, "_pid").agg(F.count("*").alias("_cnt"))
+    # running offset AND group total in ONE window pass over cnts (r14
+    # fusion, same as functions/stats): `totals` as a separate groupBy
+    # branch re-executed the cnts subtree and fed a second join
     pw = (
         Window.partitionBy(*gnames)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = cnts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
+    gw = Window.partitionBy(*gnames)
+    offs = cnts.select(
+        *gnames,
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(pw), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(gw).alias("_n"),
     )
-    totals = cnts.groupBy(*gnames).agg(F.sum("_cnt").alias("_n"))
     b = int(n_buckets)
     bucket = F.expr(
         f"CASE WHEN _grk <= (_n % {b}) * (_n div {b} + 1) "
@@ -616,8 +651,7 @@ def grouped_ntile(
         f"    div greatest(_n div {b}, 1) + 1 END"
     )
     return (
-        local.join(offs.select(*gnames, "_pid", "_off"), [*gnames, "_pid"])
-        .join(totals, gnames)
+        local.join(offs, [*gnames, "_pid"])
         .withColumn("_grk", F.col("_off") + F.col("_lrn"))
         .withColumn(out_col, bucket.cast("int"))
         .drop("_pid", "_lrn", "_off", "_n", "_grk")

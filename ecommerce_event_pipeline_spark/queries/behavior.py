@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..sources.readers import read_events, read_table
+from ..operators.windows import pin_frame
 from ..registry_core import register
 
 
@@ -320,7 +321,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     tot = items.agg(F.count_distinct("l_orderkey").alias("n"))
@@ -432,7 +433,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "monetary_cents"
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     scores = {
         "r_score": [F.asc("recency_days"), F.asc("user_id")],
@@ -900,7 +901,7 @@ def daily_topn_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
         .select("day", "l_partkey")
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     days = m.select("day").distinct()
     y = m.select(
@@ -1111,7 +1112,7 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     a = items.select(
@@ -1126,7 +1127,7 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_1", "part_2")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     sym = pairs.select(
         F.col("part_1").alias("part_id"),
@@ -1227,7 +1228,7 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes — the §2.4 "remove shuffles outright" shape (r13 opt).
     s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min("ts").alias("ts_start"), F.max("ts").alias("ts_end")
-    ).localCheckpoint()
+    ).transform(pin_frame)
     deltas = s.select(
         F.col("ts_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
     ).unionByName(
@@ -1670,7 +1671,7 @@ def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") < "2000-01-01").alias("_is_train"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     train = flagged.where(F.col("_is_train")).select("l_orderkey", "l_partkey")
     test = flagged.where(~F.col("_is_train")).select("l_orderkey", "l_partkey")
@@ -1688,7 +1689,7 @@ def item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         # pinned: the symmetrize union below consumes pairs TWICE, and
         # its lineage is the expensive basket self-join (r13 opt)
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     sym = pairs.select(
         F.col("part_1").alias("part_id"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.windows import pin_frame
 from ..registry_core import register
 from ..sources.readers import read_events
 
@@ -739,7 +740,7 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.groupBy("cents").agg(
         F.sum((F.col("post") == 0).cast("int")).cast("long").alias("c1"),
         F.sum((F.col("post") == 1).cast("int")).cast("long").alias("c2"),
-    ).localCheckpoint()
+    ).transform(pin_frame)
     # one multi-column call, NOT two nested single-column calls: under
     # the stateless _pid design each pinned-frame consumer re-executes
     # its input subtree, so nesting multiplied the branch count (~9

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..sources.readers import read_events, read_table
+from ..operators.windows import pin_frame
 from ..registry_core import register
 
 
@@ -169,7 +170,7 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # orders scan + aggregation consumed by FOUR branches (the
         # stateless pinned frame's ~3 plus `stats`) — pinning trades one
         # customer-sized job for three orders passes (guide §5)
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     ranked = global_row_number(pc, [F.desc("cents"), "o_custkey"], "rn")
     stats = pc.agg(
@@ -373,7 +374,7 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # but its input is a full lineitem scan + aggregation consumed by
         # FOUR branches (the stateless pinned frame's ~3 plus `total`) —
         # pinning trades one catalog-sized job for three lineitem passes
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     cum = distributed_prefix_sum(
         pr.select(

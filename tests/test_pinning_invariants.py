@@ -103,7 +103,16 @@ def _lineage_has_pin(
     if depth > 12:
         return False
     for node in ast.walk(expr):
-        if isinstance(node, ast.Call) and _called_name(node) == "localCheckpoint":
+        # a raw .localCheckpoint() call, a pin_frame(...) call, or
+        # .transform(pin_frame) — all three spell the same pin (pin_frame
+        # is the env-hatched wrapper; plan-only tooling may disable it,
+        # which is exactly the reviewed trade)
+        if isinstance(node, ast.Call) and _called_name(node) in (
+            "localCheckpoint",
+            "pin_frame",
+        ):
+            return True
+        if isinstance(node, ast.Name) and node.id == "pin_frame":
             return True
     for node in ast.walk(expr):
         if isinstance(node, ast.Name) and node.id in assigns:
