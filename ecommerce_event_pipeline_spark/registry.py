@@ -3882,13 +3882,21 @@ _FRONT: tuple[str, ...] = (
     "sql_udf_funnel_rate",
     "try_arithmetic_stats",
     "join_key_skew_report",
-    # ---- the 5 stalest r10 seats (ledger order, skipping the two
-    # already seated above as plan-changed) ----
+    # ---- the stalest r10 seat (ledger order) ----
     "hourly_traffic",
-    "user_daily",
-    "session_patterns",
-    "pattern_frequency",
-    "language_id",
+    # ---- r14-plan-changed, otherwise off-window (ADVICE r9 rule: a
+    # plan change must not ship ungraded) — these took the seats of the
+    # four FRESHEST r10 fills (user_daily, session_patterns,
+    # pattern_frequency, language_id; all r10-green, within the
+    # latest-4 freshness bound): product_daily/json_order_items's
+    # explode_outer parse dedup changed their plans this round, and
+    # ivf_topk/semantic_dedup's k-means refit iterations were fused
+    # (outputs verified bit-identical, but the construction-time job
+    # structure changed — graded hashes beat local-only evidence) ----
+    "product_daily",
+    "json_order_items",
+    "ivf_topk",
+    "semantic_dedup",
 )
 # Seat accounting for the round-14 window (the driver grades the first
 # 50 registered queries). The r13 window went 50/50 (CORRECTNESS_r13

@@ -52,9 +52,9 @@ BARE_FIRST_LAST_OK = {
     ("quality/checks.py", "platform_flip_sessions"):
         "_first_platform is itself a windowed first over the session "
         "order, so it is group-constant when the outer first() reads it",
-    ("functions/stats.py", "grouped_exact_percentiles"):
-        "singleton pivot cell: the join keys pin exactly one row per "
-        "group before the agg",
+    # functions/stats.py grouped_exact_percentiles left this list in
+    # r14: the percentile fusion removed the pivot (and its singleton
+    # F.first cell) entirely — conditional min aggregates now.
 }
 
 
